@@ -1,0 +1,14 @@
+"""alp_tpu — TPU-native adaptive lossless floating-point compression.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the ALP
+reference (cwida/ALP, SIGMOD 2024): the ALP classic (pseudo-decimal) and
+ALP_RD (real-doubles) schemes, adaptive per-rowgroup scheme selection,
+FastLanes FFOR bit-packing, fused decompression kernels, and a columnar
+container format — designed TPU-first (static shapes, batched vectors,
+softfloat f64 semantics on exact integer ops, shard_map data parallelism).
+"""
+
+__version__ = "0.1.0"
+
+from . import constants
+from . import oracle
