@@ -1,0 +1,576 @@
+"""Exact IEEE-754 binary64 arithmetic on uint32 limbs, in pure jnp.
+
+TPUs have no native float64: XLA emulates f64 *approximately* (not
+correctly rounded), which breaks ALP's bit-exact encode/verify contract
+(reference include/alp/encoder.hpp:82-89 relies on exact double math).
+TPU *integer* ops, however, are exact.  This module therefore implements
+the handful of f64 operations ALP needs — multiply, add, int64<->double
+conversion, truncating cast, comparisons — as correctly-rounded softfloat
+on pairs of uint32 limbs.
+
+Everything here is elementwise jnp on uint32/int32 arrays, so the same
+functions trace inside plain jit *and* inside Pallas TPU kernels (which
+support only 32-bit lanes).  A "64-bit value" is a :class:`U64` pair
+``(hi, lo)``; doubles are their IEEE bit patterns, int64s their two's
+complement.
+
+Scope: full IEEE semantics for finite values including subnormals,
+overflow to ±Inf, and NaN propagation (canonical quiet NaN, no payload
+preservation — ALP only ever checks "is NaN").  Round-to-nearest-even
+only (the mode ALP assumes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=_U32)
+
+
+class U64(NamedTuple):
+    """A 64-bit integer (or f64 bit pattern) as two uint32 limbs."""
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @staticmethod
+    def const(value: int, like: jnp.ndarray | None = None) -> "U64":
+        value &= (1 << 64) - 1
+        hi = _u32(value >> 32)
+        lo = _u32(value & 0xFFFFFFFF)
+        if like is not None:
+            hi = jnp.broadcast_to(hi, like.shape)
+            lo = jnp.broadcast_to(lo, like.shape)
+        return U64(hi, lo)
+
+
+def u64_from_np(arr: np.ndarray) -> U64:
+    """Host-side: split a numpy (u)int64/f64 array into uint32 limbs."""
+    bits = np.ascontiguousarray(arr).view(np.uint64)
+    return U64(_u32(bits >> np.uint64(32)), _u32(bits & np.uint64(0xFFFFFFFF)))
+
+
+def u64_to_np(x: U64) -> np.ndarray:
+    """Host-side: reassemble numpy uint64 from limbs."""
+    return (np.asarray(x.hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+        x.lo, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit integer primitives on u32 limbs
+# ---------------------------------------------------------------------------
+
+def add64(a: U64, b: U64) -> U64:
+    lo = a.lo + b.lo
+    carry = (lo < a.lo).astype(_U32)
+    return U64(a.hi + b.hi + carry, lo)
+
+
+def sub64(a: U64, b: U64) -> U64:
+    lo = a.lo - b.lo
+    borrow = (a.lo < b.lo).astype(_U32)
+    return U64(a.hi - b.hi - borrow, lo)
+
+
+def neg64(a: U64) -> U64:
+    return add64(U64(~a.hi, ~a.lo), U64.const(1, a.hi))
+
+
+def or64(a: U64, b: U64) -> U64:
+    return U64(a.hi | b.hi, a.lo | b.lo)
+
+
+def and64(a: U64, b: U64) -> U64:
+    return U64(a.hi & b.hi, a.lo & b.lo)
+
+
+def eq64(a: U64, b: U64) -> jnp.ndarray:
+    return (a.hi == b.hi) & (a.lo == b.lo)
+
+
+def is_zero64(a: U64) -> jnp.ndarray:
+    return (a.hi | a.lo) == 0
+
+
+def ltu64(a: U64, b: U64) -> jnp.ndarray:
+    return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
+
+
+def _shl32(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """x << k with k in [0, 32]: well-defined 0 result at k == 32."""
+    k = k.astype(_U32)
+    safe = jnp.left_shift(x, jnp.minimum(k, _u32(31)))
+    # split k==32.. into two shifts to stay in defined range
+    extra = jnp.left_shift(safe, jnp.maximum(k, _u32(31)) - _u32(31))
+    return jnp.where(k > 31, jnp.where(k > 63, _u32(0), extra), safe)
+
+
+def _shr32(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """x >> k (logical) with k in [0, 32]: 0 at k == 32."""
+    k = k.astype(_U32)
+    safe = jnp.right_shift(x, jnp.minimum(k, _u32(31)))
+    extra = jnp.right_shift(safe, jnp.maximum(k, _u32(31)) - _u32(31))
+    return jnp.where(k > 31, jnp.where(k > 63, _u32(0), extra), safe)
+
+
+def shl64(a: U64, k) -> U64:
+    """a << k for k in [0, 64] (elementwise, k may be an array)."""
+    k = _u32(k)
+    kk = jnp.broadcast_to(k, jnp.broadcast_shapes(k.shape, a.hi.shape))
+    lo_small = _shl32(a.lo, kk)
+    hi_small = _shl32(a.hi, kk) | _shr32(a.lo, _u32(32) - kk)
+    lo_big = _u32(0)
+    hi_big = _shl32(a.lo, kk - _u32(32))
+    big = kk >= 32
+    return U64(jnp.where(big, hi_big, hi_small),
+               jnp.where(big, lo_big, lo_small))
+
+
+def shr64(a: U64, k) -> U64:
+    """a >> k (logical) for k in [0, 64]."""
+    k = _u32(k)
+    kk = jnp.broadcast_to(k, jnp.broadcast_shapes(k.shape, a.hi.shape))
+    hi_small = _shr32(a.hi, kk)
+    lo_small = _shr32(a.lo, kk) | _shl32(a.hi, _u32(32) - kk)
+    hi_big = _u32(0)
+    lo_big = _shr32(a.hi, kk - _u32(32))
+    big = kk >= 32
+    return U64(jnp.where(big, hi_big, hi_small),
+               jnp.where(big, lo_big, lo_small))
+
+
+def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x - ((x >> 1) & _u32(0x55555555))
+    x = (x & _u32(0x33333333)) + ((x >> 2) & _u32(0x33333333))
+    x = (x + (x >> 4)) & _u32(0x0F0F0F0F)
+    return (x * _u32(0x01010101)) >> 24
+
+
+def clz32(x: jnp.ndarray) -> jnp.ndarray:
+    """Count leading zeros of u32 (32 for 0); pure integer SWAR."""
+    y = x
+    y |= y >> 1
+    y |= y >> 2
+    y |= y >> 4
+    y |= y >> 8
+    y |= y >> 16
+    return _u32(32) - _popcount32(y)
+
+
+def clz64(a: U64) -> jnp.ndarray:
+    return jnp.where(a.hi != 0, clz32(a.hi), _u32(32) + clz32(a.lo))
+
+
+def umul32_wide(a: jnp.ndarray, b: jnp.ndarray) -> U64:
+    """Full 32x32 -> 64-bit unsigned product via 16-bit halves."""
+    a = _u32(a)
+    b = _u32(b)
+    al = a & _u32(0xFFFF)
+    ah = a >> 16
+    bl = b & _u32(0xFFFF)
+    bh = b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl
+    mid_carry = (mid < lh).astype(_U32)  # overflow of lh + hl
+    lo = ll + (mid << 16)
+    lo_carry = (lo < ll).astype(_U32)
+    hi = hh + (mid >> 16) + (mid_carry << 16) + lo_carry
+    return U64(hi, lo)
+
+
+def mul64_low(a: U64, b: U64) -> U64:
+    """Low 64 bits of a*b (wrapping 64-bit multiply)."""
+    p = umul32_wide(a.lo, b.lo)
+    hi = p.hi + a.lo * b.hi + a.hi * b.lo
+    return U64(hi, p.lo)
+
+
+class U128(NamedTuple):
+    """128-bit value as four uint32 limbs, most significant first."""
+    x3: jnp.ndarray
+    x2: jnp.ndarray
+    x1: jnp.ndarray
+    x0: jnp.ndarray
+
+
+def umul64_wide(a: U64, b: U64) -> U128:
+    """Full 64x64 -> 128-bit unsigned product."""
+    p00 = umul32_wide(a.lo, b.lo)
+    p01 = umul32_wide(a.lo, b.hi)
+    p10 = umul32_wide(a.hi, b.lo)
+    p11 = umul32_wide(a.hi, b.hi)
+
+    x0 = p00.lo
+    # limb 1: p00.hi + p01.lo + p10.lo (collect carries into limb 2)
+    s1 = p00.hi + p01.lo
+    c1 = (s1 < p00.hi).astype(_U32)
+    x1 = s1 + p10.lo
+    c1 = c1 + (x1 < s1).astype(_U32)
+    # limb 2: p01.hi + p10.hi + p11.lo + c1
+    s2 = p01.hi + p10.hi
+    c2 = (s2 < p01.hi).astype(_U32)
+    s2b = s2 + p11.lo
+    c2 = c2 + (s2b < s2).astype(_U32)
+    x2 = s2b + c1
+    c2 = c2 + (x2 < s2b).astype(_U32)
+    x3 = p11.hi + c2
+    return U128(x3, x2, x1, x0)
+
+
+def _u128_shr_into_u64(p: U128, k: jnp.ndarray) -> U64:
+    """(p >> k) truncated to 64 bits, for k in [0, 127]."""
+    # Select the two 64-bit windows around the shift and combine.
+    k = _u32(k)
+    word = k >> 5          # which 32-bit limb the low bit lands in (0..3)
+    s = k & _u32(31)
+    limbs = [p.x0, p.x1, p.x2, p.x3, _u32(0) * p.x0, _u32(0) * p.x0,
+             _u32(0) * p.x0]
+
+    def pick(i):
+        # limbs[word + i] via nested where (word in 0..3)
+        r = limbs[i]
+        for w in range(1, 4):
+            r = jnp.where(word == w, limbs[w + i], r)
+        return r
+
+    l0, l1, l2 = pick(0), pick(1), pick(2)
+    lo = _shr32(l0, s) | _shl32(l1, _u32(32) - s)
+    hi = _shr32(l1, s) | _shl32(l2, _u32(32) - s)
+    return U64(hi, lo)
+
+
+def _u128_low_bits_nonzero(p: U128, k: jnp.ndarray) -> jnp.ndarray:
+    """True iff any of the low k bits of p are set, k in [0, 127]."""
+    k = _u32(k)
+
+    def low_mask_nonzero(x, bits):
+        # bits in [0, 32]
+        mask = _shr32(_u32(0xFFFFFFFF), _u32(32) - bits)
+        return (x & mask) != 0
+
+    limbs = [p.x0, p.x1, p.x2, p.x3]
+    result = jnp.zeros_like(p.x0, dtype=jnp.bool_)
+    for i, limb in enumerate(limbs):
+        lo_bit = i * 32
+        in_limb = jnp.clip(k.astype(_I32) - lo_bit, 0, 32).astype(_U32)
+        result = result | low_mask_nonzero(limb, in_limb)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# IEEE-754 binary64 on bit patterns
+# ---------------------------------------------------------------------------
+
+_EXP_MASK_HI = 0x7FF00000
+_MANT_MASK_HI = 0x000FFFFF
+_QNAN = (0x7FF80000, 0)
+_INF_HI = 0x7FF00000
+
+
+def f64_sign(a: U64) -> jnp.ndarray:
+    return a.hi >> 31
+
+
+def f64_biased_exp(a: U64) -> jnp.ndarray:
+    return (a.hi >> 20) & _u32(0x7FF)
+
+
+def f64_mantissa(a: U64) -> U64:
+    return U64(a.hi & _u32(_MANT_MASK_HI), a.lo)
+
+
+def f64_is_nan(a: U64) -> jnp.ndarray:
+    m = f64_mantissa(a)
+    return (f64_biased_exp(a) == 0x7FF) & ~is_zero64(m)
+
+
+def f64_is_inf(a: U64) -> jnp.ndarray:
+    m = f64_mantissa(a)
+    return (f64_biased_exp(a) == 0x7FF) & is_zero64(m)
+
+
+def f64_is_zero(a: U64) -> jnp.ndarray:
+    return is_zero64(U64(a.hi & _u32(0x7FFFFFFF), a.lo))
+
+
+def f64_is_finite(a: U64) -> jnp.ndarray:
+    return f64_biased_exp(a) != 0x7FF
+
+
+def _pack_with_carry(sign: jnp.ndarray, biased_exp: jnp.ndarray,
+                     mant: U64, round_up: jnp.ndarray) -> U64:
+    """(exp << 52) + mant + round_up; the add lets rounding carry ripple
+    from the mantissa into the exponent (2^53 overflow and subnormal ->
+    normal promotion both come out right)."""
+    base = U64((biased_exp.astype(_U32) << 20) + mant.hi, mant.lo)
+    out = add64(base, U64(_u32(0), round_up.astype(_U32)))
+    return U64(out.hi | (sign.astype(_U32) << 31), out.lo)
+
+
+def _normalize(a: U64):
+    """Decompose finite nonzero |a| into (e, sig53) with sig53 in
+    [2^52, 2^53) and value = sig53 * 2^(e - 52) (unbiased e).
+    Subnormals are normalized via clz."""
+    be = f64_biased_exp(a).astype(_I32)
+    mant = f64_mantissa(a)
+    is_sub = be == 0
+    # normal: implicit bit 52
+    sig_norm = or64(mant, U64.const(1 << 52, a.hi))
+    # subnormal: shift mantissa up so MSB lands at bit 52
+    lz = clz64(mant).astype(_I32)           # >= 12 for nonzero subnormal
+    shift = lz - 11
+    sig_sub = shl64(mant, jnp.maximum(shift, 0).astype(_U32))
+    e_norm = be - 1023
+    e_sub = (1 - 1023) - shift              # exponent 1, minus normalization
+    sig = U64(jnp.where(is_sub, sig_sub.hi, sig_norm.hi),
+              jnp.where(is_sub, sig_sub.lo, sig_norm.lo))
+    e = jnp.where(is_sub, e_sub, e_norm)
+    return e, sig
+
+
+def f64_mul(a: U64, b: U64) -> U64:
+    """Correctly-rounded (RNE) IEEE-754 binary64 multiply on bit patterns."""
+    sa, sb = f64_sign(a), f64_sign(b)
+    sign = sa ^ sb
+
+    ea, ma = _normalize(a)
+    eb, mb = _normalize(b)
+    p = umul64_wide(ma, mb)                 # in [2^104, 2^106)
+    bit105 = (p.x3 >> (105 - 96)) & _u32(1)
+    # unbiased exponent of the leading bit
+    er = ea + eb + bit105.astype(_I32)
+    biased = er + 1023
+
+    # shift so that 53 bits remain: leading bit at position 104 + bit105
+    shift = _u32(52) + bit105
+    # subnormal: need extra right shift
+    extra = jnp.maximum(1 - biased, 0).astype(_U32)
+    # deep underflow guard: cap total shift (result rounds to 0 anyway)
+    total = jnp.minimum(shift + extra, _u32(120))
+    kept = _u128_shr_into_u64(p, total)
+    guard_pos = total - _u32(1)
+    guard = _u128_shr_into_u64(p, guard_pos).lo & _u32(1)
+    sticky = _u128_low_bits_nonzero(p, guard_pos)
+    round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+
+    out_exp = jnp.maximum(biased, 1) - 1  # biased-1 because sig53 has
+    # explicit bit 52 which adds 1<<52 during packing; subnormal (biased<=0)
+    # packs with exp 0 and no implicit-bit compensation needed since the
+    # leading bit was shifted into the mantissa field.
+    out_exp = jnp.where(biased <= 0, 0, out_exp).astype(_U32)
+    packed = _pack_with_carry(sign, out_exp, kept, round_up)
+
+    # overflow to inf
+    overflow = biased >= 2047
+    inf = U64((sign << 31) | _u32(_INF_HI), _u32(0) * a.lo)
+    packed = U64(jnp.where(overflow, inf.hi, packed.hi),
+                 jnp.where(overflow, inf.lo, packed.lo))
+
+    # zeros
+    zero_in = f64_is_zero(a) | f64_is_zero(b)
+    szero = U64(sign << 31, _u32(0) * a.lo)
+    packed = U64(jnp.where(zero_in, szero.hi, packed.hi),
+                 jnp.where(zero_in, szero.lo, packed.lo))
+
+    # inf * finite-nonzero = inf; inf * 0 = nan; nan anywhere = nan
+    any_inf = f64_is_inf(a) | f64_is_inf(b)
+    packed = U64(jnp.where(any_inf & ~zero_in, inf.hi, packed.hi),
+                 jnp.where(any_inf & ~zero_in, inf.lo, packed.lo))
+    any_nan = f64_is_nan(a) | f64_is_nan(b) | (any_inf & zero_in)
+    packed = U64(jnp.where(any_nan, _u32(_QNAN[0]), packed.hi),
+                 jnp.where(any_nan, _u32(_QNAN[1]), packed.lo))
+    return packed
+
+
+def f64_add(a: U64, b: U64) -> U64:
+    """Correctly-rounded (RNE) IEEE-754 binary64 add on bit patterns."""
+    sa, sb = f64_sign(a), f64_sign(b)
+
+    # Order so |x| >= |y| (by magnitude bits).
+    mag_a = U64(a.hi & _u32(0x7FFFFFFF), a.lo)
+    mag_b = U64(b.hi & _u32(0x7FFFFFFF), b.lo)
+    a_small = ltu64(mag_a, mag_b)
+
+    def sel(cond, x, y):
+        return U64(jnp.where(cond, x.hi, y.hi), jnp.where(cond, x.lo, y.lo))
+
+    x = sel(a_small, b, a)
+    y = sel(a_small, a, b)
+    sx, sy = f64_sign(x), f64_sign(y)
+
+    ex, mx = _normalize(x)
+    ey, my = _normalize(y)
+    # Working significands with 3 extra bits (guard/round/sticky).
+    X = shl64(mx, 3)
+    Y = shl64(my, 3)
+    d = (ex - ey).astype(_I32)                    # >= 0
+    d_cap = jnp.minimum(d, 60).astype(_U32)
+    y_shifted = shr64(Y, d_cap)
+    y_dropped = ~eq64(shl64(y_shifted, d_cap), Y)  # any bits lost
+    y_aligned = or64(y_shifted,
+                     U64(jnp.zeros_like(X.hi), y_dropped.astype(_U32)))
+
+    same_sign = sx == sy
+    ssum = add64(X, y_aligned)
+    sdiff = sub64(X, y_aligned)
+    S = sel(same_sign, ssum, sdiff)
+
+    # Normalize S: it lives in [0, 2^57).  Find leading bit.
+    lz = clz64(S).astype(_I32)
+    # Target: leading bit at position 55 (53 sig bits + guard(2) + sticky?).
+    # We renormalize to put MSB at bit 55, keeping a 53-bit mantissa at
+    # [3..55], guard at 2.. — simpler: shift so MSB is at bit 55.
+    msb_pos = 63 - lz                              # valid when S != 0
+    shift_left = jnp.maximum(55 - msb_pos, 0)
+    shift_right = jnp.maximum(msb_pos - 55, 0)    # 0 or 1 (carry case)
+    S_l = shl64(S, shift_left.astype(_U32))
+    lost = (S.lo & _u32(1)) & (shift_right > 0).astype(_U32)
+    S_r = or64(shr64(S, shift_right.astype(_U32)),
+               U64(jnp.zeros_like(S.hi), lost))
+    S_n = sel(shift_right > 0, S_r, S_l)
+    e_res = ex + (msb_pos - 55)                   # unbiased exp of MSB(=52)
+
+    # S_n has MSB at 55; mantissa = bits [3..55], guard bit 2, sticky [0..2)
+    biased = e_res + 1023
+    extra = jnp.maximum(1 - biased, 0).astype(_U32)
+    total = jnp.minimum(_u32(3) + extra, _u32(60))
+    kept = shr64(S_n, total)
+    guard = shr64(S_n, total - _u32(1)).lo & _u32(1)
+    # sticky = any bits of S_n strictly below the guard position
+    low_mask_bits = total - _u32(1)
+    low = sub64(S_n, shl64(shr64(S_n, low_mask_bits), low_mask_bits))
+    sticky = ~is_zero64(low)
+    round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+
+    out_exp = jnp.where(biased <= 0, 0, jnp.maximum(biased, 1) - 1)
+    packed = _pack_with_carry(sx, out_exp.astype(_U32), kept, round_up)
+
+    # exact zero result (x == -y): sign is + for RNE
+    exact_zero = is_zero64(S) & ~same_sign
+    packed = U64(jnp.where(exact_zero, _u32(0), packed.hi),
+                 jnp.where(exact_zero, _u32(0), packed.lo))
+
+    # y == 0: result is x (covers +0 + -0 = +0 via magnitude order too)
+    y_zero = f64_is_zero(y)
+    x_zero = f64_is_zero(x)
+    both_zero = x_zero & y_zero
+    packed = sel(y_zero & ~both_zero, x, packed)
+    minus_zero = U64(_u32(0x80000000) + jnp.zeros_like(a.hi), _u32(0) * a.lo)
+    zz = sel((sx == 1) & (sy == 1), minus_zero,
+             U64(_u32(0) * a.hi, _u32(0) * a.lo))
+    packed = sel(both_zero, zz, packed)
+
+    # overflow
+    overflow = (biased >= 2047) & ~is_zero64(S)
+    inf = U64((sx << 31) | _u32(_INF_HI), _u32(0) * a.lo)
+    packed = sel(overflow, inf, packed)
+
+    # inf/nan propagation: |x| >= |y| so any inf is in x (or both)
+    opposite_infs = f64_is_inf(x) & f64_is_inf(y) & ~same_sign
+    packed = sel(f64_is_inf(x), inf, packed)
+    nan = U64(_u32(_QNAN[0]) + jnp.zeros_like(a.hi), _u32(_QNAN[1]) * a.lo)
+    any_nan = f64_is_nan(a) | f64_is_nan(b) | opposite_infs
+    packed = sel(any_nan, nan, packed)
+    return packed
+
+
+def f64_sub(a: U64, b: U64) -> U64:
+    return f64_add(a, U64(b.hi ^ _u32(0x80000000), b.lo))
+
+
+def i64_to_f64(x: U64) -> U64:
+    """Correctly-rounded int64 -> double conversion (two's complement in)."""
+    sign = x.hi >> 31
+    mag = U64(jnp.where(sign == 1, neg64(x).hi, x.hi),
+              jnp.where(sign == 1, neg64(x).lo, x.lo))
+    lz = clz64(mag).astype(_I32)
+    msb = 63 - lz
+    # Shift so MSB lands at bit 55 (53 bits + guard + room for sticky calc).
+    shift_left = jnp.maximum(55 - msb, 0).astype(_U32)
+    shift_right = jnp.maximum(msb - 55, 0).astype(_U32)
+    up = shl64(mag, shift_left)
+    # sticky = any bits shifted out on the right (msb > 55) path
+    low = sub64(mag, shl64(shr64(mag, shift_right), shift_right))
+    down_sticky = ~is_zero64(low)
+    down = shr64(mag, shift_right)
+    S = U64(jnp.where(msb > 55, down.hi, up.hi),
+            jnp.where(msb > 55, down.lo, up.lo))
+    # For the down path the sticky must exclude the guard bit, so compute
+    # rounding from S (MSB at 55): mantissa bits [3..55], guard 2, rest sticky.
+    kept = shr64(S, 3)
+    guard = (S.lo >> 2) & _u32(1)
+    sticky = ((S.lo & _u32(3)) != 0) | (jnp.where(msb > 55,
+                                                  down_sticky,
+                                                  jnp.zeros_like(down_sticky)))
+    round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+    biased = (msb + 1023).astype(_U32)
+    out_exp = biased - _u32(1)  # compensate implicit bit in kept (bit 52)
+    packed = _pack_with_carry(sign, out_exp, kept, round_up)
+    zero = is_zero64(x)
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
+def f64_to_i64_x86(a: U64) -> U64:
+    """Truncating double -> int64 cast with x86 cvttsd2si semantics:
+    NaN and out-of-range produce INT64_MIN (reference casts rely on this,
+    see oracle.core._float_to_int_cast)."""
+    sign = f64_sign(a)
+    be = f64_biased_exp(a).astype(_I32)
+    e = be - 1023
+    sig = or64(f64_mantissa(a), U64.const(1 << 52, a.hi))  # normals only
+    # |a| < 1 -> 0 (covers subnormals: be=0 -> e=-1023)
+    small = e < 0
+    # shift mantissa: value = sig * 2^(e-52)
+    sl = jnp.clip(e - 52, 0, 63).astype(_U32)
+    sr = jnp.clip(52 - e, 0, 63).astype(_U32)
+    val = U64(jnp.where(e >= 52, shl64(sig, sl).hi, shr64(sig, sr).hi),
+              jnp.where(e >= 52, shl64(sig, sl).lo, shr64(sig, sr).lo))
+    mag_ok = (e < 63) | ((e == 63) & (sign == 1) & is_zero64(f64_mantissa(a)))
+    res = U64(jnp.where(sign == 1, neg64(val).hi, val.hi),
+              jnp.where(sign == 1, neg64(val).lo, val.lo))
+    int_min = U64.const(1 << 63, a.hi)
+    bad = ~mag_ok | f64_is_nan(a) | (be == 0x7FF)
+    res = U64(jnp.where(bad, int_min.hi, res.hi),
+              jnp.where(bad, int_min.lo, res.lo))
+    return U64(jnp.where(small & ~bad, _u32(0), res.hi),
+               jnp.where(small & ~bad, _u32(0), res.lo))
+
+
+def f64_eq_ieee(a: U64, b: U64) -> jnp.ndarray:
+    """IEEE == : bit equality, except +-0 are equal and NaN != NaN."""
+    both_zero = f64_is_zero(a) & f64_is_zero(b)
+    return (eq64(a, b) | both_zero) & ~f64_is_nan(a) & ~f64_is_nan(b)
+
+
+def _order_key(a: U64) -> U64:
+    """Map f64 bits to an unsigned key preserving numeric order."""
+    sign = a.hi >> 31
+    flip_all = U64(~a.hi, ~a.lo)
+    flip_sign = U64(a.hi ^ _u32(0x80000000), a.lo)
+    return U64(jnp.where(sign == 1, flip_all.hi, flip_sign.hi),
+               jnp.where(sign == 1, flip_all.lo, flip_sign.lo))
+
+
+def f64_lt(a: U64, b: U64) -> jnp.ndarray:
+    ok = ~f64_is_nan(a) & ~f64_is_nan(b)
+    both_zero = f64_is_zero(a) & f64_is_zero(b)
+    return ok & ~both_zero & ltu64(_order_key(a), _order_key(b))
+
+
+def f64_gt(a: U64, b: U64) -> jnp.ndarray:
+    return f64_lt(b, a)
+
+
+def f64_signbit(a: U64) -> jnp.ndarray:
+    return f64_sign(a) == 1
