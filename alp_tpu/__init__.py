@@ -10,5 +10,12 @@ softfloat f64 semantics on exact integer ops, shard_map data parallelism).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The ops layer carries int64 (exact on TPU via XLA integer emulation) and
+# f64 *bit patterns* as uint64; it never relies on XLA float64 arithmetic
+# (not correctly rounded on TPU) — softfloat provides those semantics.
+_jax.config.update("jax_enable_x64", True)
+
 from . import constants
 from . import oracle
