@@ -10,6 +10,12 @@ softfloat f64 semantics on exact integer ops, shard_map data parallelism).
 
 __version__ = "0.1.0"
 
+import sys as _sys
+
+# Tracing the softfloat expression graphs (deeply nested jnp calls inside
+# Pallas kernels) exceeds CPython's default 1000-frame recursion limit.
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
 import jax as _jax
 
 # The ops layer carries int64 (exact on TPU via XLA integer emulation) and

@@ -1,0 +1,378 @@
+"""Columnar container: whole-column compress / decompress.
+
+The reference's de-facto column pipeline is the rowgroup loop of
+benchmarks/benchmark.cpp:200-287 driving the L2 primitives
+(encoder::init -> per-vector encode/analyze_ffor/ffor, or rd_encoder) with
+a trivial MemStorer byte sink (include/alp/storer.hpp:10-53).  This module
+is the TPU-native equivalent, restructured for batched execution:
+
+* **Planning** (per rowgroup, tiny data): first-level sampling, (e, f)
+  top-k search / RD dictionary construction — host side, on <=256 samples
+  per rowgroup (oracle.core / oracle.rd semantics, bit-exact).
+* **Throughput** (per vector, bulk data): second-level (e, f) choice,
+  encode+verify, FFOR analysis, RD split/dict-lookup — batched jit ops
+  over ``[n_vectors, 1024]`` (ops.alp / ops.rd), and FastLanes packing.
+* **Serialization**: a sectioned little-endian byte format carrying the
+  same information as the reference's hypothetical file format; sizes are
+  additionally reported under the reference cost model
+  (publication/source_code/bench_compression_ratio/alp.cpp:14-49).
+
+Vector geometry matches the reference: 1024-value vectors, 100-vector
+rowgroups (include/alp/config.hpp:11-15).  A trailing partial vector is
+padded with its own last value (recorded via ``n_values``); the reference
+library leaves last-vector strategy to the caller (PRIMITIVES.md "Last
+Vector Encoding") — padding keeps round-trips exact for any length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import struct
+
+import numpy as np
+
+from . import constants as C
+from .constants import TypeConstants, constants_for
+from .oracle import core as ocore
+from .oracle import rd as ord_
+from .oracle import fastlanes as ofl
+from .ops import alp as oalp
+from .ops import rd as ordops
+from .ops import fastlanes as jfl
+from .ops.numerics import numerics_for
+
+_MAGIC = b"ALPT"
+_VERSION = 1
+
+
+@dataclasses.dataclass
+class CompressedColumn:
+    """Compressed representation of one float64/float32 column (SoA)."""
+    dtype: np.dtype
+    n_values: int
+    n_vectors: int
+    # per rowgroup
+    rg_scheme: np.ndarray          # u8[n_rg]: C.SCHEME_ALP / C.SCHEME_ALP_RD
+    rd_dict: np.ndarray            # u16[n_rg, 8] (zeros for ALP rowgroups)
+    rd_dict_size: np.ndarray       # u8[n_rg]
+    rd_left_bw: np.ndarray         # u8[n_rg]
+    rd_right_bw: np.ndarray        # u8[n_rg]
+    # per vector
+    fac: np.ndarray                # u8[n_vec]
+    exp: np.ndarray                # u8[n_vec]
+    bit_width: np.ndarray          # u8[n_vec] (ALP) / right parts use rg bw
+    base: np.ndarray               # st[n_vec] (FOR base; 0 for RD)
+    exc_count: np.ndarray          # u16[n_vec]
+    # ragged payloads (lists of per-vector arrays)
+    packed: list                   # ALP: wt words; RD: right-part words
+    left_packed: list              # RD only: u16 words ([] for ALP vectors)
+    exc_values: list               # ALP: PT values; RD: u16 left parts
+    exc_positions: list            # u16 positions
+
+    @property
+    def n_rowgroups(self) -> int:
+        return len(self.rg_scheme)
+
+    # -- size accounting ---------------------------------------------------
+
+    def compressed_size_bytes(self) -> int:
+        return len(self.to_bytes())
+
+    def bits_per_value(self) -> float:
+        """Reference cost model (alp.cpp:14-49; SURVEY.md §2.2)."""
+        tc = constants_for(self.dtype)
+        total = 0.0
+        for v in range(self.n_vectors):
+            rg = v // C.N_VECTORS_PER_ROWGROUP
+            if self.rg_scheme[rg] == C.SCHEME_ALP:
+                total += (int(self.bit_width[v])
+                          + int(self.exc_count[v])
+                          * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
+                          / C.VECTOR_SIZE)
+            else:
+                total += (int(self.rd_left_bw[rg]) + int(self.rd_right_bw[rg])
+                          + int(self.exc_count[v])
+                          * (C.RD_EXCEPTION_SIZE + C.RD_EXCEPTION_POSITION_SIZE)
+                          / C.VECTOR_SIZE)
+        avg = total / max(self.n_vectors, 1)
+        if self.rg_scheme.size and self.rg_scheme[0] == C.SCHEME_ALP_RD:
+            avg += (C.MAX_RD_DICTIONARY_SIZE * 16) / C.ROWGROUP_SIZE
+        else:
+            avg += (8 + 8 + 8 + 64) / C.VECTOR_SIZE
+        return avg
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        dtype_tag = 0 if self.dtype == np.float64 else 1
+        head = struct.pack("<4sHBBQII", _MAGIC, _VERSION, dtype_tag, 0,
+                           self.n_values, self.n_vectors, self.n_rowgroups)
+        sections = [
+            self.rg_scheme.astype(np.uint8).tobytes(),
+            self.rd_dict.astype(np.uint16).tobytes(),
+            self.rd_dict_size.astype(np.uint8).tobytes(),
+            self.rd_left_bw.astype(np.uint8).tobytes(),
+            self.rd_right_bw.astype(np.uint8).tobytes(),
+            self.fac.astype(np.uint8).tobytes(),
+            self.exp.astype(np.uint8).tobytes(),
+            self.bit_width.astype(np.uint8).tobytes(),
+            self.base.tobytes(),
+            self.exc_count.astype(np.uint16).tobytes(),
+            b"".join(p.tobytes() for p in self.packed),
+            b"".join(p.tobytes() for p in self.left_packed),
+            b"".join(p.tobytes() for p in self.exc_values),
+            b"".join(p.tobytes() for p in self.exc_positions),
+        ]
+        return head + b"".join(sections)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CompressedColumn":
+        magic, ver, dtype_tag, _, n_values, n_vec, n_rg = struct.unpack_from(
+            "<4sHBBQII", buf, 0)
+        if magic != _MAGIC or ver != _VERSION:
+            raise ValueError("not an ALPT v1 buffer")
+        dtype = np.dtype(np.float64 if dtype_tag == 0 else np.float32)
+        tc = constants_for(dtype)
+        off = struct.calcsize("<4sHBBQII")
+
+        def take(dt, count):
+            nonlocal off
+            dt = np.dtype(dt)
+            arr = np.frombuffer(buf, dt, count, off)
+            off += dt.itemsize * count
+            return arr
+
+        rg_scheme = take(np.uint8, n_rg)
+        rd_dict = take(np.uint16, n_rg * 8).reshape(n_rg, 8)
+        rd_dict_size = take(np.uint8, n_rg)
+        rd_left_bw = take(np.uint8, n_rg)
+        rd_right_bw = take(np.uint8, n_rg)
+        fac = take(np.uint8, n_vec)
+        exp = take(np.uint8, n_vec)
+        bit_width = take(np.uint8, n_vec)
+        base = take(tc.st, n_vec)
+        exc_count = take(np.uint16, n_vec)
+
+        wt = np.dtype(tc.ut)
+        S = tc.exact_type_bit_size
+        L = C.VECTOR_SIZE // S
+        L16 = C.VECTOR_SIZE // 16
+        packed, left_packed, exc_values, exc_positions = [], [], [], []
+        for v in range(n_vec):
+            rg = v // C.N_VECTORS_PER_ROWGROUP
+            if rg_scheme[rg] == C.SCHEME_ALP:
+                packed.append(take(wt, int(bit_width[v]) * L))
+            else:
+                packed.append(take(wt, int(rd_right_bw[rg]) * L))
+        for v in range(n_vec):
+            rg = v // C.N_VECTORS_PER_ROWGROUP
+            if rg_scheme[rg] == C.SCHEME_ALP_RD:
+                left_packed.append(take(np.uint16,
+                                        int(rd_left_bw[rg]) * L16))
+            else:
+                left_packed.append(np.empty(0, np.uint16))
+        for v in range(n_vec):
+            rg = v // C.N_VECTORS_PER_ROWGROUP
+            if rg_scheme[rg] == C.SCHEME_ALP:
+                exc_values.append(take(dtype, int(exc_count[v])))
+            else:
+                exc_values.append(take(np.uint16, int(exc_count[v])))
+        for v in range(n_vec):
+            exc_positions.append(take(np.uint16, int(exc_count[v])))
+        return cls(dtype, n_values, n_vec, rg_scheme, rd_dict, rd_dict_size,
+                   rd_left_bw, rd_right_bw, fac, exp, bit_width, base,
+                   exc_count, packed, left_packed, exc_values, exc_positions)
+
+
+# ---------------------------------------------------------------------------
+# Compress
+# ---------------------------------------------------------------------------
+
+def _pad_to_vectors(data: np.ndarray):
+    n = len(data)
+    n_vec = max(1, math.ceil(n / C.VECTOR_SIZE))
+    padded = np.empty(n_vec * C.VECTOR_SIZE, dtype=data.dtype)
+    padded[:n] = data
+    if n:
+        padded[n:] = data[n - 1]
+    else:
+        padded[:] = 0
+    return padded.reshape(n_vec, C.VECTOR_SIZE), n_vec
+
+
+def _compact_exceptions(mask: np.ndarray):
+    """[n, 1024] bool -> per-vector position arrays (u16)."""
+    out = []
+    for row in mask:
+        out.append(np.nonzero(row)[0].astype(np.uint16))
+    return out
+
+
+def compress(data: np.ndarray) -> CompressedColumn:
+    """Compress a 1-D float64/float32 array (both ALP schemes, adaptive)."""
+    data = np.ascontiguousarray(data)
+    tc = constants_for(data.dtype)
+    nm = numerics_for(data.dtype)
+    vectors, n_vec = _pad_to_vectors(data)
+    n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
+
+    # --- planning: per-rowgroup sampling & scheme/candidate selection -----
+    flat = vectors.reshape(-1)
+    rg_scheme = np.zeros(n_rg, np.uint8)
+    combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k_count = np.zeros(n_vec, np.int32)
+    rd_states = {}
+    for rg in range(n_rg):
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
+        stt = ocore.encoder_init(rg_data, 0, tc)
+        if stt.scheme == C.SCHEME_ALP_RD:
+            rg_scheme[rg] = C.SCHEME_ALP_RD
+            rd_states[rg] = ord_.rd_encoder_init(rg_data, 0, tc)
+        else:
+            rg_scheme[rg] = C.SCHEME_ALP
+            ks = len(stt.best_k_combinations)
+            for i, (e, f) in enumerate(stt.best_k_combinations):
+                combos[lo_v:hi_v, i, 0] = e
+                combos[lo_v:hi_v, i, 1] = f
+            k_count[lo_v:hi_v] = ks
+
+    # --- throughput: batched encode -------------------------------------
+    fac = np.zeros(n_vec, np.uint8)
+    exp = np.zeros(n_vec, np.uint8)
+    bit_width = np.zeros(n_vec, np.uint8)
+    base = np.zeros(n_vec, tc.st)
+    exc_count = np.zeros(n_vec, np.uint16)
+    packed = [None] * n_vec
+    left_packed = [np.empty(0, np.uint16)] * n_vec
+    exc_values = [None] * n_vec
+    exc_positions = [None] * n_vec
+
+    vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+    alp_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP)[0]
+    rd_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP_RD)[0]
+
+    if alp_idx.size:
+        vals_dev = nm.values_from_np(vectors[alp_idx])
+        res = oalp.encode_pipeline(vals_dev, combos[alp_idx],
+                                   k_count[alp_idx], dtype=data.dtype)
+        encoded = np.asarray(res["encoded"])
+        exc_mask = np.asarray(res["exc_mask"])
+        fac[alp_idx] = np.asarray(res["fac"], np.uint8)
+        exp[alp_idx] = np.asarray(res["exp"], np.uint8)
+        bws = np.asarray(res["bit_width"])
+        bit_width[alp_idx] = bws.astype(np.uint8)
+        bases = np.asarray(res["base"], tc.st)
+        base[alp_idx] = bases
+        positions = _compact_exceptions(exc_mask)
+        for j, v in enumerate(alp_idx):
+            exc_positions[v] = positions[j]
+            exc_values[v] = vectors[v][positions[j]]
+            exc_count[v] = len(positions[j])
+        # pack per distinct bit width (batched)
+        for bw in np.unique(bws):
+            sel = np.nonzero(bws == bw)[0]
+            pk = np.asarray(jfl.ffor_pack(
+                encoded[sel], bases[sel], bw=int(bw)), tc.ut)
+            for r, j in enumerate(sel):
+                packed[alp_idx[j]] = pk[r]
+
+    for rg, stt in rd_states.items():
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        sel = np.arange(lo_v, hi_v)
+        bits = vectors[sel].view(tc.ut)
+        nrg = len(sel)
+        dict_pad = np.full((nrg, C.MAX_RD_DICTIONARY_SIZE), 0xFFFF, np.uint16)
+        dict_pad[:, :stt.actual_dictionary_size] = stt.left_parts_dict
+        right, left_idx, exc_mask, left_raw = ordops.rd_encode_vectors(
+            bits, np.full(nrg, stt.right_bit_width, np.int32), dict_pad,
+            np.full(nrg, stt.actual_dictionary_size, np.int32),
+            element_bits=tc.exact_type_bit_size)
+        right = np.asarray(right)
+        left_idx = np.asarray(left_idx)
+        exc_mask = np.asarray(exc_mask)
+        left_raw = np.asarray(left_raw)
+        rbw = stt.right_bit_width
+        lbw = stt.left_bit_width
+        pk_r = np.asarray(jfl.ffor_pack(
+            right, np.zeros(nrg, tc.ut), bw=rbw), tc.ut)
+        pk_l = np.asarray(jfl.ffor_pack(
+            left_idx, np.zeros(nrg, np.uint16), bw=lbw), np.uint16)
+        positions = _compact_exceptions(exc_mask)
+        for r, v in enumerate(sel):
+            packed[v] = pk_r[r]
+            left_packed[v] = pk_l[r]
+            exc_positions[v] = positions[r]
+            exc_values[v] = left_raw[r][positions[r]]
+            exc_count[v] = len(positions[r])
+
+    rd_dict = np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16)
+    rd_dict_size = np.zeros(n_rg, np.uint8)
+    rd_left_bw = np.zeros(n_rg, np.uint8)
+    rd_right_bw = np.zeros(n_rg, np.uint8)
+    for rg, stt in rd_states.items():
+        rd_dict[rg, :stt.actual_dictionary_size] = stt.left_parts_dict
+        rd_dict_size[rg] = stt.actual_dictionary_size
+        rd_left_bw[rg] = stt.left_bit_width
+        rd_right_bw[rg] = stt.right_bit_width
+
+    return CompressedColumn(
+        dtype=np.dtype(data.dtype), n_values=len(data), n_vectors=n_vec,
+        rg_scheme=rg_scheme, rd_dict=rd_dict, rd_dict_size=rd_dict_size,
+        rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
+        fac=fac, exp=exp, bit_width=bit_width, base=base,
+        exc_count=exc_count, packed=packed, left_packed=left_packed,
+        exc_values=exc_values, exc_positions=exc_positions)
+
+
+# ---------------------------------------------------------------------------
+# Decompress (correctness path; kernels.decode has the speed path)
+# ---------------------------------------------------------------------------
+
+def decompress(col: CompressedColumn) -> np.ndarray:
+    """Decompress to a 1-D numpy array; bit-exact round-trip."""
+    tc = constants_for(col.dtype)
+    nm = numerics_for(col.dtype)
+    n_vec = col.n_vectors
+    out = np.empty((n_vec, C.VECTOR_SIZE), dtype=col.dtype)
+    vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+    scheme = col.rg_scheme[vec_rg]
+
+    alp_idx = np.nonzero(scheme == C.SCHEME_ALP)[0]
+    if alp_idx.size:
+        bws = col.bit_width[alp_idx]
+        decoded = np.empty((len(alp_idx), C.VECTOR_SIZE), dtype=col.dtype)
+        for bw in np.unique(bws):
+            sel = np.nonzero(bws == bw)[0]
+            pk = np.stack([col.packed[alp_idx[j]] for j in sel])
+            ints = np.asarray(jfl.unffor_unpack(
+                pk, col.base[alp_idx[sel]], bw=int(bw)), tc.st)
+            dec = oalp.decode_pipeline(
+                ints, col.fac[alp_idx[sel]].astype(np.int32),
+                col.exp[alp_idx[sel]].astype(np.int32), dtype=col.dtype)
+            decoded[sel] = nm.values_to_np(np.asarray(dec)).reshape(
+                len(sel), C.VECTOR_SIZE)
+        for j, v in enumerate(alp_idx):
+            decoded[j][col.exc_positions[v]] = col.exc_values[v]
+            out[v] = decoded[j]
+
+    rd_idx = np.nonzero(scheme == C.SCHEME_ALP_RD)[0]
+    for v in rd_idx:
+        rg = vec_rg[v]
+        rbw = int(col.rd_right_bw[rg])
+        lbw = int(col.rd_left_bw[rg])
+        right = ofl.unffor_unpack(col.packed[v], rbw, tc.ut.type(0), tc.ut)
+        left_idx = ofl.unffor_unpack(col.left_packed[v], lbw, np.uint16(0),
+                                     np.uint16)
+        dict_arr = col.rd_dict[rg]
+        safe = np.minimum(left_idx, max(int(col.rd_dict_size[rg]) - 1, 0))
+        vals = (dict_arr[safe].astype(tc.ut) << tc.ut.type(rbw)) | right
+        pos = col.exc_positions[v]
+        vals[pos] = ((col.exc_values[v].astype(tc.ut) << tc.ut.type(rbw))
+                     | right[pos])
+        out[v] = vals.view(col.dtype)
+
+    return out.reshape(-1)[:col.n_values]

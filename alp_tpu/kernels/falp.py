@@ -1,0 +1,347 @@
+"""Pallas TPU kernels: FFOR pack/unpack and the fused falp decode.
+
+The reference ships 65 + 33 bit-width-specialised generated C++ kernels for
+the fused unFFOR + integer->double multiply decode (reference src/falp.cpp,
+include/alp/falp.hpp:10-131) and ~120 per-width FFOR/unFFOR kernels
+(src/fastlanes_generated_{ffor,unffor}.cpp).  Here each kernel is *traced*
+per static ``bw`` instead of generated: the slot loop unrolls into static
+u32 shifts/ors, and the jit cache plays the role of the reference's
+dispatch switch (src/fastlanes_generated_unffor.cpp:23010-23212).
+
+All kernels operate on the 128-lane tile layout (kernels.layout): groups of
+8 double-vectors (4 float-vectors) interleaved so the VPU's 128 lanes are
+full.  Doubles are processed as uint32 limb pairs with exact softfloat
+arithmetic (ops.softfloat) — Mosaic has no 64-bit types, and XLA's f64
+emulation is not correctly rounded; softfloat is, and it traces inside
+Pallas because it is pure 32-bit jnp.
+
+Per-vector metadata (base / FACT[fac] / FRAC[exp] bits) arrives lane-
+expanded as ``[G, 128]`` u32 planes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import softfloat as sf
+from ..ops.softfloat import U64
+
+_U32 = jnp.uint32
+
+# Groups per grid step.  8 groups = 64 double vectors per block; worst-case
+# VMEM (bw=64): in 8*128*128*4 = 512 KiB + out 2*8*64*128*4 = 512 KiB.
+_BLOCK_GROUPS = 8
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _unpack_slot(limbs, v: int, bw: int, n_limbs: int):
+    """Bits [v*bw, (v+1)*bw) of each lane's little-endian u32 limb stream.
+
+    ``limbs[j]`` is a [..., 128] u32 array (limb j of every lane).  Returns
+    a U64 (hi, lo) masked to ``bw`` bits.  All shifts are static: this is
+    the TPU analog of one line of a generated unffor kernel.
+    """
+    off = v * bw
+    j0, s = off // 32, off % 32
+    zero = jnp.zeros_like(limbs[0])
+
+    def limb(j):
+        return limbs[j] if j < n_limbs else zero
+
+    if s == 0:
+        lo = limb(j0)
+        hi = limb(j0 + 1)
+    else:
+        lo = (limb(j0) >> _U32(s)) | (limb(j0 + 1) << _U32(32 - s))
+        hi = (limb(j0 + 1) >> _U32(s)) | (limb(j0 + 2) << _U32(32 - s))
+    if bw < 32:
+        return U64(zero, lo & _U32((1 << bw) - 1))
+    if bw == 32:
+        return U64(zero, lo)
+    if bw < 64:
+        return U64(hi & _U32((1 << (bw - 32)) - 1), lo)
+    return U64(hi, lo)
+
+
+def _u64_add(a: U64, b: U64) -> U64:
+    lo = a.lo + b.lo
+    carry = (lo < b.lo).astype(_U32)
+    return U64(a.hi + b.hi + carry, lo)
+
+
+# ---------------------------------------------------------------------------
+# Fused falp decode, doubles (reference src/falp.cpp:100-120 per-slot body)
+# ---------------------------------------------------------------------------
+
+def _unpack_all(packed_ref, bw: int, slots: int, lpb: int) -> U64:
+    """Unpack every slot -> U64 of [gb, slots, 128] (hi zero for 32-bit)."""
+    n_limbs = lpb * bw
+    limbs = [packed_ref[:, j, :] for j in range(n_limbs)]
+    vals = [_unpack_slot(limbs, v, bw, n_limbs) for v in range(slots)]
+    return U64(jnp.stack([u.hi for u in vals], axis=1),
+               jnp.stack([u.lo for u in vals], axis=1))
+
+
+def _falp_f64_kernel(packed_ref, base_lo, base_hi, fact_lo, fact_hi,
+                     frac_lo, frac_hi, out_hi, out_lo, *, bw: int):
+    # One softfloat graph over [gb, 64, 128]: unpack is 64 small static-shift
+    # expressions; the FACT multiply / i64->f64 / FRAC multiply are single
+    # whole-block vector ops (VPU-shaped, fast to trace and compile).
+    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    fact = U64(fact_hi[:][:, None, :], fact_lo[:][:, None, :])
+    # FRAC = 10^-e is always normal and positive: split bits into
+    # significand (implicit bit restored) + biased exponent once per block.
+    fr_hi = frac_hi[:][:, None, :]
+    fsig = U64((fr_hi & _U32(0xFFFFF)) | _U32(1 << 20),
+               frac_lo[:][:, None, :])
+    f_biased = (fr_hi >> _U32(20)) & _U32(0x7FF)
+    if bw == 0:
+        shape = out_hi.shape
+        ints = U64(jnp.broadcast_to(base.hi, shape),
+                   jnp.broadcast_to(base.lo, shape))
+    else:
+        ints = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
+    m = sf.mul64_low(ints, fact)
+    r = sf.i64_to_f64_times_normal(m, fsig, f_biased)
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f64(packed, base_lo, base_hi, fact_lo, fact_hi,
+                    frac_lo, frac_hi, *, bw: int):
+    """Fused unFFOR + *FACT + i64->f64 + *FRAC on [G, 2*bw, 128] tiles.
+
+    Returns (hi, lo) u32 planes of f64 bit patterns, [G, 64, 128] each, in
+    tile value order.  Exceptions are patched by the caller (scatter), as
+    the reference does after its falp call (decoder.hpp:141-149).
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base_lo, base_hi, fact_lo, fact_hi, frac_lo, frac_hi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base_lo, base_hi, fact_lo, fact_hi,
+                      frac_lo, frac_hi))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 6,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base_lo, base_hi, fact_lo, fact_hi, frac_lo, frac_hi)
+    return out[0][:G], out[1][:G]
+
+
+# ---------------------------------------------------------------------------
+# Fused falp decode, floats — all-native i32/f32 (src/falp.cpp:33762 analog)
+# ---------------------------------------------------------------------------
+
+def _falp_f32_kernel(packed_ref, base, fact, frac, out, *, bw: int):
+    b = base[:][:, None, :].astype(jnp.int32)
+    fa = fact[:][:, None, :].astype(jnp.int32)
+    fr = frac[:][:, None, :]
+    if bw == 0:
+        ints = jnp.broadcast_to(b, out.shape)
+    else:
+        ints = _unpack_all(packed_ref, bw, 32, 1).lo.astype(jnp.int32) + b
+    out[:] = ((ints * fa).astype(jnp.float32) * fr).view(_U32)
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f32(packed, base, fact, frac_bits, *, bw: int):
+    """Float fused decode on [G, bw, 128] tiles -> [G, 32, 128] f32 bits.
+
+    Entirely native TPU arithmetic: wrapping i32 multiply, correctly-rounded
+    i32->f32 convert, IEEE f32 multiply.
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base, fact, frac_bits = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base, fact, frac_bits))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  meta_spec, meta_spec,
+                  pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base, fact, frac_bits.view(jnp.float32))
+    return out[:G]
+
+
+# ---------------------------------------------------------------------------
+# unFFOR only (unfused decode / ALP_RD right+left parts)
+# ---------------------------------------------------------------------------
+
+def _unffor_kernel(packed_ref, base_lo, base_hi, out_hi, out_lo, *,
+                   bw: int, slots: int):
+    lpb = 2 if slots == 64 else 1
+    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    if bw == 0:
+        shape = out_lo.shape
+        ints = U64(jnp.broadcast_to(base.hi, shape),
+                   jnp.broadcast_to(base.lo, shape))
+    else:
+        ints = _u64_add(_unpack_all(packed_ref, bw, slots, lpb), base)
+    if out_hi is not None:
+        out_hi[:] = ints.hi
+    out_lo[:] = ints.lo
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "element_bits"))
+def unffor_tile(packed, base_lo, base_hi, *, bw: int, element_bits: int):
+    """unFFOR on tiles: returns (hi, lo) planes for 64-bit elements, or
+    (None-like zeros omitted) a single [G, 32, 128] plane for 32-bit."""
+    G = packed.shape[0]
+    slots = 64 if element_bits == 64 else 32
+    n_limbs = 2 * bw if element_bits == 64 else bw
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base_lo, base_hi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base_lo, base_hi))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    two_planes = element_bits == 64
+
+    def kernel(packed_ref, blo, bhi, *outs):
+        if two_planes:
+            _unffor_kernel(packed_ref, blo, bhi, outs[0], outs[1],
+                           bw=bw, slots=slots)
+        else:
+            _unffor_kernel(packed_ref, blo, bhi, None, outs[0],
+                           bw=bw, slots=slots)
+
+    n_out = 2 if two_planes else 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(n_limbs, 1), 128),
+                               lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM),
+                  meta_spec, meta_spec],
+        out_specs=[pl.BlockSpec((gb, slots, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Gp, slots, 128), jnp.uint32)] * n_out,
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base_lo, base_hi)
+    if two_planes:
+        return out[0][:G], out[1][:G]
+    return out[0][:G]
+
+
+# ---------------------------------------------------------------------------
+# FFOR pack (encode side)
+# ---------------------------------------------------------------------------
+
+def _u64_sub(a: U64, b: U64) -> U64:
+    lo = a.lo - b.lo
+    borrow = (a.lo < b.lo).astype(_U32)
+    return U64(a.hi - b.hi - borrow, lo)
+
+
+def _ffor_kernel(values_ref, base_lo, base_hi, out_ref, *,
+                 bw: int, element_bits: int):
+    slots = 64 if element_bits == 64 else 32
+    lpb = element_bits // 32
+    base = U64(base_hi[:], base_lo[:])
+    mask_lo = _U32((1 << min(bw, 32)) - 1 if bw < 32 else 0xFFFFFFFF)
+    mask_hi = _U32((1 << (bw - 32)) - 1) if 32 < bw < 64 else (
+        _U32(0xFFFFFFFF) if bw == 64 else _U32(0))
+
+    # delta[v] masked to bw bits, as U64 per slot
+    deltas = []
+    for v in range(slots):
+        if lpb == 2:
+            val = U64(values_ref[:, 2 * v + 1, :], values_ref[:, 2 * v, :])
+        else:
+            val = U64(jnp.zeros_like(values_ref[:, v, :]),
+                      values_ref[:, v, :])
+        d = _u64_sub(val, base)
+        deltas.append(U64(d.hi & mask_hi, d.lo & mask_lo))
+
+    n_limbs = lpb * bw
+    for j in range(n_limbs):
+        lo_bit = 32 * j
+        acc = None
+        for v in range(slots):
+            off = v * bw
+            if off + bw <= lo_bit or off >= lo_bit + 32:
+                continue
+            rel = off - lo_bit
+            d = deltas[v]
+            if rel >= 0:
+                # value's bit 0 lands at limb bit rel: take low window
+                term = (d.lo << _U32(rel)) if rel else d.lo
+            else:
+                k = -rel  # limb starts k bits into the value
+                if k < 32:
+                    term = (d.lo >> _U32(k)) | (d.hi << _U32(32 - k))
+                elif k == 32:
+                    term = d.hi
+                else:
+                    term = d.hi >> _U32(k - 32)
+            acc = term if acc is None else (acc | term)
+        out_ref[:, j, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "element_bits"))
+def ffor_tile(values, base_lo, base_hi, *, bw: int, element_bits: int):
+    """FOR + bit-pack value tiles [G, S*lpb, 128] -> [G, lpb*bw, 128]."""
+    G = values.shape[0]
+    lpb = element_bits // 32
+    if bw == 0:
+        return jnp.zeros((G, 0, 128), jnp.uint32)
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        values, base_lo, base_hi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (values, base_lo, base_hi))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ffor_kernel, bw=bw, element_bits=element_bits),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, values.shape[1], 128),
+                               lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM),
+                  meta_spec, meta_spec],
+        out_specs=pl.BlockSpec((gb, lpb * bw, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, lpb * bw, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(values, base_lo, base_hi)
+    return out[:G]

@@ -103,20 +103,29 @@ def ltu64(a: U64, b: U64) -> jnp.ndarray:
     return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
 
 
+def _min_small(a: jnp.ndarray, b) -> jnp.ndarray:
+    """min on small non-negative values via int32 (Mosaic has no minui)."""
+    return jnp.minimum(a.astype(_I32), _I32(b)).astype(_U32)
+
+
+def _max_small(a: jnp.ndarray, b) -> jnp.ndarray:
+    return jnp.maximum(a.astype(_I32), _I32(b)).astype(_U32)
+
+
 def _shl32(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """x << k with k in [0, 32]: well-defined 0 result at k == 32."""
     k = k.astype(_U32)
-    safe = jnp.left_shift(x, jnp.minimum(k, _u32(31)))
+    safe = jnp.left_shift(x, _min_small(k, 31))
     # split k==32.. into two shifts to stay in defined range
-    extra = jnp.left_shift(safe, jnp.maximum(k, _u32(31)) - _u32(31))
+    extra = jnp.left_shift(safe, _max_small(k, 31) - _u32(31))
     return jnp.where(k > 31, jnp.where(k > 63, _u32(0), extra), safe)
 
 
 def _shr32(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """x >> k (logical) with k in [0, 32]: 0 at k == 32."""
     k = k.astype(_U32)
-    safe = jnp.right_shift(x, jnp.minimum(k, _u32(31)))
-    extra = jnp.right_shift(safe, jnp.maximum(k, _u32(31)) - _u32(31))
+    safe = jnp.right_shift(x, _min_small(k, 31))
+    extra = jnp.right_shift(safe, _max_small(k, 31) - _u32(31))
     return jnp.where(k > 31, jnp.where(k > 63, _u32(0), extra), safe)
 
 
@@ -356,7 +365,7 @@ def f64_mul(a: U64, b: U64) -> U64:
     # subnormal: need extra right shift
     extra = jnp.maximum(1 - biased, 0).astype(_U32)
     # deep underflow guard: cap total shift (result rounds to 0 anyway)
-    total = jnp.minimum(shift + extra, _u32(120))
+    total = _min_small(shift + extra, 120)
     kept = _u128_shr_into_u64(p, total)
     guard_pos = total - _u32(1)
     guard = _u128_shr_into_u64(p, guard_pos).lo & _u32(1)
@@ -443,7 +452,7 @@ def f64_add(a: U64, b: U64) -> U64:
     # S_n has MSB at 55; mantissa = bits [3..55], guard bit 2, sticky [0..2)
     biased = e_res + 1023
     extra = jnp.maximum(1 - biased, 0).astype(_U32)
-    total = jnp.minimum(_u32(3) + extra, _u32(60))
+    total = _min_small(_u32(3) + extra, 60)
     kept = shr64(S_n, total)
     guard = shr64(S_n, total - _u32(1)).lo & _u32(1)
     # sticky = any bits of S_n strictly below the guard position
@@ -517,6 +526,62 @@ def i64_to_f64(x: U64) -> U64:
     out_exp = biased - _u32(1)  # compensate implicit bit in kept (bit 52)
     packed = _pack_with_carry(sign, out_exp, kept, round_up)
     zero = is_zero64(x)
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
+def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
+    """Fused ``double(int64 m) * f`` for a *normal, positive* f with
+    significand ``fsig`` in [2^52, 2^53) and biased exponent ``f_biased``,
+    when the product can neither overflow nor go subnormal.
+
+    This is the falp decode hot path (reference src/falp.cpp:100-120:
+    ``(int64)(packed + base) * FACT`` converted to double, times
+    ``FRAC_ARR[exp]`` = 10^-e with e <= 18): |m| <= 2^63 and
+    2^-60 < f <= 1 keep every intermediate normal, so the generic
+    :func:`i64_to_f64` + :func:`f64_mul` pipeline (clz-normalize, 128-bit
+    dynamic shifts, subnormal/NaN/Inf handling) collapses to one clz, one
+    dynamic shift, and static bit extractions.  Both roundings (convert,
+    then multiply) are performed exactly as the two-step reference does.
+    """
+    sign = m.hi >> 31
+    neg = neg64(m)
+    mag = U64(jnp.where(sign == 1, neg.hi, m.hi),
+              jnp.where(sign == 1, neg.lo, m.lo))
+    lz = clz64(mag)
+    # --- int64 -> double rounding (RNE), MSB normalized to bit 63 --------
+    S = shl64(mag, lz)
+    kept = shr64(S, _u32(11))                     # 53 bits, MSB at bit 52
+    guard = (S.lo >> 10) & _u32(1)
+    sticky = (S.lo & _u32(0x3FF)) != 0
+    round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+    sig_m = add64(kept, U64(_u32(0) * kept.hi, round_up.astype(_U32)))
+    carry = (sig_m.hi >> 21) & _u32(1)            # rounded up to 2^53
+    sig_m = U64(jnp.where(carry == 1, _u32(1 << 20), sig_m.hi), sig_m.lo)
+    e_m = (_u32(63) - lz + carry).astype(_I32)    # unbiased exponent of d
+
+    # --- significand product: p in [2^104, 2^106) ------------------------
+    p = umul64_wide(sig_m, fsig)
+    bit105 = (p.x3 >> 9) & _u32(1)
+    # keep 53 bits below the leading bit: window start 52 (+1 if bit105)
+    lo52 = (p.x1 >> 20) | (p.x2 << 12)
+    hi52 = (p.x2 >> 20) | (p.x3 << 12)
+    lo53 = (p.x1 >> 21) | (p.x2 << 11)
+    hi53 = (p.x2 >> 21) | (p.x3 << 11)
+    hi_mask = _u32(0x1FFFFF)                      # 21 bits: total 53
+    up = bit105 == 1
+    kept2 = U64(jnp.where(up, hi53, hi52) & hi_mask,
+                jnp.where(up, lo53, lo52))
+    guard2 = jnp.where(up, (p.x1 >> 20) & _u32(1), (p.x1 >> 19) & _u32(1))
+    low_mask = jnp.where(up, _u32(0xFFFFF), _u32(0x7FFFF))
+    sticky2 = (p.x0 | (p.x1 & low_mask)) != 0
+    round2 = (guard2 == 1) & (sticky2 | ((kept2.lo & _u32(1)) == 1))
+
+    # biased(result) = e_m + e_f + bit105 + 1023 = e_m + f_biased + bit105
+    biased_out = (e_m + bit105.astype(_I32)
+                  + f_biased.astype(_I32)).astype(_U32)
+    packed = _pack_with_carry(sign, biased_out - _u32(1), kept2, round2)
+    zero = is_zero64(m)
     return U64(jnp.where(zero, _u32(0), packed.hi),
                jnp.where(zero, _u32(0), packed.lo))
 
