@@ -46,6 +46,19 @@ _MAGIC = b"ALPT"
 _VERSION = 1
 
 
+def _host_cpu():
+    """Context manager pinning jit compute to the host CPU backend.
+
+    The container's correctness paths (compress planning+encode, unfused
+    decompress) are host-side work in this architecture; the TPU carries
+    the Pallas kernel paths (kernels.decode / kernels.falp).  Running the
+    big softfloat encode graphs through the remote-TPU tunnel would burn
+    minutes of XLA compile time for no benefit.
+    """
+    import jax
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 @dataclasses.dataclass
 class CompressedColumn:
     """Compressed representation of one float64/float32 column (SoA)."""
@@ -211,6 +224,11 @@ def _compact_exceptions(mask: np.ndarray):
 
 def compress(data: np.ndarray) -> CompressedColumn:
     """Compress a 1-D float64/float32 array (both ALP schemes, adaptive)."""
+    with _host_cpu():
+        return _compress(data)
+
+
+def _compress(data: np.ndarray) -> CompressedColumn:
     data = np.ascontiguousarray(data)
     tc = constants_for(data.dtype)
     nm = numerics_for(data.dtype)
@@ -334,6 +352,11 @@ def compress(data: np.ndarray) -> CompressedColumn:
 
 def decompress(col: CompressedColumn) -> np.ndarray:
     """Decompress to a 1-D numpy array; bit-exact round-trip."""
+    with _host_cpu():
+        return _decompress(col)
+
+
+def _decompress(col: CompressedColumn) -> np.ndarray:
     tc = constants_for(col.dtype)
     nm = numerics_for(col.dtype)
     n_vec = col.n_vectors

@@ -1,0 +1,140 @@
+"""Device decode plans: fused falp decode of whole compressed columns.
+
+The reference dispatches per-vector to one of 65/33 bit-width-specialised
+falp kernels inside its scan loop (reference src/falp.cpp dispatch;
+publication/.../queries/q1.cpp:64-88).  The TPU equivalent hoists that
+dispatch out of the hot path: vectors are *bucketed by bit width* once at
+plan-build time (host), each bucket is staged as 128-lane tiles in device
+memory, and decode runs one Pallas kernel launch per distinct bit width —
+typically 1-3 per column.
+
+``build_plan`` -> ``run_plan`` is the speed-of-light path bench.py times;
+``decompress_device`` adds value reassembly + exception patching for a
+full bit-exact column decode on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..constants import constants_for
+from . import layout
+from . import falp as kfalp
+
+
+def _u64_planes(arr_u64: np.ndarray):
+    lo = (arr_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr_u64 >> np.uint64(32)).astype(np.uint32)
+    return lo, hi
+
+
+@dataclasses.dataclass
+class _Group:
+    bw: int
+    n_vectors: int                 # before group padding
+    vec_indices: np.ndarray        # original vector ids [n_vectors]
+    tiles: jax.Array               # [G, limbs, 128] u32
+    meta: tuple                    # lane-expanded metadata planes (device)
+
+
+@dataclasses.dataclass
+class DecodePlan:
+    dtype: np.dtype
+    n_vectors: int
+    groups: list
+    decoded_bytes: int             # per run_plan() call
+
+    def run(self):
+        """Launch the fused falp kernel per bit-width bucket; returns the
+        raw tile-order output planes (device arrays, unblocked)."""
+        outs = []
+        if self.dtype == np.float64:
+            for g in self.groups:
+                blo, bhi, flo, fhi, frlo, frhi = g.meta
+                outs.append(kfalp.falp_decode_f64(
+                    g.tiles, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw))
+        else:
+            for g in self.groups:
+                b, fa, fr = g.meta
+                outs.append(kfalp.falp_decode_f32(g.tiles, b, fa, fr,
+                                                  bw=g.bw))
+        return outs
+
+
+def build_plan(col) -> DecodePlan:
+    """Stage an ALP-scheme compressed column (container.CompressedColumn)
+    as device tiles bucketed by bit width."""
+    tc = constants_for(col.dtype)
+    eb = tc.exact_type_bit_size
+    _, group, _ = layout.geometry(eb)
+    vec_rg = np.arange(col.n_vectors) // C.N_VECTORS_PER_ROWGROUP
+    alp_idx = np.nonzero(col.rg_scheme[vec_rg] == C.SCHEME_ALP)[0]
+    groups = []
+    for bw in np.unique(col.bit_width[alp_idx]):
+        sel = alp_idx[col.bit_width[alp_idx] == bw]
+        n = len(sel)
+        n_pad = layout.pad_vectors(n, eb)
+        packed = np.zeros((n_pad, int(bw) * (1024 // eb)), tc.ut)
+        for r, v in enumerate(sel):
+            packed[r] = col.packed[v]
+        tiles = jnp.asarray(layout.ref_to_tile(packed, int(bw), eb))
+
+        def expand(per_vec):
+            full = np.zeros(n_pad, per_vec.dtype)
+            full[:n] = per_vec
+            return jnp.asarray(layout.lane_expand(full, eb))
+
+        if col.dtype == np.float64:
+            base_u = col.base[sel].view(np.uint64)
+            blo, bhi = _u64_planes(base_u)
+            fact_u = tc.fact_arr[col.fac[sel]].view(np.uint64)
+            flo, fhi = _u64_planes(fact_u)
+            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
+            frlo, frhi = _u64_planes(frac_u)
+            meta = tuple(expand(x) for x in (blo, bhi, flo, fhi, frlo, frhi))
+        else:
+            meta = (expand(col.base[sel].view(np.uint32)),
+                    expand(tc.fact_arr[col.fac[sel]].view(np.uint32)),
+                    expand(tc.frac_arr[col.exp[sel]].view(np.uint32)))
+        groups.append(_Group(int(bw), n, sel, tiles, meta))
+    return DecodePlan(np.dtype(col.dtype), col.n_vectors, groups,
+                      decoded_bytes=sum(g.n_vectors for g in groups)
+                      * C.VECTOR_SIZE * tc.pt.itemsize)
+
+
+def decompress_device(col) -> np.ndarray:
+    """Full fused decode of the ALP-scheme vectors of a column on device,
+    with host-side reassembly + exception patching; returns [n, 1024]
+    values for ALP vectors (RD vectors are left zero — container.decompress
+    handles mixed columns)."""
+    tc = constants_for(col.dtype)
+    eb = tc.exact_type_bit_size
+    plan = build_plan(col)
+    outs = plan.run()
+    result = np.zeros((col.n_vectors, C.VECTOR_SIZE), col.dtype)
+    for g, out in zip(plan.groups, outs):
+        if col.dtype == np.float64:
+            hi, lo = (np.asarray(o) for o in out)
+            Gt = hi.shape[0]
+            t = np.empty((Gt, 128, 128), np.uint32)
+            t[:, 0::2, :] = lo
+            t[:, 1::2, :] = hi
+            vals = layout.tile_to_values(t, 64, np.float64,
+                                         layout.pad_vectors(g.n_vectors, 64))
+        else:
+            vals = layout.tile_to_values(np.asarray(out), 32, np.float32,
+                                         layout.pad_vectors(g.n_vectors, 32))
+        vals = vals[:g.n_vectors]
+        for r, v in enumerate(g.vec_indices):
+            row = vals[r]
+            pos = col.exc_positions[v]
+            if len(pos):
+                row = row.copy()
+                row[pos] = col.exc_values[v]
+            result[v] = row
+    return result

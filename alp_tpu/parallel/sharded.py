@@ -1,0 +1,85 @@
+"""shard_map pipelines: rowgroup data parallelism over a device mesh.
+
+Design (SURVEY.md §2.4, §5.8): vectors are the parallel unit — encode,
+pack, decode are independent per vector once per-rowgroup planning
+(sampling, (e, f) candidates, RD dictionaries) is done.  Sharding lays
+``[n_vectors, 1024]`` arrays out over a 1-D ``rg`` mesh axis; per-vector
+metadata shards identically, planning metadata is replicated (it is tiny
+— the broadcast the reference never needed).  Collectives (psum/pmean
+over ICI) aggregate global metrics such as bits/value.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import constants as C
+from ..ops import alp as oalp
+from ..ops.numerics import numerics_for
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("rg",))
+
+
+def sharded_encode_decode_step(mesh: Mesh, dtype):
+    """Build the jitted full step: per-shard ALP encode -> FFOR analysis ->
+    decode -> verification mask, plus a psum'd global size metric.
+
+    Inputs (sharded over ``rg``): values [n, 1024] in ops representation,
+    combos [n, 5, 2] int32, k_count [n] int32.  n must divide by mesh size.
+    Returns dict with per-vector fac/exp/bit_width/base/exc_count (sharded)
+    and the replicated global average bits/value.
+    """
+    nm = numerics_for(dtype)
+
+    def step(values, combos, k_count):
+        fac, exp = oalp.choose_factor_exponent(nm, values, combos, k_count)
+        patched, exc = oalp.encode_vectors(nm, values, fac, exp)
+        bw, base = oalp.analyze_ffor(nm, patched)
+        exc_count = exc.sum(axis=1).astype(jnp.int32)
+        # global metric over ICI: average bits/value (cost model §2.2)
+        tc = nm.tc
+        bits = (bw.astype(jnp.float32)
+                + exc_count.astype(jnp.float32)
+                * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
+                / C.VECTOR_SIZE)
+        global_bits = jax.lax.pmean(bits.mean(), axis_name="rg")
+        decoded = oalp.decode_vectors(nm, patched, fac, exp)
+        roundtrip_ok = nm.eq(decoded, values) | exc
+        return {"encoded": patched, "fac": fac, "exp": exp,
+                "bit_width": bw, "base": base, "exc_count": exc_count,
+                "exc_mask": exc, "ok": roundtrip_ok.all(),
+                "global_bits_per_value": global_bits}
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("rg"), P("rg"), P("rg")),
+        out_specs={"encoded": P("rg"), "fac": P("rg"), "exp": P("rg"),
+                   "bit_width": P("rg"), "base": P("rg"),
+                   "exc_count": P("rg"), "exc_mask": P("rg"),
+                   "ok": P(), "global_bits_per_value": P()},
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def sharded_decode(mesh: Mesh, dtype):
+    """Jitted sharded unfused decode: [n,1024] ints + fac/exp -> values."""
+    nm = numerics_for(dtype)
+
+    def step(encoded, fac, exp):
+        return oalp.decode_vectors(nm, encoded, fac, exp)
+
+    return jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P("rg"), P("rg"), P("rg")),
+        out_specs=P("rg"), check_rep=False))
