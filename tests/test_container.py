@@ -1,0 +1,89 @@
+"""Container API tests: whole-column round-trips, serialization, golden
+parity with the reference unit-test metadata, device decode plans.
+
+The golden (exceptions_count, bit_width) assertions replicate the
+reference gtest groups (test/test_alp_sample.cpp:191-227) at the public
+compress() surface.
+"""
+
+import numpy as np
+import pytest
+
+from alp_tpu import container
+from alp_tpu import constants as C
+from alp_tpu.kernels import decode as kdecode
+from alp_tpu.utils import datasets, io
+
+
+def _assert_bitexact(a, b):
+    ut = np.uint64 if a.dtype == np.float64 else np.uint32
+    np.testing.assert_array_equal(a.view(ut), b.view(ut))
+
+
+def _roundtrip(data):
+    cc = container.compress(data)
+    out = container.decompress(
+        container.CompressedColumn.from_bytes(cc.to_bytes()))
+    _assert_bitexact(out, data)
+    return cc
+
+
+def test_specials_roundtrip():
+    data = np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 1.25, -17.625]
+                    * 300, np.float64)
+    _roundtrip(data)
+
+
+def test_tail_roundtrip():
+    data = np.round(np.linspace(0, 1, 1500), 4)
+    cc = _roundtrip(data)
+    assert cc.n_values == 1500
+
+
+def test_constant_column_f32():
+    data = np.full(2048, 3.5, np.float32)
+    cc = _roundtrip(data)
+    assert cc.bit_width.max() == 0
+
+
+def test_multi_rowgroup_mixed():
+    rng = np.random.default_rng(0)
+    a = np.round(rng.uniform(-100, 100, C.ROWGROUP_SIZE), 2)   # ALP
+    b = rng.standard_normal(C.ROWGROUP_SIZE)                   # high precision
+    data = np.concatenate([a, b])
+    cc = _roundtrip(data)
+    assert set(cc.rg_scheme.tolist()) == {C.SCHEME_ALP, C.SCHEME_ALP_RD}
+
+
+@pytest.mark.parametrize("col", [c for c in datasets.ALP_DATASET
+                                 if c.name in ("Air-Pressure", "City-Temp",
+                                               "POI-lat", "Gov/26",
+                                               "CMS/25")],
+                         ids=lambda c: c.name)
+def test_sample_roundtrip_and_golden(col):
+    data = io.read_csv(col.csv_path, np.float64)
+    _roundtrip(data)
+    # golden metadata applies to the first vector compressed alone
+    # (test_alp_sample.cpp encodes only the first 1024 values)
+    if not col.suitable_for_cutting:
+        cc1 = container.compress(data[:1024])
+        assert int(cc1.exc_count[0]) == col.exceptions_count
+        assert int(cc1.bit_width[0]) == col.bit_width
+
+
+def test_device_decode_plan_matches_container():
+    col = [c for c in datasets.ALP_DATASET if c.name == "City-Temp"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    vals = kdecode.decompress_device(cc)
+    expect = container.decompress(cc)
+    _assert_bitexact(vals.reshape(-1)[:cc.n_values], expect)
+
+
+def test_device_decode_plan_f32():
+    colf = datasets.FLOAT_TEST_DATASET[2]
+    data = io.read_csv(colf.csv_path, np.float32)
+    cc = container.compress(data)
+    vals = kdecode.decompress_device(cc)
+    expect = container.decompress(cc)
+    _assert_bitexact(vals.reshape(-1)[:cc.n_values], expect)

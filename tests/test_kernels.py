@@ -1,0 +1,121 @@
+"""Pallas kernel tests (interpret mode on CPU): layout converters,
+FFOR pack/unpack tiles, fused falp decode vs the oracle.
+
+Mirrors the reference generated-kernel tests
+(publication/source_code/generated/*/.._falp_test.cpp:46-80): fused and
+unfused decode must produce identical, exact results.
+"""
+
+import numpy as np
+import pytest
+
+from alp_tpu import constants as C
+from alp_tpu.oracle import core as ocore
+from alp_tpu.oracle import fastlanes as ofl
+from alp_tpu.kernels import layout, falp
+
+rng = np.random.default_rng(42)
+
+
+def _tile_out_to_vals64(hi, lo):
+    G = hi.shape[0]
+    t = np.empty((G, 128, 128), np.uint32)
+    t[:, 0::2, :] = np.asarray(lo)
+    t[:, 1::2, :] = np.asarray(hi)
+    return t
+
+
+def _u64_planes(arr_u64, eb):
+    lo = (arr_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr_u64 >> np.uint64(32)).astype(np.uint32)
+    return (layout.lane_expand(lo, eb), layout.lane_expand(hi, eb))
+
+
+@pytest.mark.parametrize("bw", [0, 1, 7, 17, 31, 32, 33, 45, 63, 64])
+def test_layout_roundtrip_f64(bw):
+    n = 16
+    vals = rng.integers(0, 1 << min(bw, 62), size=(n, 1024),
+                        dtype=np.int64) if bw else np.zeros((n, 1024),
+                                                            np.int64)
+    packed = np.stack([ofl.ffor_pack(v, bw, np.int64(0)) for v in vals])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    back = layout.tile_to_ref(tile, bw, 64, n)
+    assert (back == packed).all()
+
+
+@pytest.mark.parametrize("bw", [0, 3, 13, 32, 45, 64])
+def test_unffor_ffor_tile_f64(bw):
+    n = 16
+    base = np.int64(-37)
+    lim = min(bw, 62)
+    if bw == 0:
+        vals = np.full((n, 1024), base, dtype=np.int64)
+    else:
+        vals = rng.integers(0, 1 << lim, size=(n, 1024),
+                            dtype=np.int64) + base
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in vals])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    b = np.full(n, base, np.int64).view(np.uint64)
+    blo, bhi = _u64_planes(b, 64)
+    hi, lo = falp.unffor_tile(tile, blo, bhi, bw=bw, element_bits=64)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.int64, n)
+    assert (got == vals).all()
+    if bw:
+        vt = layout.values_to_tile(vals, 64)
+        repacked = falp.ffor_tile(vt, blo, bhi, bw=bw, element_bits=64)
+        assert (np.asarray(repacked) == tile).all()
+
+
+@pytest.mark.parametrize("bw,fac,exp", [(0, 2, 3), (13, 5, 9), (33, 10, 14),
+                                        (64, 18, 18), (20, 0, 0)])
+def test_falp_f64_vs_oracle(bw, fac, exp):
+    n = 16
+    tc = C.DOUBLE
+    base = np.int64(3)
+    lim = min(bw, 40)
+    if bw == 0:
+        ints = np.full((n, 1024), base, dtype=np.int64)
+    else:
+        ints = rng.integers(0, 1 << lim, size=(n, 1024),
+                            dtype=np.int64) + base
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    blo, bhi = _u64_planes(np.full(n, base, np.int64).view(np.uint64), 64)
+    flo, fhi = _u64_planes(
+        np.full(n, tc.fact_arr[fac], np.int64).view(np.uint64), 64)
+    frlo, frhi = _u64_planes(
+        np.full(n, tc.frac_arr[exp], np.float64).view(np.uint64), 64)
+    hi, lo = falp.falp_decode_f64(tile, blo, bhi, flo, fhi, frlo, frhi,
+                                  bw=bw)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("bw,fac,exp", [(0, 1, 2), (4, 3, 6), (17, 9, 10),
+                                        (32, 5, 5)])
+def test_falp_f32_vs_oracle(bw, fac, exp):
+    n = 8
+    tc = C.FLOAT
+    base = np.int32(-5)
+    lim = min(bw, 20)
+    if bw == 0:
+        ints = np.full((n, 1024), base, dtype=np.int32)
+    else:
+        ints = rng.integers(0, 1 << lim, size=(n, 1024),
+                            dtype=np.int32) + base
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 32)
+    b = layout.lane_expand(np.full(n, base, np.int32).view(np.uint32), 32)
+    fa = layout.lane_expand(
+        np.full(n, tc.fact_arr[fac], np.int32).view(np.uint32), 32)
+    fr = layout.lane_expand(
+        np.full(n, tc.frac_arr[exp], np.float32).view(np.uint32), 32)
+    out = falp.falp_decode_f32(tile, b, fa, fr, bw=bw)
+    got = layout.tile_to_values(np.asarray(out), 32, np.float32, n)
+    np.testing.assert_array_equal(got.view(np.uint32),
+                                  expect.view(np.uint32))
