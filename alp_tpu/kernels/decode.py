@@ -40,6 +40,7 @@ class _Group:
     vec_indices: np.ndarray        # original vector ids [n_vectors]
     tiles: jax.Array               # [G, limbs, 128] u32
     meta: tuple                    # lane-expanded metadata planes (device)
+    scheme: int = C.SCHEME_ALP     # ALP (falp) or ALP_RD (right+left glue)
 
 
 @dataclasses.dataclass
@@ -50,16 +51,22 @@ class DecodePlan:
     decoded_bytes: int             # per run_plan() call
 
     def run(self):
-        """Launch the fused falp kernel per bit-width bucket; returns the
-        raw tile-order output planes (device arrays, unblocked)."""
+        """Launch the fused decode kernel per bucket; returns the raw
+        tile-order output planes (device arrays, unblocked)."""
         outs = []
-        if self.dtype == np.float64:
-            for g in self.groups:
+        for g in self.groups:
+            if g.scheme == C.SCHEME_ALP_RD:
+                if self.dtype == np.float64:
+                    outs.append(kfalp.rd_decode_f64(g.tiles, g.meta[0],
+                                                    rbw=g.bw))
+                else:
+                    outs.append(kfalp.rd_decode_f32(g.tiles, g.meta[0],
+                                                    rbw=g.bw))
+            elif self.dtype == np.float64:
                 blo, bhi, flo, fhi, frlo, frhi = g.meta
                 outs.append(kfalp.falp_decode_f64(
                     g.tiles, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw))
-        else:
-            for g in self.groups:
+            else:
                 b, fa, fr = g.meta
                 outs.append(kfalp.falp_decode_f32(g.tiles, b, fa, fr,
                                                   bw=g.bw))
@@ -102,6 +109,45 @@ def build_plan(col) -> DecodePlan:
                     expand(tc.fact_arr[col.fac[sel]].view(np.uint32)),
                     expand(tc.frac_arr[col.exp[sel]].view(np.uint32)))
         groups.append(_Group(int(bw), n, sel, tiles, meta))
+
+    # ALP_RD vectors, bucketed by right bit width.  Left parts are
+    # dictionary-resolved and exception-patched at plan build (host): the
+    # device kernel then only unFFORs the right parts and ORs the left
+    # bits in (rd.hpp:152-178 semantics with patching folded in).
+    from ..ops import fastlanes as jfl
+    rd_idx = np.nonzero(col.rg_scheme[vec_rg] == C.SCHEME_ALP_RD)[0]
+    if rd_idx.size:
+        rbws = col.rd_right_bw[vec_rg[rd_idx]]
+        lbws = col.rd_left_bw[vec_rg[rd_idx]]
+        for rbw, lbw in {(int(r), int(l)) for r, l in zip(rbws, lbws)}:
+            sel = rd_idx[(rbws == rbw) & (lbws == lbw)]
+            n = len(sel)
+            n_pad = layout.pad_vectors(n, eb)
+            packed = np.zeros((n_pad, int(rbw) * (1024 // eb)), tc.ut)
+            for r, v in enumerate(sel):
+                packed[r] = col.packed[v]
+            # batched left-part unpack + dictionary resolution (host cpu)
+            left_packed = np.stack([col.left_packed[v] for v in sel])
+            with jax.default_device(jax.devices("cpu")[0]):
+                idx = np.asarray(jfl.unffor_unpack(
+                    left_packed, np.zeros(n, np.uint16), bw=lbw,
+                    signed=False))
+            rgs = vec_rg[sel]
+            dsz = np.maximum(col.rd_dict_size[rgs].astype(np.int64) - 1, 0)
+            safe = np.minimum(idx.astype(np.int64), dsz[:, None])
+            resolved = np.take_along_axis(
+                col.rd_dict[rgs], safe, axis=1).astype(np.uint32)
+            for r, v in enumerate(sel):
+                pos = col.exc_positions[v]
+                if len(pos):
+                    resolved[r, pos] = col.exc_values[v].astype(np.uint32)
+            left = np.zeros((n_pad, C.VECTOR_SIZE), np.uint32)
+            left[:n] = resolved
+            tiles = jnp.asarray(layout.ref_to_tile(packed, int(rbw), eb))
+            left_tiles = jnp.asarray(layout.plane_to_tile(left, eb))
+            groups.append(_Group(int(rbw), n, sel, tiles, (left_tiles,),
+                                 scheme=C.SCHEME_ALP_RD))
+
     return DecodePlan(np.dtype(col.dtype), col.n_vectors, groups,
                       decoded_bytes=sum(g.n_vectors for g in groups)
                       * C.VECTOR_SIZE * tc.pt.itemsize)
@@ -132,7 +178,8 @@ def decompress_device(col) -> np.ndarray:
         vals = vals[:g.n_vectors]
         for r, v in enumerate(g.vec_indices):
             row = vals[r]
-            pos = col.exc_positions[v]
+            # RD exceptions are folded into the left parts at plan build
+            pos = col.exc_positions[v] if g.scheme == C.SCHEME_ALP else ()
             if len(pos):
                 row = row.copy()
                 row[pos] = col.exc_values[v]

@@ -200,6 +200,95 @@ def falp_decode_f32(packed, base, fact, frac_bits, *, bw: int):
 
 
 # ---------------------------------------------------------------------------
+# Fused ALP_RD decode (reference include/alp/rd.hpp:152-178)
+# ---------------------------------------------------------------------------
+
+def _rd_f64_kernel(right_ref, left_ref, out_hi, out_lo, *, rbw: int):
+    # left_ref holds dictionary-resolved raw left parts (<=16 bits) per
+    # slot; cut <= 16 means rbw >= 48, so the left part lands entirely in
+    # the high limb: glue = (left << (rbw - 32)) | right.hi.
+    right = _unpack_all(right_ref, rbw, 64, 2) if rbw else None
+    left = left_ref[:]
+    if rbw == 0:
+        out_hi[:] = left << _U32(32)  # degenerate, never happens (rbw>=48)
+        out_lo[:] = jnp.zeros_like(left)
+        return
+    out_hi[:] = right.hi | (left << _U32(rbw - 32))
+    out_lo[:] = right.lo
+
+
+@functools.partial(jax.jit, static_argnames=("rbw",))
+def rd_decode_f64(right_packed, left_resolved, *, rbw: int):
+    """Fused ALP_RD double decode: unFFOR the right parts and OR in the
+    (already dictionary-resolved, exception-patched) left parts.
+
+    right_packed: [G, 2*rbw, 128] u32 tiles; left_resolved: [G, 64, 128]
+    u32 raw left bit patterns in tile value order.  Returns (hi, lo) f64
+    bit planes [G, 64, 128].
+    """
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        right_packed, left_resolved = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (right_packed, left_resolved))
+    Gp = G + pad
+    out = pl.pallas_call(
+        functools.partial(_rd_f64_kernel, rbw=rbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(right_packed if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      left_resolved)
+    return out[0][:G], out[1][:G]
+
+
+def _rd_f32_kernel(right_ref, left_ref, out, *, rbw: int):
+    left = left_ref[:]
+    if rbw == 0:
+        out[:] = left
+        return
+    right = _unpack_all(right_ref, rbw, 32, 1).lo
+    out[:] = right | (left << _U32(rbw))
+
+
+@functools.partial(jax.jit, static_argnames=("rbw",))
+def rd_decode_f32(right_packed, left_resolved, *, rbw: int):
+    """Fused ALP_RD float decode -> [G, 32, 128] f32 bit planes."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        right_packed, left_resolved = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (right_packed, left_resolved))
+    Gp = G + pad
+    out = pl.pallas_call(
+        functools.partial(_rd_f32_kernel, rbw=rbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(right_packed if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      left_resolved)
+    return out[:G]
+
+
+# ---------------------------------------------------------------------------
 # unFFOR only (unfused decode / ALP_RD right+left parts)
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,20 @@ def tile_to_values(tile: np.ndarray, element_bits: int, dtype,
     return vals[:n_vectors]
 
 
+def plane_to_tile(values_u32: np.ndarray, element_bits: int) -> np.ndarray:
+    """[n, 1024] u32 per-value payloads -> [G, S, 128] tile value order.
+
+    One u32 row per slot (used for <=32-bit side channels of 64-bit
+    elements, e.g. dictionary-resolved ALP_RD left parts)."""
+    L, group, _ = geometry(element_bits)
+    S = element_bits
+    n = values_u32.shape[0]
+    assert n % group == 0
+    G = n // group
+    t = values_u32.reshape(G, group, S, L).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(t).reshape(G, S, 128)
+
+
 def lane_expand(per_vector: np.ndarray, element_bits: int) -> np.ndarray:
     """[n] per-vector metadata -> [G, 128] per-lane (repeat across lanes)."""
     L, group, _ = geometry(element_bits)

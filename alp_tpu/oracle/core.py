@@ -338,14 +338,82 @@ def find_best_exponent_factor_from_combinations(
     return found_f, found_e
 
 
-def encoder_init(data: np.ndarray, offset: int, tc: TypeConstants) -> AlpState:
+def find_top_k_combinations_fast(sample: np.ndarray, stt: AlpState,
+                                 tc: TypeConstants) -> None:
+    """NumPy-vectorised find_top_k_combinations: all (e, f) pairs scored at
+    once per sampled vector.  Semantics-identical to the loop version (the
+    sequential better-than rule at encoder.hpp:190-197 reduces to the
+    lexicographic min of (size, -e, -f)); cross-checked by tests.
+    """
+    n = stt.sampled_values_n
+    if n == 0:
+        stt.best_k_combinations = [(0, 0)]
+        stt.k_combinations = 1
+        return
+    n_vectors = int(math.ceil(tc.pt.type(n) / C.SAMPLES_PER_VECTOR))
+    samples_size = min(n, C.SAMPLES_PER_VECTOR)
+    worst = (samples_size * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
+             + samples_size * tc.exception_size)
+    pairs = np.array(_ef_pairs(tc), np.int64)          # [P, 2] (e, f)
+
+    global_combinations: dict[tuple[int, int], int] = {}
+    best_estimated = worst
+    offset = 0
+    es, fs = pairs[:, 0], pairs[:, 1]
+    for _ in range(n_vectors):
+        chunk = sample[offset:offset + samples_size]
+        offset += samples_size
+        # encode/decode all pairs at once: [P, s]
+        enc = np.stack([encode_value_safe(chunk, f, e, tc)
+                        for e, f in pairs])
+        dec = np.stack([decode_value(enc[i], pairs[i, 1], pairs[i, 0], tc)
+                        for i in range(len(pairs))])
+        ok = dec == chunk[None, :]
+        non_exc = ok.sum(axis=1)
+        exc = samples_size - non_exc
+        mx = np.where(ok, enc, tc.st.type(tc.int_min)).max(axis=1)
+        mn = np.where(ok, enc, tc.st.type(tc.int_max)).min(axis=1)
+        mask = (1 << tc.exact_type_bit_size) - 1
+        delta = (mx.astype(object) - mn.astype(object))
+        bits = np.array([count_bits(int(d) & mask) for d in delta])
+        est = (samples_size * bits
+               + exc * (tc.exception_size + C.EXCEPTION_POSITION_SIZE))
+        # Sequential accept rule (encoder.hpp:190-197) == lexicographic min
+        # of (est, -e, -f) over pairs with est <= worst; ties at est==worst
+        # against the (0, 0) initialisation resolve identically because
+        # lexsort prefers larger e/f and the initial state is (0, 0).
+        valid = (non_exc >= 2) & (est <= worst)
+        if not valid.any():
+            key = (0, 0)
+        else:
+            est_v = np.where(valid, est, worst + 1)
+            order = np.lexsort((-fs, -es, est_v))
+            i = order[0]
+            key = (int(es[i]), int(fs[i]))
+            best_estimated = min(best_estimated, int(est_v[i]))
+        global_combinations[key] = global_combinations.get(key, 0) + 1
+
+    if best_estimated >= tc.rd_size_threshold_limit:
+        stt.scheme = C.SCHEME_ALP_RD
+        return
+    ranked = sorted(global_combinations.items(),
+                    key=lambda kv: (-kv[1], -kv[0][0], -kv[0][1]))
+    stt.k_combinations = min(stt.k_combinations, len(ranked))
+    stt.best_k_combinations = [ef for ef, _ in ranked[:stt.k_combinations]]
+
+
+def encoder_init(data: np.ndarray, offset: int, tc: TypeConstants,
+                 fast: bool = True) -> AlpState:
     """encoder::init (encoder.hpp:420-427): sample + pick scheme and top-k."""
     stt = AlpState(scheme=C.SCHEME_ALP)
     sample = first_level_sample(data, offset)
     stt.sampled_values_n = len(sample)
     stt.k_combinations = C.MAX_K_COMBINATIONS
     stt.best_k_combinations = []
-    find_top_k_combinations(sample, stt, tc)
+    if fast:
+        find_top_k_combinations_fast(sample, stt, tc)
+    else:
+        find_top_k_combinations(sample, stt, tc)
     return stt
 
 

@@ -80,6 +80,15 @@ def test_device_decode_plan_matches_container():
     _assert_bitexact(vals.reshape(-1)[:cc.n_values], expect)
 
 
+def test_device_decode_plan_rd():
+    col = [c for c in datasets.ALP_DATASET if c.name == "POI-lat"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    assert (cc.rg_scheme == C.SCHEME_ALP_RD).all()
+    vals = kdecode.decompress_device(cc)
+    _assert_bitexact(vals.reshape(-1)[:cc.n_values], data)
+
+
 def test_device_decode_plan_f32():
     colf = datasets.FLOAT_TEST_DATASET[2]
     data = io.read_csv(colf.csv_path, np.float32)
