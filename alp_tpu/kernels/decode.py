@@ -41,6 +41,13 @@ class _Group:
     tiles: jax.Array               # [G, limbs, 128] u32
     meta: tuple                    # lane-expanded metadata planes (device)
     scheme: int = C.SCHEME_ALP     # ALP (falp) or ALP_RD (right+left glue)
+    # exception scatter indices into the output planes (device arrays);
+    # empty for RD groups (exceptions folded into the left parts)
+    exc_g: jax.Array | None = None
+    exc_slot: jax.Array | None = None
+    exc_lane: jax.Array | None = None
+    exc_hi: jax.Array | None = None   # value bits (hi/lo for f64; lo=f32)
+    exc_lo: jax.Array | None = None
 
 
 @dataclasses.dataclass
@@ -50,26 +57,36 @@ class DecodePlan:
     groups: list
     decoded_bytes: int             # per run_plan() call
 
-    def run(self):
+    def run(self, patch: bool = False):
         """Launch the fused decode kernel per bucket; returns the raw
-        tile-order output planes (device arrays, unblocked)."""
+        tile-order output planes (device arrays, unblocked).
+
+        ``patch=True`` additionally scatters the exception values into
+        the planes (decoder::patch_exceptions, decoder.hpp:141-149) —
+        the full bit-exact decode, still entirely on device.
+        """
         outs = []
         for g in self.groups:
             if g.scheme == C.SCHEME_ALP_RD:
                 if self.dtype == np.float64:
-                    outs.append(kfalp.rd_decode_f64(g.tiles, g.meta[0],
-                                                    rbw=g.bw))
+                    out = kfalp.rd_decode_f64(g.tiles, g.meta[0], rbw=g.bw)
                 else:
-                    outs.append(kfalp.rd_decode_f32(g.tiles, g.meta[0],
-                                                    rbw=g.bw))
+                    out = kfalp.rd_decode_f32(g.tiles, g.meta[0], rbw=g.bw)
             elif self.dtype == np.float64:
                 blo, bhi, flo, fhi, frlo, frhi = g.meta
-                outs.append(kfalp.falp_decode_f64(
-                    g.tiles, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw))
+                out = kfalp.falp_decode_f64(
+                    g.tiles, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw)
             else:
                 b, fa, fr = g.meta
-                outs.append(kfalp.falp_decode_f32(g.tiles, b, fa, fr,
-                                                  bw=g.bw))
+                out = kfalp.falp_decode_f32(g.tiles, b, fa, fr, bw=g.bw)
+            if patch and g.exc_g is not None and g.exc_g.shape[0]:
+                idx = (g.exc_g, g.exc_slot, g.exc_lane)
+                if self.dtype == np.float64:
+                    out = (out[0].at[idx].set(g.exc_hi),
+                           out[1].at[idx].set(g.exc_lo))
+                else:
+                    out = out.at[idx].set(g.exc_lo)
+            outs.append(out)
         return outs
 
 
@@ -108,7 +125,31 @@ def build_plan(col) -> DecodePlan:
             meta = (expand(col.base[sel].view(np.uint32)),
                     expand(tc.fact_arr[col.fac[sel]].view(np.uint32)),
                     expand(tc.frac_arr[col.exp[sel]].view(np.uint32)))
-        groups.append(_Group(int(bw), n, sel, tiles, meta))
+        # exception scatter indices (decoder::patch_exceptions analog)
+        L = 1024 // eb
+        rows, poss, vbits = [], [], []
+        for r, v in enumerate(sel):
+            pos = col.exc_positions[v]
+            if len(pos):
+                rows.append(np.full(len(pos), r, np.int32))
+                poss.append(pos.astype(np.int32))
+                vbits.append(col.exc_values[v])
+        grp = _Group(int(bw), n, sel, tiles, meta)
+        if rows:
+            rows = np.concatenate(rows)
+            poss = np.concatenate(poss)
+            vb = np.concatenate(vbits).view(tc.ut)
+            grp.exc_g = jnp.asarray(rows // group)
+            grp.exc_slot = jnp.asarray(poss // L)
+            grp.exc_lane = jnp.asarray((rows % group) * L + poss % L)
+            if col.dtype == np.float64:
+                grp.exc_hi = jnp.asarray((vb >> np.uint64(32)).astype(np.uint32))
+                grp.exc_lo = jnp.asarray((vb & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            else:
+                grp.exc_lo = jnp.asarray(vb.astype(np.uint32))
+        else:
+            grp.exc_g = jnp.zeros(0, jnp.int32)
+        groups.append(grp)
 
     # ALP_RD vectors, bucketed by right bit width.  Left parts are
     # dictionary-resolved and exception-patched at plan build (host): the
@@ -161,7 +202,7 @@ def decompress_device(col) -> np.ndarray:
     tc = constants_for(col.dtype)
     eb = tc.exact_type_bit_size
     plan = build_plan(col)
-    outs = plan.run()
+    outs = plan.run(patch=True)
     result = np.zeros((col.n_vectors, C.VECTOR_SIZE), col.dtype)
     for g, out in zip(plan.groups, outs):
         if col.dtype == np.float64:
@@ -175,13 +216,5 @@ def decompress_device(col) -> np.ndarray:
         else:
             vals = layout.tile_to_values(np.asarray(out), 32, np.float32,
                                          layout.pad_vectors(g.n_vectors, 32))
-        vals = vals[:g.n_vectors]
-        for r, v in enumerate(g.vec_indices):
-            row = vals[r]
-            # RD exceptions are folded into the left parts at plan build
-            pos = col.exc_positions[v] if g.scheme == C.SCHEME_ALP else ()
-            if len(pos):
-                row = row.copy()
-                row[pos] = col.exc_values[v]
-            result[v] = row
+        result[g.vec_indices] = vals[:g.n_vectors]
     return result

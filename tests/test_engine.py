@@ -1,0 +1,43 @@
+"""Query engine tests: SUM/SCAN over compressed columns on device."""
+
+import numpy as np
+
+from alp_tpu import container, engine
+from alp_tpu.utils import datasets, io
+
+
+def test_sum_matches_numpy():
+    col = [c for c in datasets.ALP_DATASET if c.name == "City-Temp"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    got = engine.query_sum(cc)
+    # pad values replicate the last value; engine masks them out
+    expect = float(np.sum(data))
+    assert abs(got - expect) <= abs(expect) * 1e-12 + 1e-9
+
+
+def test_sum_with_exceptions():
+    rng = np.random.default_rng(3)
+    data = np.round(rng.uniform(-10, 10, 4096), 2)
+    data[[5, 700, 2049]] = [np.pi, 1e300, -0.0]   # force exceptions
+    cc = container.compress(data)
+    assert engine.query_count_exceptions(cc) >= 2
+    got = engine.query_sum(cc)
+    expect = float(np.sum(data))
+    assert abs(got - expect) <= abs(expect) * 1e-12
+
+
+def test_sum_f32():
+    rng = np.random.default_rng(4)
+    data = np.round(rng.uniform(0, 100, 4096), 2).astype(np.float32)
+    cc = container.compress(data)
+    got = engine.query_sum(cc)
+    expect = float(np.sum(data.astype(np.float64)))
+    assert abs(got - expect) <= abs(expect) * 1e-6
+
+
+def test_scan_returns_planes():
+    data = np.round(np.linspace(0, 1, 2048), 3)
+    cc = container.compress(data)
+    plan, outs = engine.query_scan(cc)
+    assert len(outs) == len(plan.groups)
