@@ -16,12 +16,26 @@ import sys as _sys
 # Pallas kernels) exceeds CPython's default 1000-frame recursion limit.
 _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
+import os as _os
+
 import jax as _jax
 
 # The ops layer carries int64 (exact on TPU via XLA integer emulation) and
 # f64 *bit patterns* as uint64; it never relies on XLA float64 arithmetic
 # (not correctly rounded on TPU) — softfloat provides those semantics.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: kernel variants are bw-specialised, so a
+# column with several bit widths triggers several Mosaic compiles; the
+# disk cache (works through the axon remote-compile tunnel) makes every
+# later process start warm.
+if not _os.environ.get("ALP_TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "ALP_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from . import constants
 from . import oracle

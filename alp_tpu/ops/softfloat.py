@@ -530,6 +530,20 @@ def i64_to_f64(x: U64) -> U64:
                jnp.where(zero, _u32(0), packed.lo))
 
 
+def _msb32(x: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(x)) for x != 0, via the f32 exponent field.
+
+    u32->f32 conversion is correctly rounded; rounding can only push the
+    exponent one too high (x rounds up to a power of two), fixed by one
+    check.  ~7 ops vs ~25 for SWAR clz."""
+    top = (x >> 31) == 1                      # Mosaic has no u32->f32;
+    f = x.astype(_I32).astype(jnp.float32)    # i32 convert + top-bit guard
+    e = (f.view(_U32) >> 23).astype(_I32) - 127
+    e = jnp.minimum(e, 30)
+    over = (x >> e.astype(_U32)) == 0
+    return jnp.where(top, _I32(31), jnp.where(over, e - 1, e))
+
+
 def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
     """Fused ``double(int64 m) * f`` for a *normal, positive* f with
     significand ``fsig`` in [2^52, 2^53) and biased exponent ``f_biased``,
@@ -548,10 +562,20 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
     neg = neg64(m)
     mag = U64(jnp.where(sign == 1, neg.hi, m.hi),
               jnp.where(sign == 1, neg.lo, m.lo))
-    lz = clz64(mag)
-    # --- int64 -> double rounding (RNE), MSB normalized to bit 63 --------
-    S = shl64(mag, lz)
-    kept = shr64(S, _u32(11))                     # 53 bits, MSB at bit 52
+    # --- normalize so MSB lands at bit 63: 2-case shift via fast msb ----
+    hi_z = mag.hi == 0
+    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)), _msb32(mag.hi | _u32(1)))
+    k = (_I32(31) - msb_in).astype(_U32)          # shift within the limb
+    kc = _u32(32) - k                              # complement, in [1, 32]
+    # hi != 0: S = (hi<<k | lo>>(32-k), lo<<k); 32-k==32 only when k==0
+    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
+    top_a = jnp.where(k == 0, mag.hi, top_a)
+    S_a = U64(top_a, mag.lo << k)
+    # hi == 0: S = (lo<<k, 0), total shift 32 + k
+    S_b = U64(mag.lo << k, jnp.zeros_like(mag.lo))
+    S = U64(jnp.where(hi_z, S_b.hi, S_a.hi), jnp.where(hi_z, S_b.lo, S_a.lo))
+    lz = jnp.where(hi_z, k + _u32(32), k)
+    kept = U64(S.hi >> 11, (S.lo >> 11) | (S.hi << 21))  # 53b, MSB at 52
     guard = (S.lo >> 10) & _u32(1)
     sticky = (S.lo & _u32(0x3FF)) != 0
     round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))

