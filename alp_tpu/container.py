@@ -205,6 +205,8 @@ class CompressedColumn:
 def _pad_to_vectors(data: np.ndarray):
     n = len(data)
     n_vec = max(1, math.ceil(n / C.VECTOR_SIZE))
+    if n == n_vec * C.VECTOR_SIZE:
+        return data.reshape(n_vec, C.VECTOR_SIZE), n_vec
     padded = np.empty(n_vec * C.VECTOR_SIZE, dtype=data.dtype)
     padded[:n] = data
     if n:
@@ -236,6 +238,15 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
 
     # --- planning: per-rowgroup sampling & scheme/candidate selection -----
+    nat = None
+    if data.dtype == np.float64:
+        try:
+            from . import native as _nat
+            _nat.build()
+            nat = _nat
+        except Exception:
+            nat = None
+
     flat = vectors.reshape(-1)
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
@@ -245,6 +256,16 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         lo_v = rg * C.N_VECTORS_PER_ROWGROUP
         hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
         rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
+        if nat is not None:
+            scheme, cb, ks = nat.init_f64(rg_data, 0)
+            if scheme == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+                rd_states[rg] = ord_.rd_encoder_init(rg_data, 0, tc)
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                combos[lo_v:hi_v, :ks] = cb[None, :, :]
+                k_count[lo_v:hi_v] = ks
+            continue
         stt = ocore.encoder_init(rg_data, 0, tc)
         if stt.scheme == C.SCHEME_ALP_RD:
             rg_scheme[rg] = C.SCHEME_ALP_RD
@@ -272,7 +293,50 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     alp_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP)[0]
     rd_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP_RD)[0]
 
-    if alp_idx.size:
+    use_native = False
+    if alp_idx.size and data.dtype == np.float64:
+        try:
+            from . import native as nat
+            nat.build()
+            use_native = True
+        except Exception:
+            use_native = False
+
+    if alp_idx.size and use_native:
+        # Native C++ encode engine, one call per rowgroup (vectors share
+        # the rowgroup's top-k candidates).  ALP rowgroups are contiguous
+        # vector ranges, so results land via slice assignment.
+        from . import native as nat
+        encoded = np.empty((n_vec, C.VECTOR_SIZE), np.int64)
+        empty_u16 = np.empty(0, np.uint16)
+        empty_val = np.empty(0, data.dtype)
+        for rg in np.nonzero(rg_scheme == C.SCHEME_ALP)[0]:
+            lo = rg * C.N_VECTORS_PER_ROWGROUP
+            hi = min(n_vec, lo + C.N_VECTORS_PER_ROWGROUP)
+            k = int(k_count[lo])
+            cb = combos[lo, :max(k, 1)].astype(np.int32)
+            res = nat.encode_f64(vectors[lo:hi], cb)
+            encoded[lo:hi] = res["encoded"]
+            fac[lo:hi] = res["fac"]
+            exp[lo:hi] = res["exp"]
+            bit_width[lo:hi] = res["bit_width"]
+            base[lo:hi] = res["base"]
+            exc_count[lo:hi] = res["exc_count"]
+            for v in range(lo, hi):
+                cnt = int(res["exc_count"][v - lo])
+                if cnt:
+                    exc_positions[v] = res["exc_positions"][v - lo, :cnt].copy()
+                    exc_values[v] = res["exc_values"][v - lo, :cnt].copy()
+                else:
+                    exc_positions[v] = empty_u16
+                    exc_values[v] = empty_val
+        bws_all = bit_width[alp_idx]
+        for bw in np.unique(bws_all):
+            sel = alp_idx[bws_all == bw]
+            pk = nat.ffor_pv(encoded[sel], int(bw), base[sel])
+            for r, v in enumerate(sel):
+                packed[v] = pk[r]
+    elif alp_idx.size:
         vals_dev = nm.values_from_np(vectors[alp_idx])
         res = oalp.encode_pipeline(vals_dev, combos[alp_idx],
                                    k_count[alp_idx], dtype=data.dtype)
@@ -364,8 +428,36 @@ def _decompress(col: CompressedColumn) -> np.ndarray:
     vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
     scheme = col.rg_scheme[vec_rg]
 
+    nat = None
+    if col.dtype == np.float64:
+        try:
+            from . import native as _nat
+            _nat.build()
+            nat = _nat
+        except Exception:
+            nat = None
+
     alp_idx = np.nonzero(scheme == C.SCHEME_ALP)[0]
-    if alp_idx.size:
+    if alp_idx.size and nat is not None:
+        # native fused falp decode, mixed bit widths in one call
+        packed_flat = np.concatenate(
+            [col.packed[v] for v in alp_idx] or
+            [np.empty(0, np.uint64)]).astype(np.uint64, copy=False)
+        sizes = np.array([len(col.packed[v]) for v in alp_idx], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(
+            np.int32)
+        decoded = nat.falp_f64(
+            packed_flat, offsets, col.bit_width[alp_idx],
+            col.base[alp_idx].astype(np.int64),
+            tc.fact_arr[col.fac[alp_idx]],
+            tc.frac_arr[col.exp[alp_idx]])
+        for r, v in enumerate(alp_idx):
+            row = decoded[r]
+            pos = col.exc_positions[v]
+            if len(pos):
+                row[pos] = col.exc_values[v]
+            out[v] = row
+    elif alp_idx.size:
         bws = col.bit_width[alp_idx]
         decoded = np.empty((len(alp_idx), C.VECTOR_SIZE), dtype=col.dtype)
         for bw in np.unique(bws):

@@ -32,8 +32,10 @@ def build(force: bool = False) -> pathlib.Path:
     if _LIB.exists() and not force \
             and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(_LIB), str(_SRC)]
+    # -ffp-contract=off: GCC's default contraction would fuse the magic
+    # add into an FMA and change the encode rounding semantics.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-o", str(_LIB), str(_SRC)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (OSError, subprocess.CalledProcessError) as e:
@@ -67,6 +69,18 @@ def ffor(values: np.ndarray, bw: int, base) -> np.ndarray:
     return out
 
 
+def ffor_pv(values: np.ndarray, bw: int, bases: np.ndarray) -> np.ndarray:
+    """Per-vector-base batched FFOR pack (u64)."""
+    n = values.shape[0]
+    out = np.zeros((n, bw * 16), np.uint64)
+    lib().alp_ffor_u64_pv(
+        _ptr(np.ascontiguousarray(values.view(np.uint64)), ctypes.c_uint64),
+        _ptr(out, ctypes.c_uint64), int(bw),
+        _ptr(np.ascontiguousarray(bases.view(np.uint64)), ctypes.c_uint64),
+        n)
+    return out
+
+
 def unffor(packed: np.ndarray, bw: int, base, ut) -> np.ndarray:
     ut = np.dtype(ut)
     n = packed.shape[0]
@@ -78,6 +92,57 @@ def unffor(packed: np.ndarray, bw: int, base, ut) -> np.ndarray:
     packed = np.ascontiguousarray(packed)
     fn(_ptr(packed, ct), _ptr(out, ct), int(bw), ct(int(base)), n)
     return out
+
+
+def init_f64(data: np.ndarray, offset: int):
+    """Rowgroup planning (sampler + top-k search + scheme decision).
+
+    Returns (scheme, combos [k, 2] int32, k)."""
+    from . import constants as C
+    tc = C.DOUBLE
+    combos = np.zeros((C.MAX_K_COMBINATIONS, 2), np.int32)
+    k = np.zeros(1, np.int32)
+    scheme = lib().alp_init_f64(
+        _ptr(np.ascontiguousarray(data), ctypes.c_double),
+        ctypes.c_long(len(data)), ctypes.c_long(offset),
+        _ptr(tc.exp_arr, ctypes.c_double), _ptr(tc.frac_arr, ctypes.c_double),
+        _ptr(tc.fact_arr, ctypes.c_int64), ctypes.c_double(tc.magic_number),
+        int(tc.max_exponent), ctypes.c_long(int(tc.rd_size_threshold_limit)),
+        _ptr(combos, ctypes.c_int32), _ptr(k, ctypes.c_int32))
+    return scheme, combos[:max(int(k[0]), 1)], int(k[0])
+
+
+def encode_f64(vectors: np.ndarray, combos: np.ndarray):
+    """Full ALP encode of [n, 1024] doubles sharing top-k candidates.
+
+    combos: [k, 2] int32 (e, f).  Returns dict of per-vector metadata,
+    patched encoded ints, and ragged exception lists — semantics
+    identical to the oracle/ops encode (reference encoder.hpp:241-418).
+    """
+    from . import constants as C
+    tc = C.DOUBLE
+    n = vectors.shape[0]
+    k = combos.shape[0]
+    fac = np.empty(n, np.uint8)
+    exp = np.empty(n, np.uint8)
+    bw = np.empty(n, np.uint8)
+    base = np.empty(n, np.int64)
+    encoded = np.empty((n, 1024), np.int64)
+    exc_values = np.empty((n, 1024), np.float64)
+    exc_positions = np.empty((n, 1024), np.uint16)
+    exc_count = np.empty(n, np.uint16)
+    lib().alp_encode_f64(
+        _ptr(np.ascontiguousarray(vectors), ctypes.c_double), n,
+        _ptr(np.ascontiguousarray(combos, ), ctypes.c_int32), k,
+        _ptr(tc.exp_arr, ctypes.c_double), _ptr(tc.frac_arr, ctypes.c_double),
+        _ptr(tc.fact_arr, ctypes.c_int64), ctypes.c_double(tc.magic_number),
+        _ptr(fac, ctypes.c_uint8), _ptr(exp, ctypes.c_uint8),
+        _ptr(bw, ctypes.c_uint8), _ptr(base, ctypes.c_int64),
+        _ptr(encoded, ctypes.c_int64), _ptr(exc_values, ctypes.c_double),
+        _ptr(exc_positions, ctypes.c_uint16), _ptr(exc_count, ctypes.c_uint16))
+    return {"fac": fac, "exp": exp, "bit_width": bw, "base": base,
+            "encoded": encoded, "exc_values": exc_values,
+            "exc_positions": exc_positions, "exc_count": exc_count}
 
 
 def falp_f64(packed_flat: np.ndarray, offsets: np.ndarray, bws: np.ndarray,

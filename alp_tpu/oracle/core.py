@@ -355,29 +355,65 @@ def find_top_k_combinations_fast(sample: np.ndarray, stt: AlpState,
     worst = (samples_size * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
              + samples_size * tc.exception_size)
     pairs = np.array(_ef_pairs(tc), np.int64)          # [P, 2] (e, f)
+    es, fs = pairs[:, 0], pairs[:, 1]
+
+    # fully-broadcast SAFE encode + decode over [n_vectors, P, s]
+    chunks = np.zeros((n_vectors, samples_size), tc.pt)
+    valid = np.zeros((n_vectors, samples_size), bool)
+    for i in range(n_vectors):
+        c = sample[i * samples_size:(i + 1) * samples_size]
+        chunks[i, :len(c)] = c
+        valid[i, :len(c)] = True
+    exp_c = tc.exp_arr[es][None, :, None]              # 10^e
+    frac_c = tc.frac_arr[fs][None, :, None]            # 10^-f
+    v = chunks[:, None, :]
+    with np.errstate(all="ignore"):
+        tmp = (v * exp_c) * frac_c
+        tmp64 = tmp.astype(np.float64)
+        impossible = (~np.isfinite(tmp64)
+                      | (tmp64 > C.ENCODING_UPPER_LIMIT)
+                      | (tmp64 < C.ENCODING_LOWER_LIMIT)
+                      | ((tmp64 == 0.0) & np.signbit(tmp64)))
+        rounded = (tmp + tc.pt.type(tc.magic_number)) - tc.pt.type(
+            tc.magic_number)
+        enc = _float_to_int_cast(rounded, tc)
+        if tc.st == np.int64:
+            fallback = tc.st.type(int(C.ENCODING_UPPER_LIMIT))
+        else:
+            fallback = tc.st.type(tc.int_min)
+        enc = np.where(impossible, fallback, enc)
+        # decode: wrapping int product then float multiply; model the
+        # float-path OOB factor read (fs == len(fact_arr)) as NaN
+        fact = np.zeros(len(pairs), tc.st)
+        valid_f = fs < len(tc.fact_arr)
+        fact[valid_f] = tc.fact_arr[fs[valid_f]]
+        m = enc * fact[None, :, None]
+        dec = m.astype(tc.pt) * tc.frac_arr[es][None, :, None]
+        dec[:, ~valid_f, :] = np.nan
+    ok3 = (dec == v) & valid[:, None, :]   # padded tail slots = exceptions
+    non_exc3 = ok3.sum(axis=2)
+    mx3 = np.where(ok3, enc, tc.st.type(tc.int_min)).max(axis=2)
+    mn3 = np.where(ok3, enc, tc.st.type(tc.int_max)).min(axis=2)
+    with np.errstate(over="ignore"):
+        delta3 = (mx3.view(tc.ut) - mn3.view(tc.ut))
+    # vectorised bit length (SWAR over the unsigned delta)
+    bits3 = np.zeros(delta3.shape, np.int64)
+    d = delta3.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        if s < tc.exact_type_bit_size:
+            big = (d >> tc.ut.type(s)) != 0
+            bits3 += np.where(big, s, 0)
+            d = np.where(big, d >> tc.ut.type(s), d)
+    bits3 += (d != 0)
+    est3 = (samples_size * bits3
+            + (samples_size - non_exc3)
+            * (tc.exception_size + C.EXCEPTION_POSITION_SIZE))
 
     global_combinations: dict[tuple[int, int], int] = {}
     best_estimated = worst
-    offset = 0
-    es, fs = pairs[:, 0], pairs[:, 1]
-    for _ in range(n_vectors):
-        chunk = sample[offset:offset + samples_size]
-        offset += samples_size
-        # encode/decode all pairs at once: [P, s]
-        enc = np.stack([encode_value_safe(chunk, f, e, tc)
-                        for e, f in pairs])
-        dec = np.stack([decode_value(enc[i], pairs[i, 1], pairs[i, 0], tc)
-                        for i in range(len(pairs))])
-        ok = dec == chunk[None, :]
-        non_exc = ok.sum(axis=1)
-        exc = samples_size - non_exc
-        mx = np.where(ok, enc, tc.st.type(tc.int_min)).max(axis=1)
-        mn = np.where(ok, enc, tc.st.type(tc.int_max)).min(axis=1)
-        mask = (1 << tc.exact_type_bit_size) - 1
-        delta = (mx.astype(object) - mn.astype(object))
-        bits = np.array([count_bits(int(d) & mask) for d in delta])
-        est = (samples_size * bits
-               + exc * (tc.exception_size + C.EXCEPTION_POSITION_SIZE))
+    for i in range(n_vectors):
+        non_exc = non_exc3[i]
+        est = est3[i]
         # Sequential accept rule (encoder.hpp:190-197) == lexicographic min
         # of (est, -e, -f) over pairs with est <= worst; ties at est==worst
         # against the (0, 0) initialisation resolve identically because

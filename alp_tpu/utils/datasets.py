@@ -138,6 +138,27 @@ DOUBLE_TEST_DATASET = [
     Column(0, "test_0", "double/test_0.csv", "", 0, 0, 0, 0, False, "float64"),
 ]
 
+# float/hurricane_isabel.hpp:10-33 — 20 f32 columns, binary-only; files
+# located via HURRICANE_ISABEL_DATASET_DIR_PATH (column.hpp:56-58).
+_HURRICANE_NAMES = [
+    "CLOUDf48", "CLOUDf48-log10", "PRECIPf48", "PRECIPf48-log10", "Pf48",
+    "QCLOUDf48", "QCLOUDf48-log10", "QGRAUPf48", "QGRAUPf48-log10",
+    "QICEf48", "QICEf48-log10", "QRAINf48", "QRAINf48-log10", "QSNOWf48",
+    "QSNOWf48-log10", "QVAPORf48", "TCf48", "Uf48", "Vf48", "Wf48",
+]
+HURRICANE_ISABEL = [
+    Column(i + 1, name, "",
+           name.replace("-log10", ".log10") + ".bin.f32",
+           0, 0, 0, 0, False, "float32")
+    for i, name in enumerate(_HURRICANE_NAMES)
+]
+
+
+def hurricane_dir() -> pathlib.Path | None:
+    p = os.environ.get("HURRICANE_ISABEL_DATASET_DIR_PATH")
+    return pathlib.Path(p) if p else None
+
+
 # float/sp.hpp — ML-weights suites (binary-only, full datasets).
 SP_DATASETS = [
     Column(1, "Dino-Vitb16", "", "sp_dino_vitb16.bin", 0, 0, 0, 0, True, "float32"),

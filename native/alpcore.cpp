@@ -90,6 +90,12 @@ void alp_unffor_u64(const uint64_t* in, uint64_t* out, int bw, uint64_t base,
     unffor_vec<uint64_t>(in + size_t(i) * bw * 16, out + size_t(i) * kVec,
                          uint8_t(bw), base);
 }
+void alp_ffor_u64_pv(const uint64_t* in, uint64_t* out, int bw,
+                     const uint64_t* bases, int n) {
+  for (int i = 0; i < n; ++i)
+    ffor_vec<uint64_t>(in + size_t(i) * kVec, out + size_t(i) * bw * 16,
+                       uint8_t(bw), bases[i]);
+}
 void alp_ffor_u32(const uint32_t* in, uint32_t* out, int bw, uint32_t base,
                   int n) {
   for (int i = 0; i < n; ++i)
@@ -167,6 +173,258 @@ void alp_rd_glue_f64(const uint64_t* right, const uint16_t* left_idx,
     out[k] = (uint64_t(dict[idx]) << rbw) | right[k];
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Full ALP vector encode (reference encoder.hpp:241-418 semantics).
+// Exact C++ double arithmetic gives the reference numerics natively;
+// this is the host-side encode engine (the TPU path uses ops.alp /
+// Pallas).  Constants are passed in from Python (alp_tpu.constants) so
+// there is a single source of truth.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct EncCtx64 {
+  const double* exp_arr;    // 10^i
+  const double* frac_arr;   // 10^-i
+  const int64_t* fact_arr;  // 10^i
+  double magic;             // 0x0018000000000000
+  double enc_upper;         // ENCODING_UPPER_LIMIT
+};
+
+inline int64_t encode_value64(double v, int f, int e, const EncCtx64& c) {
+  double tmp = v * c.exp_arr[e] * c.frac_arr[f];
+  tmp = tmp + c.magic - c.magic;
+  // x86 cvttsd2si semantics (out-of-range / NaN -> INT64_MIN)
+  if (!(tmp >= -9.223372036854776e18 && tmp < 9.223372036854776e18)) {
+    return INT64_MIN;
+  }
+  return int64_t(tmp);
+}
+
+inline double decode_value64(int64_t n, int f, int e, const EncCtx64& c) {
+  return double(int64_t(uint64_t(n) * uint64_t(c.fact_arr[f]))) *
+         c.frac_arr[e];
+}
+
+inline bool is_special64(double v) {
+  uint64_t bits;
+  std::memcpy(&bits, &v, 8);
+  return ((bits & 0x7FFFFFFFFFFFFFFFull) >= 0x7FF0000000000000ull) ||
+         bits == 0x8000000000000000ull;  // NaN/Inf/-0.0
+}
+
+}  // namespace
+
+extern "C" {
+
+// Second-level sampling + encode + patch + analyze for a batch of
+// vectors sharing a rowgroup's top-k (e, f) candidates.
+// combos: [k, 2] (e, f) pairs; outputs per vector: fac/exp/bw/base,
+// patched encoded ints, exception values+positions (capacity 1024 each),
+// exc_count.
+void alp_encode_f64(const double* data, int n_vectors,
+                    const int32_t* combos, int k,
+                    const double* exp_arr, const double* frac_arr,
+                    const int64_t* fact_arr, double magic,
+                    uint8_t* out_fac, uint8_t* out_exp, uint8_t* out_bw,
+                    int64_t* out_base, int64_t* out_encoded,
+                    double* out_exc_values, uint16_t* out_exc_positions,
+                    uint16_t* out_exc_count) {
+  EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
+  for (int vi = 0; vi < n_vectors; ++vi) {
+    const double* vec = data + size_t(vi) * kVec;
+    // --- second-level choice (encoder.hpp:241-305) -------------------
+    int fe = combos[0], ff = combos[1];
+    if (k > 1) {
+      // encoder.hpp:241-305: 32 strided samples, early exit after 2
+      // consecutive non-improvements.
+      int found_e = 0, found_f = 0;
+      long best = 0;
+      int worse = 0;
+      for (int ki = 0; ki < k; ++ki) {
+        const int e = combos[2 * ki], f = combos[2 * ki + 1];
+        int64_t mx = INT64_MIN, mn = INT64_MAX;
+        int exc = 0;
+        for (int s = 0; s < kVec; s += 32) {
+          const double v = vec[s];
+          // encode_value<SAFE=true> (is_impossible_to_encode guard)
+          const double tmp = v * exp_arr[e] * frac_arr[f];
+          int64_t n;
+          if (!std::isfinite(tmp) || tmp > 9223372036854774784.0 ||
+              tmp < -9223372036854774784.0 ||
+              (tmp == 0.0 && std::signbit(tmp))) {
+            n = int64_t(9223372036854774784.0);  // ENCODING_UPPER_LIMIT
+          } else {
+            n = encode_value64(v, f, e, ctx);
+          }
+          if (decode_value64(n, f, e, ctx) == v) {
+            if (n > mx) mx = n;
+            if (n < mn) mn = n;
+          } else {
+            ++exc;
+          }
+        }
+        int bits = 0;
+        {
+          uint64_t delta = uint64_t(mx) - uint64_t(mn);
+          while (delta) { ++bits; delta >>= 1; }
+        }
+        const long est = 32L * bits + exc * (64L + 16L);
+        if (ki == 0) {
+          best = est; found_e = e; found_f = f;
+        } else if (est < best) {
+          best = est; found_e = e; found_f = f; worse = 0;
+        } else if (++worse == 2) {
+          break;
+        }
+      }
+      fe = found_e; ff = found_f;
+    }
+    out_fac[vi] = uint8_t(ff);
+    out_exp[vi] = uint8_t(fe);
+
+    // --- encode_simdized (encoder.hpp:307-400) -----------------------
+    int64_t* enc = out_encoded + size_t(vi) * kVec;
+    double* excv = out_exc_values + size_t(vi) * kVec;
+    uint16_t* excp = out_exc_positions + size_t(vi) * kVec;
+    int n_exc = 0;
+    int64_t first_ok = 0;
+    bool any_ok = false;
+    for (int j = 0; j < kVec; ++j) {
+      double v = vec[j];
+      const double vr = is_special64(v) ? 9223372036854774784.0 : v;
+      const int64_t n = encode_value64(vr, ff, fe, ctx);
+      enc[j] = n;
+      if (decode_value64(n, ff, fe, ctx) != vr) {
+        excv[n_exc] = v;
+        excp[n_exc] = uint16_t(j);
+        ++n_exc;
+      } else if (!any_ok) {
+        first_ok = n;
+        any_ok = true;
+      }
+    }
+    for (int x = 0; x < n_exc; ++x) enc[excp[x]] = first_ok;
+    out_exc_count[vi] = uint16_t(n_exc);
+
+    // --- analyze_ffor (encoder.hpp:109-120) --------------------------
+    int64_t mx = enc[0], mn = enc[0];
+    for (int j = 1; j < kVec; ++j) {
+      if (enc[j] > mx) mx = enc[j];
+      if (enc[j] < mn) mn = enc[j];
+    }
+    uint64_t delta = uint64_t(mx) - uint64_t(mn);
+    int bits = 0;
+    while (delta) { ++bits; delta >>= 1; }
+    out_bw[vi] = uint8_t(bits);
+    out_base[vi] = mn;
+  }
+}
+
+// Rowgroup planning: first-level sampling + top-k (e, f) search +
+// scheme decision (reference sampler.hpp:15-52, encoder.hpp:139-235),
+// and the ALP_RD dictionary construction (rd.hpp:33-104).
+int alp_init_f64(const double* data, long data_size, long offset,
+                 const double* exp_arr, const double* frac_arr,
+                 const int64_t* fact_arr, double magic,
+                 int max_exponent, long rd_threshold,
+                 int32_t* out_combos /*[5][2] (e,f)*/, int32_t* out_k) {
+  EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
+  // --- first_level_sample (sampler.hpp) ------------------------------
+  constexpr int kRowgroupSize = 100 * kVec;
+  constexpr int kSamplesPerVec = 32;
+  constexpr int kRowgroupSamples = 8;
+  constexpr int kJump = 100 / kRowgroupSamples;  // ROWGROUP_SAMPLES_JUMP
+  double sample[kRowgroupSamples * 2 * kSamplesPerVec];
+  int n_sample = 0;
+  {
+    const long left = data_size - offset;
+    const long portion = left < kRowgroupSize ? left : kRowgroupSize;
+    const long avail_vec = (portion + kVec - 1) / kVec;
+    long idx = offset;
+    for (long vi = 0; vi < avail_vec; ++vi) {
+      const long cur = (data_size - idx) < kVec ? (data_size - idx) : kVec;
+      if (vi % kJump != 0) { idx += cur; continue; }
+      const long inc =
+          (cur + kSamplesPerVec - 1) / kSamplesPerVec > 0
+              ? (cur + kSamplesPerVec - 1) / kSamplesPerVec : 1;
+      if (cur < kSamplesPerVec && n_sample > 0) { idx += cur; continue; }
+      for (long j = 0; j < cur; j += inc) sample[n_sample++] = data[idx + j];
+      idx += cur;
+    }
+  }
+  // --- find_top_k_combinations (encoder.hpp:139-235) -----------------
+  const int ss = n_sample < kSamplesPerVec ? n_sample : kSamplesPerVec;
+  const int n_vec = ss ? (n_sample + ss - 1) / ss : 0;
+  const long worst = ss * (64L + 16L) + ss * 64L;
+  long best_estimated = worst;
+  // vote map over (e, f): max 19*20/2 pairs
+  int counts[32][32] = {};
+  for (int vi = 0; vi < n_vec; ++vi) {
+    const double* chunk = sample + vi * ss;
+    const int cn = (vi + 1) * ss <= n_sample ? ss : (n_sample - vi * ss);
+    int found_e = 0, found_f = 0;
+    long best = worst;
+    for (int e = max_exponent; e >= 0; --e) {
+      for (int f = e; f >= 0; --f) {
+        int64_t mx = INT64_MIN, mn = INT64_MAX;
+        int non_exc = 0;
+        for (int s = 0; s < cn; ++s) {
+          const double v = chunk[s];
+          const double tmp = v * exp_arr[e] * frac_arr[f];
+          int64_t n;
+          if (!std::isfinite(tmp) || tmp > 9223372036854774784.0 ||
+              tmp < -9223372036854774784.0 ||
+              (tmp == 0.0 && std::signbit(tmp))) {
+            n = int64_t(9223372036854774784.0);
+          } else {
+            n = encode_value64(v, f, e, ctx);
+          }
+          if (decode_value64(n, f, e, ctx) == v) {
+            ++non_exc;
+            if (n > mx) mx = n;
+            if (n < mn) mn = n;
+          }
+        }
+        if (non_exc < 2) continue;
+        int bits = 0;
+        uint64_t delta = uint64_t(mx) - uint64_t(mn);
+        while (delta) { ++bits; delta >>= 1; }
+        const long est = long(ss) * bits + (ss - non_exc) * (64L + 16L);
+        if (est < best || (est == best && found_e < e) ||
+            (est == best && found_e == e && found_f < f)) {
+          best = est; found_e = e; found_f = f;
+          if (best < best_estimated) best_estimated = best;
+        }
+      }
+    }
+    ++counts[found_e][found_f];
+  }
+  if (best_estimated >= rd_threshold) return 1;  // SCHEME_ALP_RD
+  // rank by (count desc, e desc, f desc), keep top 5
+  int k = 0;
+  for (int rank = 0; rank < 5; ++rank) {
+    int be = -1, bf = -1, bc = 0;
+    for (int e = max_exponent; e >= 0; --e)
+      for (int f = e; f >= 0; --f)
+        if (counts[e][f] > bc) { bc = counts[e][f]; be = e; bf = f; }
+    if (bc == 0) break;
+    out_combos[2 * rank] = be;
+    out_combos[2 * rank + 1] = bf;
+    counts[be][bf] = 0;
+    ++k;
+  }
+  if (k == 0) { out_combos[0] = 0; out_combos[1] = 0; k = 1; }
+  *out_k = k;
+  return 2;  // SCHEME_ALP
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Binary-file loader (mmap-free simple read; mirrors
 // data/include/data.hpp:16-40 binary branch).
