@@ -1,0 +1,51 @@
+"""Competitor codec sanity: sizes beat raw on compressible data, the
+Gorillas bitstream round-trips, and ALP beats the XOR family on the
+decimal datasets (the reference's headline claim, table_4.md)."""
+
+import numpy as np
+
+from alp_tpu import container
+from alp_tpu.competitors import (ALL_CODECS, gorillas_bits,
+                                 gorillas_roundtrip)
+from alp_tpu.utils import datasets, io
+
+
+def _city_temp():
+    col = [c for c in datasets.ALP_DATASET if c.name == "City-Temp"][0]
+    return io.read_csv(col.csv_path, np.float64)
+
+
+def test_codecs_compress_decimal_data():
+    data = _city_temp()
+    raw_bits = data.size * 64
+    for name, fn in ALL_CODECS.items():
+        bits = fn(data)
+        # Gorillas is known to expand noisy decimals slightly
+        # (published table_4.md shows ~60+ bits/value on such columns)
+        limit = raw_bits * (1.1 if name == "gorillas" else 1.0)
+        assert 0 < bits < limit, name
+
+
+def test_gorillas_roundtrip():
+    data = _city_temp()[:2048]
+    assert gorillas_roundtrip(data)
+    rng = np.random.default_rng(0)
+    noisy = rng.standard_normal(512)
+    assert gorillas_roundtrip(noisy)
+
+
+def test_alp_beats_xor_family_on_decimals():
+    data = _city_temp()
+    cc = container.compress(data)
+    alp_bits = cc.bits_per_value() * data.size
+    for name in ("gorillas", "chimp", "chimp128", "patas"):
+        assert alp_bits < ALL_CODECS[name](data), name
+
+
+def test_codecs_f32():
+    rng = np.random.default_rng(1)
+    # repeated readings: the regime the XOR family is designed for
+    data = np.repeat(np.round(rng.uniform(0, 50, 256), 1), 16).astype(
+        np.float32)
+    raw = data.size * 32
+    assert gorillas_bits(data) < raw
