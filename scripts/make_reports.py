@@ -1,0 +1,62 @@
+"""Generate the results/ artifacts: compression-ratio CSVs for the
+dataset suites (ALP + competitor codecs), mirroring the reference's
+benchmarks/result + publication/compression_ratio_result trees.
+
+Run from the repo root:  python scripts/make_reports.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from alp_tpu import container
+from alp_tpu.competitors import ALL_CODECS
+from alp_tpu.reports import RATIO_HEADER, _write_metadata
+from alp_tpu.utils import datasets, io
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results")
+
+
+def suite(columns, dtype, name):
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, f"compression_ratio_{name}.csv")
+    rows = []
+    for i, col in enumerate(columns, 1):
+        try:
+            data = io.read_column(col, prefer_binary=True)
+        except FileNotFoundError:
+            continue
+        cc = container.compress(data)
+        out = container.decompress(cc)
+        ut = np.uint64 if data.dtype == np.float64 else np.uint32
+        assert (out.view(ut) == data.view(ut)).all(), col.name
+        comp = {n: fn(data) / data.size for n, fn in ALL_CODECS.items()}
+        rows.append((i, col.name, cc.bits_per_value(), cc.n_rowgroups,
+                     cc.n_vectors, comp))
+        print(f"{col.name}: alp={cc.bits_per_value():.2f} "
+              + " ".join(f"{n}={v:.2f}" for n, v in comp.items()),
+              flush=True)
+    with open(path, "w") as f:
+        f.write("idx,column,alp_bits_per_value,rowgroups,vectors,"
+                + ",".join(ALL_CODECS) + "\n")
+        for i, nm, alp, nrg, nv, comp in rows:
+            f.write(f"{i},{nm},{alp:.2f},{nrg},{nv},"
+                    + ",".join(f"{comp[n]:.2f}" for n in ALL_CODECS) + "\n")
+    _write_metadata(path + ".metadata")
+    if rows:
+        avg = float(np.mean([r[2] for r in rows]))
+        print(f"== {name}: ALP suite average {avg:.2f} bits/value "
+              f"({len(rows)} columns)")
+
+
+if __name__ == "__main__":
+    suite(datasets.ALP_DATASET, np.float64, "double")
+    suite(datasets.FLOAT_TEST_DATASET, np.float32, "float_test")
+    suite(datasets.GENERATED_COLUMNS[:20], np.float64, "generated_bw0_19")

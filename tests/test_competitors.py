@@ -49,3 +49,17 @@ def test_codecs_f32():
         np.float32)
     raw = data.size * 32
     assert gorillas_bits(data) < raw
+
+
+def test_suite_average_matches_published():
+    """Suite-average ratio parity: published full-dataset ALL AVG is
+    21.7 bits/value (reference publication/tables/table_4.md:35); the
+    CSV samples land within noise of it."""
+    import math
+    totals = []
+    for col in datasets.ALP_DATASET:
+        data = io.read_csv(col.csv_path, np.float64)
+        cc = container.compress(data)
+        totals.append(cc.bits_per_value())
+    avg = sum(totals) / len(totals)
+    assert 20.0 < avg < 23.0, avg
