@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: exact ALP f64 vector encode.
+
+Computes ``n = (int64)((v * 10^e * 10^-f + MAGIC) - MAGIC)`` plus the
+decode-verify exception test (reference encoder.hpp:307-400) entirely on
+device, bit-exactly, using unpacked softfloat multiplies and the
+integer-path magic rounding (ops.softfloat.magic_round_to_i64).
+
+The only inputs outside the fast path's envelope are *subnormal* values
+(|v| < 2^-1022): those raise a ``rare`` flag and the affected vectors
+are re-encoded host-side (they are vanishingly rare in real columns and
+always decode-mismatch into exceptions anyway).  Overflowing and
+underflowing intermediates are exact: an overflowed multiply lands in
+the magic round's e>=104 region (INT64_MIN, the cast of ±Inf), an
+underflowing one in the e<=51 region's sticky tail (n = 0), matching
+the C++ double pipeline case-for-case.
+
+Layout: value bit planes [G, 64, 128] u32 x2 (hi/lo, kernels.layout
+plane_to_tile of each half), per-lane constant planes for 10^e / 10^-f /
+FACT.  Outputs: encoded int64 (hi, lo) planes, exception mask, rare mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..ops import softfloat as sf
+from ..ops.softfloat import U64
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_BLOCK_GROUPS = 8
+
+_UPPER_BITS = int(np.float64(C.ENCODING_UPPER_LIMIT).view(np.uint64))
+
+
+def encode_verify_f64(vbits: U64, c1sig: U64, c1b, c2sig: U64, c2b,
+                      fact: U64, frsig: U64, frb):
+    """Unpacked-softfloat ALP encode + verify; elementwise on U64 bits.
+
+    c1 = 10^exp (significand/biased-exp), c2 = 10^-fac, fact = FACT[fac]
+    (int64), fr = FRAC[exp] decomposed.  Returns (n, exc, rare).
+    """
+    # replace_specials (encoder.hpp:324-338)
+    mag_hi = vbits.hi & _U32(0x7FFFFFFF)
+    special = (mag_hi >= _U32(0x7FF00000)) | (
+        (vbits.hi == _U32(0x80000000)) & (vbits.lo == 0))
+    vr = U64(jnp.where(special, _U32(_UPPER_BITS >> 32), vbits.hi),
+             jnp.where(special, _U32(_UPPER_BITS & 0xFFFFFFFF), vbits.lo))
+
+    sign = vr.hi >> 31
+    be = ((vr.hi >> 20) & _U32(0x7FF)).astype(_I32)
+    is_zero = ((vr.hi & _U32(0x7FFFFFFF)) | vr.lo) == 0
+    rare = (be == 0) & ~is_zero                    # subnormal input
+    sig_v = U64((vr.hi & _U32(0xFFFFF)) | _U32(1 << 20), vr.lo)
+    e_v = be - 1023
+
+    sig1, e1 = sf.mul_by_normal_unpacked(sig_v, e_v, c1sig, c1b)
+    sig2, e2 = sf.mul_by_normal_unpacked(sig1, e1, c2sig, c2b)
+    n = sf.magic_round_to_i64(sign, e2, sig2)
+    zero32 = jnp.zeros_like(n.lo)
+    n = U64(jnp.where(is_zero, zero32, n.hi),
+            jnp.where(is_zero, zero32, n.lo))
+
+    # verify: decode and compare bits (decoder.hpp:128-131)
+    m = sf.mul64_low(n, fact)
+    d = sf.i64_to_f64_times_normal(m, frsig, frb)
+    exc = ~sf.eq64(d, vr)
+    return n, exc, rare
+
+
+def _encode_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
+                   frlo, frhi, out_hi, out_lo, out_exc, out_rare):
+    vbits = U64(vhi_ref[:], vlo_ref[:])
+
+    def dec_const(lo_ref, hi_ref):
+        """FRAC/EXP constant planes -> (sig, biased) broadcast [gb,1,128]."""
+        hi = hi_ref[:][:, None, :]
+        lo = lo_ref[:][:, None, :]
+        sig = U64((hi & _U32(0xFFFFF)) | _U32(1 << 20), lo)
+        biased = ((hi >> _U32(20)) & _U32(0x7FF)).astype(_I32)
+        return sig, biased
+
+    c1sig, c1b = dec_const(c1lo, c1hi)
+    c2sig, c2b = dec_const(c2lo, c2hi)
+    fact = U64(fhi[:][:, None, :], flo[:][:, None, :])
+    frsig, frb = dec_const(frlo, frhi)
+
+    n, exc, rare = encode_verify_f64(vbits, c1sig, c1b, c2sig, c2b,
+                                     fact, frsig, frb)
+    out_hi[:] = n.hi
+    out_lo[:] = n.lo
+    out_exc[:] = exc.astype(_U32)
+    out_rare[:] = rare.astype(_U32)
+
+
+@jax.jit
+def alp_encode_f64_tiles(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi,
+                         frlo, frhi):
+    """Encode value bit planes [G, 64, 128] x2 -> (n_hi, n_lo, exc, rare)
+    planes [G, 64, 128] each, in tile value order."""
+    G = vhi.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi,
+                      frlo, frhi))
+    Gp = G + pad
+    meta = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _encode_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] * 2 + [meta] * 8,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 4,
+        interpret=jax.default_backend() != "tpu",
+    )(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi)
+    return tuple(o[:G] for o in out)

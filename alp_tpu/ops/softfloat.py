@@ -610,6 +610,145 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
                jnp.where(zero, _u32(0), packed.lo))
 
 
+# ---------------------------------------------------------------------------
+# ALP encode fast path: v * 10^e * 10^-f + MAGIC - MAGIC, cast to int64,
+# computed exactly on unpacked operands with integer-only magic rounding.
+# Values outside the fast path's envelope (subnormal input, overflow /
+# subnormal intermediates) raise a `rare` flag for host-side fixup — on
+# real columns these are vanishingly rare (they always become exceptions).
+# ---------------------------------------------------------------------------
+
+# M * 8 as u32 limbs (M = 2^52 + 2^51); plain ints so traced functions
+# materialise them inside the trace (Pallas rejects captured arrays)
+_MAGIC8_HI = (3 << 54) >> 32
+_MAGIC8_LO = (3 << 54) & 0xFFFFFFFF
+
+
+def mul_by_normal_unpacked(sig_a: U64, e_a: jnp.ndarray,
+                           csig: U64, c_biased: jnp.ndarray):
+    """(sig_a * 2^(e_a-52)) * c for normal positive c given by
+    significand/biased-exponent; inputs and outputs are unpacked
+    normalized significands in [2^52, 2^53) with unbiased exponents.
+    Correctly rounded (RNE).  Sign is handled by the caller."""
+    p = umul64_wide(sig_a, csig)                  # [2^104, 2^106)
+    bit105 = (p.x3 >> 9) & _u32(1)
+    lo52 = (p.x1 >> 20) | (p.x2 << 12)
+    hi52 = (p.x2 >> 20) | (p.x3 << 12)
+    lo53 = (p.x1 >> 21) | (p.x2 << 11)
+    hi53 = (p.x2 >> 21) | (p.x3 << 11)
+    up = bit105 == 1
+    kept = U64(jnp.where(up, hi53, hi52) & _u32(0x1FFFFF),
+               jnp.where(up, lo53, lo52))
+    guard = jnp.where(up, (p.x1 >> 20) & _u32(1), (p.x1 >> 19) & _u32(1))
+    low_mask = jnp.where(up, _u32(0xFFFFF), _u32(0x7FFFF))
+    sticky = (p.x0 | (p.x1 & low_mask)) != 0
+    round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+    sig = add64(kept, U64(_u32(0) * kept.hi, round_up.astype(_U32)))
+    carry = (sig.hi >> 21) & _u32(1)              # rounded to 2^53
+    sig = U64(jnp.where(carry == 1, _u32(1 << 20), sig.hi), sig.lo)
+    e_out = (e_a + bit105.astype(_I32) + carry.astype(_I32)
+             + c_biased.astype(_I32) - 1023)
+    return sig, e_out
+
+
+def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64):
+    """Exact ``(int64)((x + MAGIC) - MAGIC)`` for x = ±sig2·2^(e2-52)
+    (normal), with x86 cast semantics, as pure integer arithmetic.
+
+    Three exact regions (derivation in the module docstring of the
+    encode kernel): |x| < 2^52 via 1/8-fixed-point around M; e2 in
+    [52, 103] via ulp-scaled integer add (M is a multiple of ulp(x)
+    there); e2 >= 104 gives |result| >= 2^103 -> INT64_MIN regardless
+    of the ±ulp wobble of the two additions."""
+    zero = jnp.zeros_like(sig2.lo)
+    # ---- region A: e2 <= 51 (|x| < 2^52): T8 = M*8 ± x*8 -------------
+    sh = 49 - e2                                   # x*8 = sig2 >> sh
+    shr_amt = _u32(jnp.minimum(jnp.maximum(sh, _I32(0)), _I32(63)))
+    shl_amt = _u32(jnp.minimum(jnp.maximum(-sh, _I32(0)), _I32(2)))
+    x8_r = shr64(sig2, shr_amt)
+    dropped = ~eq64(shl64(x8_r, shr_amt), sig2)    # any bits lost
+    x8 = U64(jnp.where(sh >= 0, x8_r.hi, shl64(sig2, shl_amt).hi),
+             jnp.where(sh >= 0, x8_r.lo, shl64(sig2, shl_amt).lo))
+    stickyA = (sh >= 0) & dropped
+    m8 = U64(_u32(_MAGIC8_HI) + zero, _u32(_MAGIC8_LO) + zero)
+    t_add = add64(m8, x8)
+    # subtraction with sticky borrow: M8 - x8_trunc - sticky
+    t_sub = sub64(sub64(m8, x8), U64(zero, stickyA.astype(_U32)))
+    t8 = U64(jnp.where(sign == 1, t_sub.hi, t_add.hi),
+             jnp.where(sign == 1, t_sub.lo, t_add.lo))
+    # round T8 (scale 1/8) to 53 significant bits; T8 in (2^54, 2.5*2^55)
+    # so its msb is 54, 55 or 56: drop k = msb - 52 in {2, 3, 4} bits
+    msb56 = (t8.hi >> 24) != 0
+    msb55 = (t8.hi >> 23) != 0
+    k = jnp.where(msb56, _u32(4), jnp.where(msb55, _u32(3), _u32(2)))
+    keptA = shr64(t8, k)
+    g_bit = shr64(t8, k - _u32(1)).lo & _u32(1)
+    low = sub64(t8, shl64(shr64(t8, k - _u32(1)), k - _u32(1)))
+    stA = (~is_zero64(low)) | stickyA
+    upA = (g_bit == 1) & (stA | ((keptA.lo & _u32(1)) == 1))
+    s_scaled = add64(keptA, U64(zero, upA.astype(_U32)))   # s * 8 >> k
+    s8 = shl64(s_scaled, k)                        # s * 8 (exact mult of 4)
+    r8_mag_neg = sub64(m8, s8)                     # when s < M (sign flip)
+    r8_pos = sub64(s8, m8)
+    r_neg = ltu64(s8, m8)
+    r8_mag = U64(jnp.where(r_neg, r8_mag_neg.hi, r8_pos.hi),
+                 jnp.where(r_neg, r8_mag_neg.lo, r8_pos.lo))
+    nA_mag = shr64(r8_mag, _u32(3))                # trunc toward zero
+    negA = r_neg                                   # r = s - M, sign from s<M
+    neg_nA = neg64(nA_mag)
+    nA = U64(jnp.where(negA, neg_nA.hi, nA_mag.hi),
+             jnp.where(negA, neg_nA.lo, nA_mag.lo))
+
+    # ---- region B: 52 <= e2 <= 103 ------------------------------------
+    # M is an exact multiple of ulp(x) = 2^(e2-52) here.  Negative x:
+    # x + M cancels (|x| in [M/2, 2M] or |x| - M fits), both adds are
+    # exact, r = x -> n = trunc(x) = ±sig2 << (e2-52).  Positive x:
+    # sum = sig2 + M/ulp may need 54 bits (round RNE once), and
+    # s - M = 2*s2 - Msc may need 54 bits again (round RNE once more).
+    eb = jnp.minimum(jnp.maximum(e2 - 52, _I32(0)), _I32(51)).astype(_U32)
+    msc = shr64(U64(_u32(0x180000) + zero, zero), eb)   # M = 3<<51
+    sumB = add64(sig2, msc)
+    has54 = (sumB.hi >> 21) != 0                   # sum >= 2^53
+    gB = sumB.lo & _u32(1)
+    half = shr64(sumB, _u32(1))
+    upB = (gB == 1) & ((half.lo & _u32(1)) == 1)   # RNE, no sticky below
+    s2 = add64(half, U64(zero, upB.astype(_U32)))
+    r54 = sub64(shl64(s2, _u32(1)), msc)
+    need2 = (r54.hi >> 21) != 0                    # r >= 2^53: round again
+    g2 = r54.lo & _u32(1)
+    h2 = shr64(r54, _u32(1))
+    up2 = (g2 == 1) & ((h2.lo & _u32(1)) == 1)
+    r54b = shl64(add64(h2, U64(zero, up2.astype(_U32))), _u32(1))
+    r_pos = U64(jnp.where(need2, r54b.hi, r54.hi),
+                jnp.where(need2, r54b.lo, r54.lo))
+    use_exact = (~has54) | (sign == 1)
+    r_int = U64(jnp.where(use_exact, sig2.hi, r_pos.hi),
+                jnp.where(use_exact, sig2.lo, r_pos.lo))
+    # n = ± r_int << (e2 - 52); overflow (>= 2^63) -> INT64_MIN unless
+    # the value is exactly -2^63 (same bit pattern either way).
+    nB_mag = shl64(r_int, eb)
+    # overflow iff r_int >= 2^(115 - e2)  <=>  bitlen(r_int) > 115 - e2
+    bl = jnp.where((r_int.hi >> 22) != 0, _I32(55),
+                   jnp.where((r_int.hi >> 21) != 0, _I32(54),
+                             jnp.where((r_int.hi >> 20) != 0, _I32(53),
+                                       _I32(52))))
+    ofB = bl > (115 - e2)
+    neg_nB = neg64(nB_mag)
+    nB = U64(jnp.where(sign == 1, neg_nB.hi, nB_mag.hi),
+             jnp.where(sign == 1, neg_nB.lo, nB_mag.lo))
+    int_min = U64(_u32(0x80000000) + zero, zero)
+    nB = U64(jnp.where(ofB, int_min.hi, nB.hi),
+             jnp.where(ofB, int_min.lo, nB.lo))
+
+    # ---- select region -------------------------------------------------
+    in_A = e2 <= 51
+    in_D = e2 >= 104
+    n = U64(jnp.where(in_A, nA.hi, nB.hi), jnp.where(in_A, nA.lo, nB.lo))
+    n = U64(jnp.where(in_D, int_min.hi, n.hi),
+            jnp.where(in_D, int_min.lo, n.lo))
+    return n
+
+
 def f64_to_i64_x86(a: U64) -> U64:
     """Truncating double -> int64 cast with x86 cvttsd2si semantics:
     NaN and out-of-range produce INT64_MIN (reference casts rely on this,

@@ -1,0 +1,104 @@
+"""Device ALP f64 encode: unpacked softfloat + integer magic rounding
+vs the oracle, elementwise and through the Pallas kernel (interpret)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from alp_tpu import constants as C
+from alp_tpu.kernels import layout
+from alp_tpu.kernels.encode import alp_encode_f64_tiles, encode_verify_f64
+from alp_tpu.ops.softfloat import U64, u64_to_np
+from alp_tpu.oracle import core as ocore
+
+tc = C.DOUBLE
+rng = np.random.default_rng(11)
+
+
+def _split(u):
+    return U64(jnp.asarray((u >> np.uint64(32)).astype(np.uint32)),
+               jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+
+
+def _const(u):
+    u = int(u)
+    hi, lo = jnp.uint32(u >> 32), jnp.uint32(u & 0xFFFFFFFF)
+    sig = U64((hi & jnp.uint32(0xFFFFF)) | jnp.uint32(1 << 20), lo)
+    return sig, jnp.int32((u >> 52) & 0x7FF)
+
+
+def _oracle(vals, f, e):
+    replaced = ocore.replace_specials(vals, tc)
+    n = ocore.encode_value_unsafe(replaced, f, e, tc)
+    dec = ocore.decode_value(n, f, e, tc)
+    return n, dec.view(np.uint64) != replaced.view(np.uint64)
+
+
+@pytest.mark.parametrize("e,f", [(14, 12), (18, 0), (9, 5), (0, 0),
+                                 (16, 16)])
+def test_encode_verify_matches_oracle(e, f):
+    vals = np.concatenate([
+        np.round(rng.uniform(-1e4, 1e4, 1500), 3),
+        rng.uniform(-1e16, 1e16, 800),
+        rng.standard_normal(500) * np.exp(rng.uniform(-250, 250, 500)),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 2.0**52,
+                  -(2.0**52), 1e308, 0.1]),
+    ])
+    c1 = _const(np.float64(tc.exp_arr[e]).view(np.uint64))
+    c2 = _const(np.float64(tc.frac_arr[f]).view(np.uint64))
+    fact = np.uint64(np.int64(tc.fact_arr[f]).view(np.uint64))
+    fr = _const(np.float64(tc.frac_arr[e]).view(np.uint64))
+    factu = U64(jnp.uint32(int(fact) >> 32), jnp.uint32(int(fact) & 0xFFFFFFFF))
+    n, exc, rare = jax.jit(lambda vb: encode_verify_f64(
+        vb, *c1, *c2, factu, *fr))(_split(vals.view(np.uint64)))
+    n_np = u64_to_np(n).view(np.int64)
+    rare_np = np.asarray(rare)
+    n_exp, exc_exp = _oracle(vals, f, e)
+    ok = (n_np == n_exp) | rare_np
+    assert ok.all(), np.nonzero(~ok)
+    assert ((np.asarray(exc) == exc_exp) | rare_np).all()
+    # only subnormals are rare
+    assert rare_np.sum() == ((np.abs(vals) < 2.3e-308)
+                             & (vals != 0) & np.isfinite(vals)).sum()
+
+
+def test_encode_kernel_tiles():
+    n = 16
+    vals = np.round(rng.uniform(-500, 500, (n, 1024)), 2)
+    vals[0, :4] = [np.nan, -np.inf, -0.0, 0.0]
+    e, f = 14, 12
+    bits = vals.view(np.uint64)
+    vhi = jnp.asarray(layout.plane_to_tile(
+        (bits >> np.uint64(32)).astype(np.uint32), 64))
+    vlo = jnp.asarray(layout.plane_to_tile(
+        (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32), 64))
+
+    def planes(u):
+        return (jnp.asarray(layout.lane_expand(
+                    (u & np.uint64(0xFFFFFFFF)).astype(np.uint32), 64)),
+                jnp.asarray(layout.lane_expand(
+                    (u >> np.uint64(32)).astype(np.uint32), 64)))
+
+    exp_a = np.full(n, e)
+    fac_a = np.full(n, f)
+    c1lo, c1hi = planes(tc.exp_arr[exp_a].view(np.uint64))
+    c2lo, c2hi = planes(tc.frac_arr[fac_a].view(np.uint64))
+    flo, fhi = planes(tc.fact_arr[fac_a].view(np.uint64))
+    frlo, frhi = planes(tc.frac_arr[exp_a].view(np.uint64))
+    nhi, nlo, excp, rarep = alp_encode_f64_tiles(
+        vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi)
+
+    G = nhi.shape[0]
+    t = np.empty((G, 128, 128), np.uint32)
+    t[:, 0::2, :] = np.asarray(nlo)
+    t[:, 1::2, :] = np.asarray(nhi)
+    got_n = layout.tile_to_values(t, 64, np.int64, n)
+    t[:, 0::2, :] = np.asarray(excp)
+    t[:, 1::2, :] = 0
+    got_exc = layout.tile_to_values(t, 64, np.uint64, n) != 0
+
+    n_exp, exc_exp = _oracle(vals.reshape(-1), f, e)
+    assert not np.asarray(rarep).any()
+    np.testing.assert_array_equal(got_n.reshape(-1), n_exp)
+    np.testing.assert_array_equal(got_exc.reshape(-1), exc_exp)
