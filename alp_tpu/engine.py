@@ -56,6 +56,45 @@ def query_sum(col) -> float:
     return float(total)
 
 
+def make_sum_step(plan):
+    """Staged SUM query: returns (step, args) where ``step(carry, *args)``
+    runs fused decode + on-device reduction for every bucket in ONE
+    jittable program (benchlib.loop_bench-compatible).  This is the
+    steady-state query shape — plan built once, queries repeated — the
+    reference's q1 pipeline analog."""
+    from .kernels import falp as kfalp
+    groups = plan.groups
+
+    def step(carry, *metas):
+        total = jnp.zeros((), jnp.float32)
+        acc = carry
+        i = 0
+        for g in groups:
+            if g.scheme == C.SCHEME_ALP_RD:
+                right, left = metas[i], metas[i + 1]
+                hi, lo = kfalp.rd_decode_f64(right, left ^ carry, rbw=g.bw)
+                i += 2
+            else:
+                tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]
+                hi, lo = kfalp.falp_decode_f64(
+                    tiles, blo ^ carry, bhi, flo, fhi, frlo, frhi, bw=g.bw)
+                i += 7
+            u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
+                jnp.uint64)
+            vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
+            total = total + vals.astype(jnp.float32).sum()
+            acc = acc ^ hi[0, 0, 0]
+        return acc ^ total.view(jnp.uint32).astype(jnp.uint32)
+
+    metas = []
+    for g in groups:
+        if g.scheme == C.SCHEME_ALP_RD:
+            metas += [g.tiles, g.meta[0]]
+        else:
+            metas += [g.tiles, *g.meta]
+    return step, tuple(metas)
+
+
 def query_scan(col):
     """SCAN: full decompression on device; returns the decode plan's
     patched planes (device arrays) for downstream operators."""
