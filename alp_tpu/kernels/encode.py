@@ -101,6 +101,28 @@ def _encode_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
 
 
 @jax.jit
+def analyze_planes_f64(nhi, nlo):
+    """analyze_ffor on device: encoded int64 (hi, lo) planes
+    [G, 64, 128] -> per-vector (bit_width, base) in group-major vector
+    order [G*8].  XLA (not Pallas): 64-bit emulation is fine for a
+    min/max reduction."""
+    G = nhi.shape[0]
+    u = (nhi.astype(jnp.uint64) << jnp.uint64(32)) | nlo.astype(jnp.uint64)
+    i = u.astype(jnp.int64).reshape(G, 64, 8, 16)
+    mn = i.min(axis=(1, 3)).reshape(-1)
+    mx = i.max(axis=(1, 3)).reshape(-1)
+    delta = (mx.astype(jnp.uint64) - mn.astype(jnp.uint64))
+    bw = jnp.zeros(delta.shape, jnp.int32)
+    d = delta
+    for s in (32, 16, 8, 4, 2, 1):
+        big = (d >> jnp.uint64(s)) != 0
+        bw = bw + jnp.where(big, jnp.int32(s), 0)
+        d = jnp.where(big, d >> jnp.uint64(s), d)
+    bw = bw + (d != 0).astype(jnp.int32)
+    return bw, mn
+
+
+@jax.jit
 def alp_encode_f64_tiles(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi,
                          frlo, frhi):
     """Encode value bit planes [G, 64, 128] x2 -> (n_hi, n_lo, exc, rare)

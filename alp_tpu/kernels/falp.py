@@ -406,6 +406,67 @@ def _ffor_kernel(values_ref, base_lo, base_hi, out_ref, *,
         out_ref[:, j, :] = acc
 
 
+def _ffor_planes_kernel(vhi_ref, vlo_ref, base_lo, base_hi, out_ref, *,
+                        bw: int):
+    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    mask_lo = _U32((1 << min(bw, 32)) - 1 if bw < 32 else 0xFFFFFFFF)
+    mask_hi = _U32((1 << (bw - 32)) - 1) if 32 < bw < 64 else (
+        _U32(0xFFFFFFFF) if bw == 64 else _U32(0))
+    d = _u64_sub(U64(vhi_ref[:], vlo_ref[:]), base)
+    d = U64(d.hi & mask_hi, d.lo & mask_lo)
+    deltas = [U64(d.hi[:, v, :], d.lo[:, v, :]) for v in range(64)]
+    for j in range(2 * bw):
+        lo_bit = 32 * j
+        acc = None
+        for v in range(64):
+            off = v * bw
+            if off + bw <= lo_bit or off >= lo_bit + 32:
+                continue
+            rel = off - lo_bit
+            dv = deltas[v]
+            if rel >= 0:
+                term = (dv.lo << _U32(rel)) if rel else dv.lo
+            else:
+                k = -rel
+                if k < 32:
+                    term = (dv.lo >> _U32(k)) | (dv.hi << _U32(32 - k))
+                elif k == 32:
+                    term = dv.hi
+                else:
+                    term = dv.hi >> _U32(k - 32)
+            acc = term if acc is None else (acc | term)
+        out_ref[:, j, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def ffor_planes_f64(vhi, vlo, base_lo, base_hi, *, bw: int):
+    """FOR + pack int64 (hi, lo) planes [G, 64, 128] -> [G, 2*bw, 128]."""
+    G = vhi.shape[0]
+    if bw == 0:
+        return jnp.zeros((G, 0, 128), jnp.uint32)
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        vhi, vlo, base_lo, base_hi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (vhi, vlo, base_lo, base_hi))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ffor_planes_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] * 2
+        + [meta_spec, meta_spec],
+        out_specs=pl.BlockSpec((gb, 2 * bw, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 2 * bw, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(vhi, vlo, base_lo, base_hi)
+    return out[:G]
+
+
 @functools.partial(jax.jit, static_argnames=("bw", "element_bits"))
 def ffor_tile(values, base_lo, base_hi, *, bw: int, element_bits: int):
     """FOR + bit-pack value tiles [G, S*lpb, 128] -> [G, lpb*bw, 128]."""

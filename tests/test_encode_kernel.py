@@ -102,3 +102,38 @@ def test_encode_kernel_tiles():
     assert not np.asarray(rarep).any()
     np.testing.assert_array_equal(got_n.reshape(-1), n_exp)
     np.testing.assert_array_equal(got_exc.reshape(-1), exc_exp)
+
+
+def test_analyze_planes_and_ffor_planes():
+    from alp_tpu.kernels.encode import analyze_planes_f64
+    from alp_tpu.kernels import falp as kfalp
+    from alp_tpu.oracle import core as ocore
+    from alp_tpu.oracle import fastlanes as ofl
+
+    n = 16
+    ints = rng.integers(-(1 << 30), 1 << 30, (n, 1024), dtype=np.int64)
+    bits = ints.view(np.uint64)
+    nhi = jnp.asarray(layout.plane_to_tile(
+        (bits >> np.uint64(32)).astype(np.uint32), 64))
+    nlo = jnp.asarray(layout.plane_to_tile(
+        (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32), 64))
+    bw, base = analyze_planes_f64(nhi, nlo)
+    # group-major vector order == original order (vectors are consecutive)
+    for v in range(n):
+        obw, obase = ocore.analyze_ffor(ints[v], tc)
+        assert int(bw[v]) == obw, v
+        assert int(base[v]) == obase, v
+
+    # pack with a shared bw via the planes kernel, compare vs oracle
+    target_bw = int(np.asarray(bw).max())
+    bases = np.asarray(base)
+    blo = jnp.asarray(layout.lane_expand(
+        (bases.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        64))
+    bhi = jnp.asarray(layout.lane_expand(
+        (bases.view(np.uint64) >> np.uint64(32)).astype(np.uint32), 64))
+    packed_tiles = kfalp.ffor_planes_f64(nhi, nlo, blo, bhi, bw=target_bw)
+    ref = layout.tile_to_ref(np.asarray(packed_tiles), target_bw, 64, n)
+    for v in range(n):
+        expect = ofl.ffor_pack(ints[v], target_bw, np.int64(bases[v]))
+        np.testing.assert_array_equal(ref[v], expect)
