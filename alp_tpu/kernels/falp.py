@@ -36,7 +36,10 @@ _U32 = jnp.uint32
 
 # Groups per grid step.  8 groups = 64 double vectors per block; worst-case
 # VMEM (bw=64): in 8*128*128*4 = 512 KiB + out 2*8*64*128*4 = 512 KiB.
+# Float tiles are 4x smaller, so the f32 kernels use larger blocks to
+# amortise per-step overhead (measured optimum ~16 groups).
 _BLOCK_GROUPS = 8
+_BLOCK_GROUPS_F32 = 16
 
 
 def _interpret() -> bool:
@@ -173,7 +176,7 @@ def falp_decode_f32(packed, base, fact, frac_bits, *, bw: int):
     i32->f32 convert, IEEE f32 multiply.
     """
     G = packed.shape[0]
-    gb = min(_BLOCK_GROUPS, max(G, 1))
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
     pad = (-G) % gb
     if pad:
         packed, base, fact, frac_bits = (
@@ -264,7 +267,7 @@ def _rd_f32_kernel(right_ref, left_ref, out, *, rbw: int):
 def rd_decode_f32(right_packed, left_resolved, *, rbw: int):
     """Fused ALP_RD float decode -> [G, 32, 128] f32 bit planes."""
     G = right_packed.shape[0]
-    gb = min(_BLOCK_GROUPS, max(G, 1))
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
     pad = (-G) % gb
     if pad:
         right_packed, left_resolved = (
