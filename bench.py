@@ -33,7 +33,7 @@ DATASETS = [
     "nyc29_tw.bin",                  # bw ~42
     "gov26_tw.bin",                  # bw ~0
 ]
-TARGET_VECTORS = 16 * 1024           # 128 MiB decoded per dataset
+TARGET_VECTORS = 32 * 1024           # 256 MiB decoded per dataset
 ITERS = 40
 
 

@@ -54,11 +54,13 @@ def speed_figure():
     # Headline kernel numbers recorded in round-1 benchmarks (DEVNOTES /
     # BENCH history); refreshed manually as benches rerun.
     data = {
-        "falp decode f64 (suite avg)": 65.0,
-        "ALP_RD decode f64": 64.6,
-        "unFFOR f64": 70.0,
+        "falp decode f64 (suite avg)": 85.7,
+        "ALP_RD decode f64": 83.8,
+        "unFFOR f64": 100.8,
         "encode f64 (exact)": 11.7,
         "encode f32 (native ops)": 23.7,
+        "falp decode f32": 94.8,
+        "e2e SUM query": 26.2,
     }
     fig, ax = plt.subplots(figsize=(8, 4))
     ax.barh(list(data)[::-1], list(data.values())[::-1])
