@@ -96,3 +96,12 @@ def test_device_decode_plan_f32():
     vals = kdecode.decompress_device(cc)
     expect = container.decompress(cc)
     _assert_bitexact(vals.reshape(-1)[:cc.n_values], expect)
+
+
+def test_device_decode_plan_rd_f32():
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal(8192).astype(np.float32)  # high precision
+    cc = container.compress(data)
+    assert (cc.rg_scheme == C.SCHEME_ALP_RD).all()
+    vals = kdecode.decompress_device(cc)
+    _assert_bitexact(vals.reshape(-1)[:cc.n_values], data)
