@@ -39,3 +39,17 @@ if not _os.environ.get("ALP_TPU_NO_COMPILE_CACHE"):
 
 from . import constants
 from . import oracle
+
+
+def compress(data):
+    """Compress a 1-D float64/float32 numpy array (adaptive ALP/ALP_RD).
+
+    Top-level alias for :func:`alp_tpu.container.compress`."""
+    from . import container
+    return container.compress(data)
+
+
+def decompress(col):
+    """Bit-exact inverse of :func:`compress`."""
+    from . import container
+    return container.decompress(col)

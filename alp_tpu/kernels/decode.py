@@ -114,8 +114,12 @@ def build_plan(col) -> DecodePlan:
             return jnp.asarray(layout.lane_expand(full, eb))
 
         if col.dtype == np.float64:
-            base_u = col.base[sel].view(np.uint64)
-            blo, bhi = _u64_planes(base_u)
+            # fold the FOR base into the decode multiply: bf = base * FACT
+            # (wrapping int64), per vector
+            with np.errstate(over="ignore"):
+                bf = (col.base[sel].astype(np.int64)
+                      * tc.fact_arr[col.fac[sel]])
+            blo, bhi = _u64_planes(bf.view(np.uint64))
             fact_u = tc.fact_arr[col.fac[sel]].view(np.uint64)
             flo, fhi = _u64_planes(fact_u)
             frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)

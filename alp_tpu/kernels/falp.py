@@ -94,12 +94,17 @@ def _unpack_all(packed_ref, bw: int, slots: int, lpb: int) -> U64:
                jnp.stack([u.lo for u in vals], axis=1))
 
 
-def _falp_f64_kernel(packed_ref, base_lo, base_hi, fact_lo, fact_hi,
+def _falp_f64_kernel(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
                      frac_lo, frac_hi, out_hi, out_lo, *, bw: int):
     # One softfloat graph over [gb, 64, 128]: unpack is 64 small static-shift
     # expressions; the FACT multiply / i64->f64 / FRAC multiply are single
     # whole-block vector ops (VPU-shaped, fast to trace and compile).
-    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    #
+    # (u + base) * FACT distributes over the wrapping product:
+    # m = u * FACT + base * FACT, and base*FACT is per-vector constant, so
+    # the bf planes carry it precomputed — one add64 replaces the base add
+    # AND, for bw <= 32, u.hi == 0 halves the 64-bit multiply.
+    basefact = U64(bf_hi[:][:, None, :], bf_lo[:][:, None, :])
     fact = U64(fact_hi[:][:, None, :], fact_lo[:][:, None, :])
     # FRAC = 10^-e is always normal and positive: split bits into
     # significand (implicit bit restored) + biased exponent once per block.
@@ -109,20 +114,29 @@ def _falp_f64_kernel(packed_ref, base_lo, base_hi, fact_lo, fact_hi,
     f_biased = (fr_hi >> _U32(20)) & _U32(0x7FF)
     if bw == 0:
         shape = out_hi.shape
-        ints = U64(jnp.broadcast_to(base.hi, shape),
-                   jnp.broadcast_to(base.lo, shape))
+        m = U64(jnp.broadcast_to(basefact.hi, shape),
+                jnp.broadcast_to(basefact.lo, shape))
     else:
-        ints = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
-    m = sf.mul64_low(ints, fact)
+        u = _unpack_all(packed_ref, bw, 64, 2)
+        if bw <= 32:
+            p = sf.umul32_wide(u.lo, fact.lo)
+            prod = U64(p.hi + u.lo * fact.hi, p.lo)
+        else:
+            prod = sf.mul64_low(u, fact)
+        m = _u64_add(prod, basefact)
     r = sf.i64_to_f64_times_normal(m, fsig, f_biased)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("bw",))
-def falp_decode_f64(packed, base_lo, base_hi, fact_lo, fact_hi,
+def falp_decode_f64(packed, bf_lo, bf_hi, fact_lo, fact_hi,
                     frac_lo, frac_hi, *, bw: int):
     """Fused unFFOR + *FACT + i64->f64 + *FRAC on [G, 2*bw, 128] tiles.
+
+    ``bf`` planes carry the per-vector constant ``base * FACT[fac]``
+    (wrapping int64 product, precomputed at plan build) — the FOR base
+    folds into the decode multiply by distributivity.
 
     Returns (hi, lo) u32 planes of f64 bit patterns, [G, 64, 128] each, in
     tile value order.  Exceptions are patched by the caller (scatter), as
@@ -132,9 +146,9 @@ def falp_decode_f64(packed, base_lo, base_hi, fact_lo, fact_hi,
     gb = min(_BLOCK_GROUPS, max(G, 1))
     pad = (-G) % gb
     if pad:
-        packed, base_lo, base_hi, fact_lo, fact_hi, frac_lo, frac_hi = (
+        packed, bf_lo, bf_hi, fact_lo, fact_hi, frac_lo, frac_hi = (
             jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-            for a in (packed, base_lo, base_hi, fact_lo, fact_hi,
+            for a in (packed, bf_lo, bf_hi, fact_lo, fact_hi,
                       frac_lo, frac_hi))
     Gp = G + pad
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
@@ -149,7 +163,7 @@ def falp_decode_f64(packed, base_lo, base_hi, fact_lo, fact_hi,
         out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
         interpret=_interpret(),
     )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
-      base_lo, base_hi, fact_lo, fact_hi, frac_lo, frac_hi)
+      bf_lo, bf_hi, fact_lo, fact_hi, frac_lo, frac_hi)
     return out[0][:G], out[1][:G]
 
 

@@ -82,7 +82,9 @@ def test_falp_f64_vs_oracle(bw, fac, exp):
     expect = ocore.decode_value(ints, fac, exp, tc)
     packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
     tile = layout.ref_to_tile(packed, bw, 64)
-    blo, bhi = _u64_planes(np.full(n, base, np.int64).view(np.uint64), 64)
+    with np.errstate(over="ignore"):
+        bf = np.full(n, base, np.int64) * tc.fact_arr[fac]
+    blo, bhi = _u64_planes(bf.view(np.uint64), 64)
     flo, fhi = _u64_planes(
         np.full(n, tc.fact_arr[fac], np.int64).view(np.uint64), 64)
     frlo, frhi = _u64_planes(
