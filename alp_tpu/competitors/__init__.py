@@ -14,6 +14,7 @@ from .xor_codecs import (
     patas_bits,
     zlib_bits,
     gorillas_roundtrip,
+    chimp_roundtrip,
 )
 
 ALL_CODECS = {

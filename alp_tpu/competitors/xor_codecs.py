@@ -143,6 +143,86 @@ def gorillas_roundtrip(data: np.ndarray) -> bool:
     return bool((got == bits).all())
 
 
+def chimp_roundtrip(data: np.ndarray) -> bool:
+    """Real encode+decode of the Chimp scheme at the bitstream level
+    (chimp.hpp:90-140 semantics: 2-bit flags, rounded-leading 3-bit
+    representation, trailing>6 branch with 6-bit significant length)."""
+    bits, W = _bits_view(np.ascontiguousarray(data))
+    ut = bits.dtype.type
+    lead_repr = {0: 0, 8: 1, 12: 2, 16: 3, 18: 4, 20: 5, 22: 6, 24: 7}
+    repr_lead = {v: k for k, v in lead_repr.items()}
+    stream = []
+
+    def put(v, n):
+        if n:
+            stream.append((int(v) & ((1 << n) - 1), n))
+
+    put(bits[0], W)
+    prev = int(bits[0])
+    prev_lead = 255
+    for i in range(1, len(bits)):
+        x = int(bits[i]) ^ prev
+        if x == 0:
+            put(0b00, 2)
+            prev_lead = 255
+        else:
+            lz = int(_LEADING_ROUND[min(W - x.bit_length(), 64)])
+            tz = (x & -x).bit_length() - 1
+            if tz > 6:
+                sig = W - lz - tz
+                put(0b01, 2)
+                put(lead_repr[lz], 3)
+                put(sig, 6)
+                put(x >> tz, sig)
+                prev_lead = 255
+            elif lz == prev_lead:
+                put(0b10, 2)
+                put(x, W - lz)
+            else:
+                put(0b11, 2)
+                put(lead_repr[lz], 3)
+                put(x, W - lz)
+                prev_lead = lz
+        prev = int(bits[i])
+
+    flat = []
+    for v, n in stream:
+        for b in range(n - 1, -1, -1):
+            flat.append((v >> b) & 1)
+    pos = 0
+
+    def get(n):
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | flat[pos]
+            pos += 1
+        return v
+
+    out = [get(W)]
+    prev_lead = 255
+    while len(out) < len(bits):
+        f = get(2)
+        if f == 0b00:
+            out.append(out[-1])
+            prev_lead = 255
+            continue
+        if f == 0b01:
+            lz = repr_lead[get(3)]
+            sig = get(6)
+            tz = W - lz - sig
+            x = get(sig) << tz
+            prev_lead = 255
+        elif f == 0b10:
+            x = get(W - prev_lead)
+        else:
+            lz = repr_lead[get(3)]
+            x = get(W - lz)
+            prev_lead = lz
+        out.append(out[-1] ^ x)
+    return bool((np.array(out, dtype=ut) == bits).all())
+
+
 def chimp_bits(data: np.ndarray) -> int:
     bits, W = _bits_view(np.ascontiguousarray(data))
     xor = np.concatenate([bits[:1], bits[1:] ^ bits[:-1]])

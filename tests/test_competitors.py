@@ -5,8 +5,8 @@ decimal datasets (the reference's headline claim, table_4.md)."""
 import numpy as np
 
 from alp_tpu import container
-from alp_tpu.competitors import (ALL_CODECS, gorillas_bits,
-                                 gorillas_roundtrip)
+from alp_tpu.competitors import (ALL_CODECS, chimp_roundtrip,
+                                 gorillas_bits, gorillas_roundtrip)
 from alp_tpu.utils import datasets, io
 
 
@@ -32,6 +32,14 @@ def test_gorillas_roundtrip():
     rng = np.random.default_rng(0)
     noisy = rng.standard_normal(512)
     assert gorillas_roundtrip(noisy)
+
+
+def test_chimp_roundtrip():
+    data = _city_temp()[:2048]
+    assert chimp_roundtrip(data)
+    rng = np.random.default_rng(2)
+    assert chimp_roundtrip(rng.standard_normal(512))
+    assert chimp_roundtrip(np.repeat(rng.standard_normal(32), 16))
 
 
 def test_alp_beats_xor_family_on_decimals():
