@@ -15,6 +15,7 @@ from .xor_codecs import (
     zlib_bits,
     gorillas_roundtrip,
     chimp_roundtrip,
+    patas_roundtrip,
 )
 
 ALL_CODECS = {

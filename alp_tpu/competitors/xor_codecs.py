@@ -295,6 +295,57 @@ def chimp128_bits(data: np.ndarray) -> int:
     return total
 
 
+def patas_roundtrip(data: np.ndarray) -> bool:
+    """Real encode+decode of the Patas scheme (patas.hpp:55-110):
+    byte-aligned XOR payload + 16-bit packed metadata
+    (index_diff:7, byte_count:3, trailing_zeros:6) per value."""
+    bits, W = _bits_view(np.ascontiguousarray(data))
+    ut = bits.dtype.type
+    key_bits = 6 + 7 + 1
+    key_mask = (1 << key_bits) - 1
+    ring = [0] * 128
+    indices = {}
+    payload = []          # (value, nbits byte-aligned)
+    meta = []             # (index_diff, byte_count, trailing_zero)
+    payload.append((int(bits[0]), W))
+    meta.append((0, W // 8, 0))
+    ring[0] = int(bits[0])
+    indices[int(bits[0]) & key_mask] = 0
+    size = 0
+    for i in range(1, len(bits)):
+        v = int(bits[i])
+        key = v & key_mask
+        ref_idx = indices.get(key, 0)
+        if ref_idx > size or (size + 1 - ref_idx) >= 128:
+            ref_idx = size
+        ref = ring[ref_idx % 128]
+        xor = v ^ ref
+        is_equal = xor == 0
+        tz = ((xor & -xor).bit_length() - 1) if xor else W
+        lz = (W - xor.bit_length()) if xor else W
+        sig_bits = 0 if is_equal else (W - tz - lz)
+        sig_bytes = (sig_bits >> 3) + (1 if sig_bits & 7 else 0)
+        payload.append((xor >> (tz - is_equal), sig_bytes * 8))
+        meta.append((size + 1 - ref_idx, sig_bytes, tz - is_equal))
+        size += 1
+        ring[size % 128] = v
+        indices[key] = size
+
+    # decode
+    out = []
+    ring2 = [0] * 128
+    for i, ((val, nbits), (idiff, nbytes, tz)) in enumerate(
+            zip(payload, meta)):
+        if i == 0:
+            v = val
+        else:
+            ref = ring2[(i - idiff) % 128]
+            v = ref ^ (val << tz)
+        ring2[i % 128] = v
+        out.append(v)
+    return bool((np.array(out, dtype=ut) == bits).all())
+
+
 def patas_bits(data: np.ndarray) -> int:
     bits, W = _bits_view(np.ascontiguousarray(data))
     key_bits = 6 + 7 + 1
