@@ -73,6 +73,23 @@ def sharded_encode_decode_step(mesh: Mesh, dtype):
     return jax.jit(sharded)
 
 
+def sharded_falp_decode_f64(mesh: Mesh, bw: int):
+    """Mesh-sharded fused falp decode: tile groups split over the ``rg``
+    axis, one Pallas launch per device shard (SPMD — this is how a
+    decode plan's buckets scale across chips: embarrassing rowgroup
+    parallelism, no collectives on the data path)."""
+    from ..kernels import falp as kfalp
+
+    def local(packed, bf_lo, bf_hi, flo, fhi, frlo, frhi):
+        return kfalp.falp_decode_f64(packed, bf_lo, bf_hi, flo, fhi,
+                                     frlo, frhi, bw=bw)
+
+    specs = (P("rg"),) * 7
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=specs,
+        out_specs=(P("rg"), P("rg")), check_rep=False))
+
+
 def sharded_decode(mesh: Mesh, dtype):
     """Jitted sharded unfused decode: [n,1024] ints + fac/exp -> values."""
     nm = numerics_for(dtype)

@@ -138,6 +138,15 @@ DOUBLE_TEST_DATASET = [
     Column(0, "test_0", "double/test_0.csv", "", 0, 0, 0, 0, False, "float64"),
 ]
 
+# double/issue_dataset.hpp:8-30 — GitHub issue 24 regression columns.
+ISSUE_DATASET = [
+    Column(0, "issue_24_replicated_data",
+           "issue/issue_24_102400_values.csv", "", 0, 0, 0, 0, False,
+           "float64"),
+    Column(1, "issue_24_actual_data", "issue/ShapesAll_TEST.csv", "",
+           0, 0, 0, 0, False, "float64"),
+]
+
 # float/hurricane_isabel.hpp:10-33 — 20 f32 columns, binary-only; files
 # located via HURRICANE_ISABEL_DATASET_DIR_PATH (column.hpp:56-58).
 _HURRICANE_NAMES = [

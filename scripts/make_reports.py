@@ -59,4 +59,5 @@ def suite(columns, dtype, name):
 if __name__ == "__main__":
     suite(datasets.ALP_DATASET, np.float64, "double")
     suite(datasets.FLOAT_TEST_DATASET, np.float32, "float_test")
-    suite(datasets.GENERATED_COLUMNS[:20], np.float64, "generated_bw0_19")
+    suite(datasets.GENERATED_COLUMNS, np.float64, "generated")
+    suite(datasets.ISSUE_DATASET, np.float64, "issue")

@@ -105,3 +105,13 @@ def test_device_decode_plan_rd_f32():
     assert (cc.rg_scheme == C.SCHEME_ALP_RD).all()
     vals = kdecode.decompress_device(cc)
     _assert_bitexact(vals.reshape(-1)[:cc.n_values], data)
+
+
+def test_issue24_regression_roundtrip():
+    """GitHub issue 24 columns (reference data/issue,
+    scripts/replicate_issue_24.py) round-trip bit-exactly."""
+    for col in datasets.ISSUE_DATASET:
+        if col.csv_path is None or not col.csv_path.exists():
+            continue
+        data = io.read_csv(col.csv_path, np.float64)
+        _roundtrip(data)

@@ -45,3 +45,42 @@ def test_mesh_size_invariance(problem, n_dev):
             np.testing.assert_array_equal(np.asarray(out[k]), ref[k])
         assert abs(float(out["global_bits_per_value"])
                    - float(ref["global_bits_per_value"])) < 1e-5
+
+
+def test_sharded_falp_decode_matches_single():
+    """The Pallas falp kernel under shard_map: identical output on 1-
+    and 4-device meshes (rowgroup-bucket data parallelism)."""
+    from alp_tpu.kernels import layout, falp as kfalp
+    from alp_tpu.oracle import fastlanes as ofl
+    from alp_tpu.parallel.sharded import sharded_falp_decode_f64
+    import jax.numpy as jnp
+
+    tc = __import__("alp_tpu").constants.DOUBLE
+    rng = np.random.default_rng(1)
+    bw, fac, exp = 13, 5, 9
+    n = 64  # 8 groups -> divisible by 4 devices
+    base = np.int64(3)
+    ints = rng.integers(0, 1 << 12, (n, 1024), dtype=np.int64) + base
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tiles = jnp.asarray(layout.ref_to_tile(packed, bw, 64))
+
+    def planes(u):
+        return (jnp.asarray(layout.lane_expand(
+                    (u & np.uint64(0xFFFFFFFF)).astype(np.uint32), 64)),
+                jnp.asarray(layout.lane_expand(
+                    (u >> np.uint64(32)).astype(np.uint32), 64)))
+
+    with np.errstate(over="ignore"):
+        bf = np.full(n, base, np.int64) * tc.fact_arr[fac]
+    blo, bhi = planes(bf.view(np.uint64))
+    flo, fhi = planes(np.full(n, tc.fact_arr[fac], np.int64).view(np.uint64))
+    frlo, frhi = planes(np.full(n, tc.frac_arr[exp]).view(np.uint64))
+    args = (tiles, blo, bhi, flo, fhi, frlo, frhi)
+
+    single = kfalp.falp_decode_f64(*args, bw=bw)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    fn = sharded_falp_decode_f64(make_mesh(4), bw)
+    hi, lo = fn(*args)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(single[0]))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(single[1]))
