@@ -1,0 +1,52 @@
+"""Serialization robustness: format invariants and corruption rejection."""
+
+import numpy as np
+import pytest
+
+from alp_tpu import container
+
+
+def _cc():
+    rng = np.random.default_rng(0)
+    data = np.round(rng.uniform(-10, 10, 4096), 2)
+    data[7] = np.inf
+    return container.compress(data), data
+
+
+def test_bytes_deterministic():
+    cc, _ = _cc()
+    assert cc.to_bytes() == cc.to_bytes()
+
+
+def test_rejects_bad_magic():
+    cc, _ = _cc()
+    blob = bytearray(cc.to_bytes())
+    blob[0] ^= 0xFF
+    with pytest.raises(ValueError):
+        container.CompressedColumn.from_bytes(bytes(blob))
+
+
+def test_rejects_bad_version():
+    cc, _ = _cc()
+    blob = bytearray(cc.to_bytes())
+    blob[4] ^= 0x7F
+    with pytest.raises(ValueError):
+        container.CompressedColumn.from_bytes(bytes(blob))
+
+
+def test_roundtrip_through_file(tmp_path):
+    cc, data = _cc()
+    p = tmp_path / "col.alpt"
+    p.write_bytes(cc.to_bytes())
+    out = container.decompress(
+        container.CompressedColumn.from_bytes(p.read_bytes()))
+    np.testing.assert_array_equal(out.view(np.uint64), data.view(np.uint64))
+
+
+def test_size_accounting_close_to_cost_model():
+    cc, data = _cc()
+    actual_bits = len(cc.to_bytes()) * 8 / data.size
+    model_bits = cc.bits_per_value()
+    # serialized format carries the same information the cost model
+    # prices; allow modest framing overhead
+    assert actual_bits < model_bits + 8
