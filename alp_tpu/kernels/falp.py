@@ -268,6 +268,77 @@ def rd_decode_f64(right_packed, left_resolved, *, rbw: int):
     return out[0][:G], out[1][:G]
 
 
+def _rd_dict_f64_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5, d6,
+                        d7, out_hi, out_lo, *, rbw: int, lbw: int):
+    # left_ref: dictionary INDEXES packed at lbw bits in u64-lane geometry;
+    # the 8-entry rowgroup dictionary arrives as per-lane planes and the
+    # lookup is a 3-level binary select tree (rd.hpp:152-178 with the
+    # dictionary resolved on device).  Exception positions decode garbage
+    # (their index wrapped at pack time, as in the reference) and are
+    # patched by the caller's output scatter.
+    right = _unpack_all(right_ref, rbw, 64, 2)
+    idx = _unpack_all(left_ref, lbw, 64, 2).lo if lbw else None
+    planes = [d[:][:, None, :] for d in (d0, d1, d2, d3, d4, d5, d6, d7)]
+    if lbw == 0:
+        left = planes[0]
+    else:
+        b0 = (idx & _U32(1)) == 1
+        s01 = jnp.where(b0, planes[1], planes[0])
+        if lbw == 1:
+            left = s01
+        else:
+            b1 = (idx & _U32(2)) != 0
+            s23 = jnp.where(b0, planes[3], planes[2])
+            s0123 = jnp.where(b1, s23, s01)
+            if lbw == 2:
+                left = s0123
+            else:
+                s45 = jnp.where(b0, planes[5], planes[4])
+                s67 = jnp.where(b0, planes[7], planes[6])
+                s4567 = jnp.where(b1, s67, s45)
+                left = jnp.where((idx & _U32(4)) != 0, s4567, s0123)
+    out_hi[:] = right.hi | (left << _U32(rbw - 32))
+    out_lo[:] = right.lo
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
+def rd_decode_dict_f64(right_packed, left_packed, dict_planes, *,
+                       rbw: int, lbw: int):
+    """Fused ALP_RD double decode with on-device dictionary lookup.
+
+    right_packed: [G, 2*rbw, 128]; left_packed: [G, 2*lbw, 128] (indexes
+    at lbw bits, u64-lane geometry); dict_planes: 8 x [G, 128] u32 (the
+    rowgroup dictionary lane-expanded, padded with entry 0).
+    """
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f64_kernel, rbw=rbw, lbw=lbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(2 * lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 8,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[0][:G], out[1][:G]
+
+
 def _rd_f32_kernel(right_ref, left_ref, out, *, rbw: int):
     left = left_ref[:]
     if rbw == 0:

@@ -79,6 +79,24 @@ def main():
     results.append(("rd_decode_f64_rbw52", ITERS, out_gb / dt, "GB/s"))
     print(results[-1], flush=True)
 
+    # float kernels (4 vectors/group; 256 MiB decoded)
+    Gf = 4 * G
+    out_gb_f = Gf * 32 * 128 * 4 / 1e9
+    zf = jnp.zeros((Gf, 128), jnp.uint32)
+    onef = jnp.ones((Gf, 128), jnp.uint32)
+    fr32 = jax.device_put(jnp.asarray(
+        np.full((Gf, 128), np.float32(0.01).view(np.uint32))))
+    for bw in (10, 20):
+        packedf = devbits((Gf, bw, 128), seed=100 + bw)
+
+        def step_f32(carry, packedf, fr32, bw=bw):
+            out = kf.falp_decode_f32(packedf, zf + carry, onef, fr32, bw=bw)
+            return out[0, 0, 0]
+
+        dt = loop_bench(step_f32, (packedf, fr32), ITERS)
+        results.append((f"falp_f32_bw{bw}", ITERS, out_gb_f / dt, "GB/s"))
+        print(results[-1], flush=True)
+
     # end-to-end SUM query over a real compressed column (q1 analog):
     # plan staged once, fused decode + reduction timed as one program
     from alp_tpu.kernels import decode as kdecode
