@@ -69,7 +69,9 @@ class DecodePlan:
         for g in self.groups:
             if g.scheme == C.SCHEME_ALP_RD:
                 if self.dtype == np.float64:
-                    out = kfalp.rd_decode_f64(g.tiles, g.meta[0], rbw=g.bw)
+                    out = kfalp.rd_decode_dict_f64(
+                        g.tiles, g.meta[0], g.meta[2:10],
+                        rbw=g.bw, lbw=g.meta[1])
                 else:
                     out = kfalp.rd_decode_f32(g.tiles, g.meta[0], rbw=g.bw)
             elif self.dtype == np.float64:
@@ -88,6 +90,46 @@ class DecodePlan:
                     out = out.at[idx].set(g.exc_lo)
             outs.append(out)
         return outs
+
+
+def _stage_rd_exceptions(grp, col, sel, packed, rbw: int, eb: int):
+    """Exception scatter for the dictionary-on-device RD path: full value
+    bits = (raw left part << rbw) | right bits, with the right bits
+    extracted from the packed words (vectorised over all exceptions)."""
+    _, group, _ = layout.geometry(eb)
+    rows, poss, lefts = [], [], []
+    for r, v in enumerate(sel):
+        pos = col.exc_positions[v]
+        if len(pos):
+            rows.append(np.full(len(pos), r, np.int64))
+            poss.append(pos.astype(np.int64))
+            lefts.append(col.exc_values[v].astype(np.uint64))
+    if not rows:
+        grp.exc_g = jnp.zeros(0, jnp.int32)
+        return
+    rows = np.concatenate(rows)
+    poss = np.concatenate(poss)
+    lefts = np.concatenate(lefts)
+    L = 1024 // eb
+    lane = poss % L
+    slot = poss // L
+    off = slot * rbw
+    w0 = off // eb
+    s0 = (off % eb).astype(np.uint64)
+    words = packed.view(np.uint64) if eb == 64 else packed
+    wa = words[rows, w0 * L + lane]
+    right = wa >> s0
+    need2 = (off % eb) + rbw > eb
+    sh2 = np.where(need2, eb - (off % eb), 0).astype(np.uint64)
+    wb = words[rows, np.where(need2, w0 + 1, w0) * L + lane]
+    right = right | np.where(need2, wb << sh2, np.uint64(0))
+    right &= np.uint64((1 << rbw) - 1)
+    full = (lefts << np.uint64(rbw)) | right
+    grp.exc_g = jnp.asarray((rows // group).astype(np.int32))
+    grp.exc_slot = jnp.asarray(slot.astype(np.int32))
+    grp.exc_lane = jnp.asarray(((rows % group) * L + lane).astype(np.int32))
+    grp.exc_hi = jnp.asarray((full >> np.uint64(32)).astype(np.uint32))
+    grp.exc_lo = jnp.asarray((full & np.uint64(0xFFFFFFFF)).astype(np.uint32))
 
 
 def build_plan(col) -> DecodePlan:
@@ -171,27 +213,54 @@ def build_plan(col) -> DecodePlan:
             packed = np.zeros((n_pad, int(rbw) * (1024 // eb)), tc.ut)
             for r, v in enumerate(sel):
                 packed[r] = col.packed[v]
-            # batched left-part unpack + dictionary resolution (host cpu)
+            # batched left-index unpack (host cpu; u16 FastLanes geometry)
             left_packed = np.stack([col.left_packed[v] for v in sel])
             with jax.default_device(jax.devices("cpu")[0]):
                 idx = np.asarray(jfl.unffor_unpack(
                     left_packed, np.zeros(n, np.uint16), bw=lbw,
                     signed=False))
             rgs = vec_rg[sel]
-            dsz = np.maximum(col.rd_dict_size[rgs].astype(np.int64) - 1, 0)
-            safe = np.minimum(idx.astype(np.int64), dsz[:, None])
-            resolved = np.take_along_axis(
-                col.rd_dict[rgs], safe, axis=1).astype(np.uint32)
-            for r, v in enumerate(sel):
-                pos = col.exc_positions[v]
-                if len(pos):
-                    resolved[r, pos] = col.exc_values[v].astype(np.uint32)
-            left = np.zeros((n_pad, C.VECTOR_SIZE), np.uint32)
-            left[:n] = resolved
             tiles = jnp.asarray(layout.ref_to_tile(packed, int(rbw), eb))
-            left_tiles = jnp.asarray(layout.plane_to_tile(left, eb))
-            groups.append(_Group(int(rbw), n, sel, tiles, (left_tiles,),
-                                 scheme=C.SCHEME_ALP_RD))
+            if col.dtype == np.float64:
+                # device-side dictionary: repack indexes at lbw bits in
+                # u64-lane geometry + 8 lane-expanded dict planes; the
+                # exception scatter carries full value bits (left part
+                # OR right bits extracted from the packed words).
+                idx64 = np.zeros((n_pad, C.VECTOR_SIZE), np.int64)
+                idx64[:n] = idx
+                with jax.default_device(jax.devices("cpu")[0]):
+                    lp = np.asarray(jfl.ffor_pack(
+                        idx64, np.zeros(n_pad, np.int64), bw=lbw))
+                left_tiles = jnp.asarray(
+                    layout.ref_to_tile(lp.view(np.uint64), lbw, eb))
+                dict_rows = col.rd_dict[rgs]            # [n, 8] u16
+                planes = []
+                for k in range(C.MAX_RD_DICTIONARY_SIZE):
+                    full = np.zeros(n_pad, np.uint32)
+                    full[:n] = dict_rows[:, k].astype(np.uint32)
+                    planes.append(jnp.asarray(layout.lane_expand(full, eb)))
+                grp = _Group(int(rbw), n, sel, tiles,
+                             (left_tiles, int(lbw), *planes),
+                             scheme=C.SCHEME_ALP_RD)
+                _stage_rd_exceptions(grp, col, sel, packed, int(rbw), eb)
+                groups.append(grp)
+            else:
+                dsz = np.maximum(
+                    col.rd_dict_size[rgs].astype(np.int64) - 1, 0)
+                safe = np.minimum(idx.astype(np.int64), dsz[:, None])
+                resolved = np.take_along_axis(
+                    col.rd_dict[rgs], safe, axis=1).astype(np.uint32)
+                for r, v in enumerate(sel):
+                    pos = col.exc_positions[v]
+                    if len(pos):
+                        resolved[r, pos] = col.exc_values[v].astype(
+                            np.uint32)
+                left = np.zeros((n_pad, C.VECTOR_SIZE), np.uint32)
+                left[:n] = resolved
+                left_tiles = jnp.asarray(layout.plane_to_tile(left, eb))
+                groups.append(_Group(int(rbw), n, sel, tiles,
+                                     (left_tiles,),
+                                     scheme=C.SCHEME_ALP_RD))
 
     return DecodePlan(np.dtype(col.dtype), col.n_vectors, groups,
                       decoded_bytes=sum(g.n_vectors for g in groups)

@@ -83,8 +83,10 @@ def bench_dataset(path):
         for g in groups:
             if g.scheme == C.SCHEME_ALP_RD:
                 right, left = metas[i], metas[i + 1]
-                hi, lo = kfalp.rd_decode_f64(right, left ^ carry, rbw=g.bw)
-                i += 2
+                dicts = metas[i + 2:i + 10]
+                hi, lo = kfalp.rd_decode_dict_f64(
+                    right, left ^ carry, dicts, rbw=g.bw, lbw=g.meta[1])
+                i += 10
             else:
                 (tiles, blo, bhi, flo, fhi, frlo, frhi) = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(
@@ -97,7 +99,7 @@ def bench_dataset(path):
     metas = []
     for g in groups:
         if g.scheme == C.SCHEME_ALP_RD:
-            metas += [g.tiles, g.meta[0]]
+            metas += [g.tiles, g.meta[0], *g.meta[2:10]]
         else:
             metas += [g.tiles, *g.meta]
     dt = loop_bench(step, tuple(metas), ITERS)
