@@ -41,3 +41,12 @@ def test_scan_returns_planes():
     cc = container.compress(data)
     plan, outs = engine.query_scan(cc)
     assert len(outs) == len(plan.groups)
+
+
+def test_sum_rd_column():
+    col = [c for c in datasets.ALP_DATASET if c.name == "POI-lat"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    got = engine.query_sum(cc)
+    expect = float(np.sum(data))
+    assert abs(got - expect) <= abs(expect) * 1e-12
