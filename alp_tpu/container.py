@@ -322,14 +322,12 @@ def _compress(data: np.ndarray) -> CompressedColumn:
             bit_width[lo:hi] = res["bit_width"]
             base[lo:hi] = res["base"]
             exc_count[lo:hi] = res["exc_count"]
-            for v in range(lo, hi):
-                cnt = int(res["exc_count"][v - lo])
-                if cnt:
-                    exc_positions[v] = res["exc_positions"][v - lo, :cnt].copy()
-                    exc_values[v] = res["exc_values"][v - lo, :cnt].copy()
-                else:
-                    exc_positions[v] = empty_u16
-                    exc_values[v] = empty_val
+            exc_positions[lo:hi] = [empty_u16] * (hi - lo)
+            exc_values[lo:hi] = [empty_val] * (hi - lo)
+            for r in np.nonzero(res["exc_count"])[0]:
+                cnt = int(res["exc_count"][r])
+                exc_positions[lo + r] = res["exc_positions"][r, :cnt].copy()
+                exc_values[lo + r] = res["exc_values"][r, :cnt].copy()
         bws_all = bit_width[alp_idx]
         for bw in np.unique(bws_all):
             sel = alp_idx[bws_all == bw]
