@@ -16,6 +16,7 @@ from .xor_codecs import (
     gorillas_roundtrip,
     chimp_roundtrip,
     patas_roundtrip,
+    chimp128_roundtrip,
 )
 
 ALL_CODECS = {

@@ -247,6 +247,124 @@ def chimp_bits(data: np.ndarray) -> int:
     return total
 
 
+def chimp128_roundtrip(data: np.ndarray) -> bool:
+    """Real encode+decode of the Chimp128 scheme (chimp128.hpp:102-165):
+    ring-buffer reference selection keyed on the low 14 bits, 2-bit
+    flags, 7-bit index on the identical branch, 16-bit packed metadata
+    (index:7, leading-repr:3, significant:6) on the trailing branch."""
+    bits, W = _bits_view(np.ascontiguousarray(data))
+    ut = bits.dtype.type
+    lead_repr = {0: 0, 8: 1, 12: 2, 16: 3, 18: 4, 20: 5, 22: 6, 24: 7}
+    repr_lead = {v: k for k, v in lead_repr.items()}
+    key_bits = 6 + 7 + 1
+    key_mask = (1 << key_bits) - 1
+    threshold = 6 + 7
+    stream = []
+
+    def put(v, n):
+        if n:
+            stream.append((int(v) & ((1 << n) - 1), n))
+
+    ring = [0] * 128
+    indices = {}
+    v0 = int(bits[0])
+    put(v0, W)
+    ring[0] = v0
+    indices[v0 & key_mask] = 0
+    size = 0
+    prev_lead = 255
+    for i in range(1, len(bits)):
+        v = int(bits[i])
+        key = v & key_mask
+        ref_idx = indices.get(key, 0)
+        trailing_exceeds = False
+        prev_index = size % 128
+        tz = 0
+        if size - ref_idx < 128:
+            cur = 0 if ref_idx > size else ref_idx
+            tempxor = v ^ ring[cur % 128]
+            tz = (tempxor & -tempxor).bit_length() - 1 if tempxor else W
+            if tz > threshold:
+                trailing_exceeds = True
+                prev_index = cur % 128
+                xor = tempxor
+            else:
+                xor = v ^ ring[size % 128]
+        else:
+            xor = v ^ ring[size % 128]
+        if xor == 0:
+            put(0b00, 2)
+            put(prev_index, 7)
+            prev_lead = 255
+        else:
+            lz = int(_LEADING_ROUND[W - xor.bit_length()])
+            if trailing_exceeds:
+                sig = W - lz - tz
+                put(0b01, 2)
+                put(prev_index, 7)
+                put(lead_repr[lz], 3)
+                put(sig, 6)
+                put(xor >> tz, sig)
+                prev_lead = 255
+            elif lz == prev_lead:
+                put(0b10, 2)
+                put(xor, W - lz)
+            else:
+                put(0b11, 2)
+                put(lead_repr[lz], 3)
+                put(xor, W - lz)
+                prev_lead = lz
+        size += 1
+        ring[size % 128] = v
+        indices[key] = size
+
+    flat = []
+    for v, n in stream:
+        for b in range(n - 1, -1, -1):
+            flat.append((v >> b) & 1)
+    pos = 0
+
+    def get(n):
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | flat[pos]
+            pos += 1
+        return v
+
+    ring2 = [0] * 128
+    out = [get(W)]
+    ring2[0] = out[0]
+    size = 0
+    prev_lead = 255
+    while len(out) < len(bits):
+        f = get(2)
+        if f == 0b00:
+            idx = get(7)
+            v = ring2[idx]
+            prev_lead = 255
+        elif f == 0b01:
+            idx = get(7)
+            lz = repr_lead[get(3)]
+            sig = get(6)
+            tz = W - lz - sig
+            x = get(sig) << tz
+            v = ring2[idx] ^ x
+            prev_lead = 255
+        elif f == 0b10:
+            x = get(W - prev_lead)
+            v = out[-1] ^ x
+        else:
+            lz = repr_lead[get(3)]
+            x = get(W - lz)
+            v = out[-1] ^ x
+            prev_lead = lz
+        out.append(v)
+        size += 1
+        ring2[size % 128] = v
+    return bool((np.array(out, dtype=ut) == bits).all())
+
+
 def chimp128_bits(data: np.ndarray) -> int:
     bits, W = _bits_view(np.ascontiguousarray(data))
     key_bits = 6 + 7 + 1  # SignificantBits + 7 + 1 (ring_buffer.hpp:19)

@@ -7,7 +7,7 @@ import numpy as np
 from alp_tpu import container
 from alp_tpu.competitors import (ALL_CODECS, chimp_roundtrip,
                                  gorillas_bits, gorillas_roundtrip,
-                                 patas_roundtrip)
+                                 patas_roundtrip, chimp128_roundtrip)
 from alp_tpu.utils import datasets, io
 
 
@@ -49,6 +49,14 @@ def test_patas_roundtrip():
     rng = np.random.default_rng(5)
     assert patas_roundtrip(rng.standard_normal(512))
     assert patas_roundtrip(np.repeat(rng.standard_normal(32), 16))
+
+
+def test_chimp128_roundtrip():
+    data = _city_temp()[:2048]
+    assert chimp128_roundtrip(data)
+    rng = np.random.default_rng(6)
+    assert chimp128_roundtrip(rng.standard_normal(512))
+    assert chimp128_roundtrip(np.repeat(rng.standard_normal(32), 16))
 
 
 def test_alp_beats_xor_family_on_decimals():
