@@ -168,6 +168,14 @@ def hurricane_dir() -> pathlib.Path | None:
     return pathlib.Path(p) if p else None
 
 
+# evalimplsts.hpp:8-17 — implementation-study column (data-gated: the
+# CSV is not shipped in the repo; path via EVALIMPLSTS_CSV_PATH).
+EVALIMPLSTS = [
+    Column(0, "active_power", "evalimplsts/active_power.csv", "",
+           0, 0, 0, 0, True, "float64"),
+]
+
+
 # float/sp.hpp — ML-weights suites (binary-only, full datasets).
 SP_DATASETS = [
     Column(1, "Dino-Vitb16", "", "sp_dino_vitb16.bin", 0, 0, 0, 0, True, "float32"),
