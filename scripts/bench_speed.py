@@ -22,7 +22,7 @@ from alp_tpu.kernels import falp as kf
 from alp_tpu.reports import speed_report
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-G = 2048   # 16k double vectors = 128 MiB decoded per launch
+G = 4096   # 32k double vectors = 256 MiB decoded per launch
 ITERS = 30
 
 

@@ -54,12 +54,12 @@ def speed_figure():
     # Headline kernel numbers recorded in round-1 benchmarks (DEVNOTES /
     # BENCH history); refreshed manually as benches rerun.
     data = {
-        "falp decode f64 (suite avg)": 85.7,
-        "ALP_RD decode f64": 83.8,
-        "unFFOR f64": 100.8,
+        "falp decode f64 (suite avg)": 87.2,
+        "ALP_RD decode f64": 101.2,
+        "unFFOR f64": 142.8,
         "encode f64 (exact)": 11.7,
         "encode f32 (native ops)": 23.7,
-        "falp decode f32": 94.8,
+        "falp decode f32": 121.5,
         "e2e SUM query": 26.2,
     }
     fig, ax = plt.subplots(figsize=(8, 4))
