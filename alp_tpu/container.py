@@ -93,8 +93,16 @@ class CompressedColumn:
         return len(self.to_bytes())
 
     def bits_per_value(self) -> float:
-        """Reference cost model (alp.cpp:14-49; SURVEY.md §2.2)."""
+        """Reference cost model (alp.cpp:14-49; SURVEY.md §2.2).
+
+        The per-value format overhead is accumulated by each rowgroup's
+        own scheme (per-vector metadata for ALP, dictionary amortisation
+        for ALP_RD), so mixed ALP/RD columns are priced correctly; for
+        homogeneous columns this reduces to the reference's flat term.
+        """
         tc = constants_for(self.dtype)
+        alp_overhead = (8 + 8 + 8 + 64) / C.VECTOR_SIZE
+        rd_overhead = (C.MAX_RD_DICTIONARY_SIZE * 16) / C.ROWGROUP_SIZE
         total = 0.0
         for v in range(self.n_vectors):
             rg = v // C.N_VECTORS_PER_ROWGROUP
@@ -102,18 +110,15 @@ class CompressedColumn:
                 total += (int(self.bit_width[v])
                           + int(self.exc_count[v])
                           * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
-                          / C.VECTOR_SIZE)
+                          / C.VECTOR_SIZE
+                          + alp_overhead)
             else:
                 total += (int(self.rd_left_bw[rg]) + int(self.rd_right_bw[rg])
                           + int(self.exc_count[v])
                           * (C.RD_EXCEPTION_SIZE + C.RD_EXCEPTION_POSITION_SIZE)
-                          / C.VECTOR_SIZE)
-        avg = total / max(self.n_vectors, 1)
-        if self.rg_scheme.size and self.rg_scheme[0] == C.SCHEME_ALP_RD:
-            avg += (C.MAX_RD_DICTIONARY_SIZE * 16) / C.ROWGROUP_SIZE
-        else:
-            avg += (8 + 8 + 8 + 64) / C.VECTOR_SIZE
-        return avg
+                          / C.VECTOR_SIZE
+                          + rd_overhead)
+        return total / max(self.n_vectors, 1)
 
     # -- serialization -----------------------------------------------------
 
@@ -145,15 +150,32 @@ class CompressedColumn:
             "<4sHBBQII", buf, 0)
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("not an ALPT v1 buffer")
+        if dtype_tag not in (0, 1):
+            raise ValueError(f"bad dtype tag {dtype_tag}")
         dtype = np.dtype(np.float64 if dtype_tag == 0 else np.float32)
         tc = constants_for(dtype)
         off = struct.calcsize("<4sHBBQII")
 
+        # header consistency: geometry must match before any count is
+        # trusted for allocation (corrupt buffers raise ValueError here,
+        # not opaque frombuffer/IndexError downstream)
+        if n_vec < 1 or n_vec != max(1, -(-n_values // C.VECTOR_SIZE)):
+            raise ValueError(
+                f"n_vectors {n_vec} inconsistent with n_values {n_values}")
+        if n_rg != max(1, -(-n_vec // C.N_VECTORS_PER_ROWGROUP)):
+            raise ValueError(
+                f"n_rowgroups {n_rg} inconsistent with n_vectors {n_vec}")
+
         def take(dt, count):
             nonlocal off
             dt = np.dtype(dt)
+            end = off + dt.itemsize * count
+            if end > len(buf):
+                raise ValueError(
+                    f"truncated ALPT buffer: need {end} bytes, "
+                    f"have {len(buf)}")
             arr = np.frombuffer(buf, dt, count, off)
-            off += dt.itemsize * count
+            off = end
             return arr
 
         rg_scheme = take(np.uint8, n_rg)
@@ -166,6 +188,16 @@ class CompressedColumn:
         bit_width = take(np.uint8, n_vec)
         base = take(tc.st, n_vec)
         exc_count = take(np.uint16, n_vec)
+
+        eb = tc.exact_type_bit_size
+        if not np.all(np.isin(rg_scheme, (C.SCHEME_ALP, C.SCHEME_ALP_RD))):
+            raise ValueError("invalid rowgroup scheme byte")
+        if bit_width.max(initial=0) > eb:
+            raise ValueError(f"bit_width exceeds {eb}")
+        if rd_right_bw.max(initial=0) > eb or rd_left_bw.max(initial=0) > 16:
+            raise ValueError("RD bit widths out of range")
+        if exc_count.max(initial=0) > C.VECTOR_SIZE:
+            raise ValueError("exceptions_count exceeds vector size")
 
         wt = np.dtype(tc.ut)
         S = tc.exact_type_bit_size

@@ -25,18 +25,41 @@ from . import constants as C
 from .kernels import decode as kdecode
 
 
-def _lane_mask(n_vectors: int, per_group: int, lanes_per_vec: int):
-    """[128] bool mask of valid lanes in the LAST group of a bucket."""
-    used = n_vectors % per_group
+def _last_group_mask(g, slots: int, lanes_per_vec: int, per_group: int,
+                     n_valid_last: int, has_partial_vector: bool):
+    """[slots, 128] bool mask of valid values in the LAST group of a bucket.
+
+    Masks (a) whole pad *vectors* (lanes of rows beyond ``g.n_vectors``)
+    and (b), when the column's trailing partial vector lives in this
+    bucket, the pad *values* inside that vector (positions >=
+    ``n_valid_last``; the container pads them with the column's final
+    value, container._pad_to_vectors).
+    """
+    L = lanes_per_vec
+    used = g.n_vectors % per_group
     if used == 0:
         used = per_group
-    return jnp.arange(128) < used * lanes_per_vec
+    mask = np.broadcast_to(np.arange(128) < used * L, (slots, 128)).copy()
+    if has_partial_vector:
+        # the partial vector is the highest vector id, hence the last row
+        # of this bucket: lanes [within*L, (within+1)*L) of the last group
+        within = (g.n_vectors - 1) % per_group
+        for lane in range(L):
+            mask[:, within * L + lane] = (
+                np.arange(slots) * L + lane) < n_valid_last
+    return jnp.asarray(mask)
 
 
 def query_sum(col) -> float:
     """SUM(column) with on-device fused decode (exceptions patched)."""
     plan = kdecode.build_plan(col)
     outs = plan.run(patch=True)
+    if col.dtype == np.float64:
+        slots, L, per_group = 64, 16, 8
+    else:
+        slots, L, per_group = 32, 32, 4
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
     total = jnp.zeros((), jnp.float64)
     for g, out in zip(plan.groups, outs):
         if col.dtype == np.float64:
@@ -44,24 +67,31 @@ def query_sum(col) -> float:
             u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
                 jnp.uint64)
             vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
-            mask = _lane_mask(g.n_vectors, 8, 16)
         else:
             vals = jax.lax.bitcast_convert_type(out, jnp.float32)
-            mask = _lane_mask(g.n_vectors, 4, 32)
+        has_partial = (n_valid_last < C.VECTOR_SIZE
+                       and v_last in g.vec_indices)
+        mask = _last_group_mask(g, slots, L, per_group, n_valid_last,
+                                has_partial)
         s = vals[:-1].astype(jnp.float64).sum() if vals.shape[0] > 1 \
             else jnp.zeros((), jnp.float64)
-        s = s + jnp.where(mask[None, :], vals[-1], 0).astype(
-            jnp.float64).sum()
+        s = s + jnp.where(mask, vals[-1], 0).astype(jnp.float64).sum()
         total = total + s
     return float(total)
 
 
 def make_sum_step(plan):
-    """Staged SUM query: returns (step, args) where ``step(carry, *args)``
-    runs fused decode + on-device reduction for every bucket in ONE
-    jittable program (benchlib.loop_bench-compatible).  This is the
-    steady-state query shape — plan built once, queries repeated — the
-    reference's q1 pipeline analog."""
+    """THROUGHPUT-TIMING step for a SUM-shaped query pipeline — NOT a SUM.
+
+    Returns (step, args) where ``step(carry, *args)`` runs fused decode +
+    on-device reduction for every bucket in ONE jittable program
+    (benchlib.loop_bench-compatible).  The carry is XOR-folded into the
+    inputs to defeat cross-iteration deduplication, so iterations after
+    the first decode perturbed data and the return value is a *checksum*
+    whose only purpose is the data dependence; :func:`query_sum` is the
+    correct-answer SUM API.  This models the steady-state query shape —
+    plan built once, queries repeated — the reference's q1 pipeline
+    analog (bench_end_to_end q1.cpp:64-88)."""
     from .kernels import falp as kfalp
     groups = plan.groups
 

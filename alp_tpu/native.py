@@ -10,6 +10,7 @@ fall back to the oracle/jnp paths.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -18,7 +19,8 @@ import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRC = _ROOT / "native" / "alpcore.cpp"
-_LIB = _ROOT / "native" / "libalpcore.so"
+_CACHE_DIR = pathlib.Path(
+    os.environ.get("ALP_TPU_NATIVE_CACHE", _ROOT / "native" / ".cache"))
 
 
 class NativeUnavailable(RuntimeError):
@@ -28,19 +30,33 @@ class NativeUnavailable(RuntimeError):
 _lib = None
 
 
+def _lib_path() -> pathlib.Path:
+    """Artifact path keyed on the source content hash: a fresh checkout
+    (git does not preserve mtimes) or an edited source always rebuilds,
+    and stale binaries are never loaded."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return _CACHE_DIR / f"libalpcore-{digest}.so"
+
+
 def build(force: bool = False) -> pathlib.Path:
-    if _LIB.exists() and not force \
-            and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB
+    lib_file = _lib_path()
+    if lib_file.exists() and not force:
+        return lib_file
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     # -ffp-contract=off: GCC's default contraction would fuse the magic
     # add into an FMA and change the encode rounding semantics.
-    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-           "-fPIC", "-o", str(_LIB), str(_SRC)]
+    # No -march=native: the artifact directory may be shared between
+    # machines; -O2/-O3 autovectorised generic x86-64 is within noise for
+    # this engine's bit loops.
+    tmp = lib_file.with_suffix(".so.tmp")
+    cmd = ["g++", "-O3", "-ffp-contract=off", "-shared",
+           "-fPIC", "-o", str(tmp), str(_SRC)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, lib_file)
     except (OSError, subprocess.CalledProcessError) as e:
         raise NativeUnavailable(f"failed to build alpcore: {e}") from e
-    return _LIB
+    return lib_file
 
 
 def lib() -> ctypes.CDLL:

@@ -115,3 +115,19 @@ def test_issue24_regression_roundtrip():
             continue
         data = io.read_csv(col.csv_path, np.float64)
         _roundtrip(data)
+
+
+def test_bits_per_value_mixed_scheme_overhead():
+    # a mixed ALP/RD column must price each rowgroup's overhead by its
+    # own scheme (reference prices only homogeneous columns; alp.cpp:14-49)
+    rng = np.random.default_rng(0)
+    a = np.round(rng.uniform(-100, 100, C.ROWGROUP_SIZE), 2)   # ALP
+    b = rng.standard_normal(C.ROWGROUP_SIZE)                   # ALP_RD
+    cc = container.compress(np.concatenate([a, b]))
+    assert set(cc.rg_scheme.tolist()) == {C.SCHEME_ALP, C.SCHEME_ALP_RD}
+    alp_only = container.compress(a)
+    rd_only = container.compress(b)
+    # the mixed column's average must equal the mean of the homogeneous
+    # halves (same data, same per-rowgroup planning)
+    expect = (alp_only.bits_per_value() + rd_only.bits_per_value()) / 2
+    assert abs(cc.bits_per_value() - expect) < 1e-9

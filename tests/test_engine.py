@@ -11,7 +11,39 @@ def test_sum_matches_numpy():
     data = io.read_csv(col.csv_path, np.float64)
     cc = container.compress(data)
     got = engine.query_sum(cc)
-    # pad values replicate the last value; engine masks them out
+    expect = float(np.sum(data))
+    assert abs(got - expect) <= abs(expect) * 1e-12 + 1e-9
+
+
+def test_sum_ragged_lengths():
+    # columns whose length is NOT a multiple of 1024: the pad values
+    # inside the trailing partial vector must not leak into the SUM
+    rng = np.random.default_rng(7)
+    for n in (1500, 1, 1023, 1025, 4096 + 17, 300):
+        data = np.round(rng.uniform(-3, 3, n), 2)
+        cc = container.compress(data)
+        got = engine.query_sum(cc)
+        expect = float(np.sum(data))
+        assert abs(got - expect) <= abs(expect) * 1e-12 + 1e-9, \
+            f"n={n}: got {got}, expected {expect}"
+
+
+def test_sum_ragged_f32():
+    rng = np.random.default_rng(8)
+    data = np.round(rng.uniform(0, 50, 2500), 2).astype(np.float32)
+    cc = container.compress(data)
+    got = engine.query_sum(cc)
+    expect = float(np.sum(data.astype(np.float64)))
+    assert abs(got - expect) <= abs(expect) * 1e-6
+
+
+def test_sum_ragged_rd():
+    # high-precision data (ALP_RD scheme) with a partial trailing vector
+    rng = np.random.default_rng(9)
+    data = rng.uniform(-1, 1, 1500)
+    cc = container.compress(data)
+    assert (cc.rg_scheme == 1).any()
+    got = engine.query_sum(cc)
     expect = float(np.sum(data))
     assert abs(got - expect) <= abs(expect) * 1e-12 + 1e-9
 

@@ -1,0 +1,65 @@
+"""Direct cross-check of the three rowgroup planners.
+
+encoder_init(fast=True) (vectorised), fast=False (reference-exact loop,
+encoder.hpp:139-235 semantics), and the native C++ engine's alp_init_f64
+must return identical scheme / top-k combinations on every input —
+including tail rowgroups whose sample count is not a multiple of 32.
+"""
+
+import numpy as np
+import pytest
+
+from alp_tpu import constants as C
+from alp_tpu.oracle import core as ocore
+from alp_tpu.utils import datasets, io
+
+try:
+    from alp_tpu import native
+    native.build()
+    HAVE_NATIVE = True
+except Exception:
+    HAVE_NATIVE = False
+
+
+def _cases():
+    rng = np.random.default_rng(42)
+    cases = [
+        ("decimal2", np.round(rng.uniform(-1000, 1000, C.ROWGROUP_SIZE), 2)),
+        ("decimal5", np.round(rng.uniform(-5, 5, C.ROWGROUP_SIZE), 5)),
+        ("ints", rng.integers(-10**6, 10**6, C.ROWGROUP_SIZE).astype(
+            np.float64)),
+        ("highprec", rng.standard_normal(C.ROWGROUP_SIZE)),
+        # tail rowgroups: not a multiple of 1024 values -> ragged sampling
+        ("tail_1500", np.round(rng.uniform(-10, 10, 1500), 3)),
+        ("tail_100", np.round(rng.uniform(-10, 10, 100), 1)),
+        ("tail_33", np.round(rng.uniform(0, 1, 33), 4)),
+        ("tail_9000", np.round(rng.uniform(-1, 1, 9000), 6)),
+        ("single", np.array([3.17])),
+        ("mixed_mag", np.concatenate([
+            np.round(rng.uniform(-1e6, 1e6, 700), 1),
+            np.round(rng.uniform(-1e-3, 1e-3, 700), 8)])),
+    ]
+    for col in datasets.ALP_DATASET:
+        if col.name in ("City-Temp", "Air-Pressure", "POI-lat", "Gov/26"):
+            data = io.read_csv(col.csv_path, np.float64)
+            cases.append((col.name, data[:C.ROWGROUP_SIZE]))
+            # dataset-derived tail (not multiple of 32 samples)
+            cases.append((col.name + "_tail", data[:1337]))
+    return cases
+
+
+@pytest.mark.parametrize("name,data", _cases(), ids=lambda c: c if
+                         isinstance(c, str) else "")
+def test_planners_agree(name, data):
+    tc = C.DOUBLE
+    fast = ocore.encoder_init(data, 0, tc, fast=True)
+    loop = ocore.encoder_init(data, 0, tc, fast=False)
+    assert fast.scheme == loop.scheme
+    if fast.scheme == C.SCHEME_ALP:
+        assert fast.best_k_combinations == loop.best_k_combinations
+    if HAVE_NATIVE:
+        scheme, combos, k = native.init_f64(data, 0)
+        assert scheme == loop.scheme
+        if scheme == C.SCHEME_ALP:
+            got = [tuple(int(x) for x in c) for c in combos[:k]]
+            assert got == loop.best_k_combinations

@@ -50,3 +50,34 @@ def test_size_accounting_close_to_cost_model():
     # serialized format carries the same information the cost model
     # prices; allow modest framing overhead
     assert actual_bits < model_bits + 8
+
+
+def test_rejects_truncated_buffer():
+    cc, _ = _cc()
+    blob = cc.to_bytes()
+    with pytest.raises(ValueError):
+        container.CompressedColumn.from_bytes(blob[:len(blob) // 2])
+
+
+def test_rejects_inconsistent_rowgroup_count():
+    cc, _ = _cc()
+    blob = bytearray(cc.to_bytes())
+    # n_rowgroups field (offset: 4s+H+B+B+Q+I = 20)
+    import struct
+    struct.pack_into("<I", blob, 20, 1000)
+    with pytest.raises(ValueError):
+        container.CompressedColumn.from_bytes(bytes(blob))
+
+
+def test_rejects_corrupt_bit_width():
+    cc, _ = _cc()
+    n_rg = cc.n_rowgroups
+    blob = bytearray(cc.to_bytes())
+    import struct
+    head = struct.calcsize("<4sHBBQII")
+    # bit_width section follows rg sections (n_rg*(1+16+1+1+1)) and
+    # fac/exp (2 * n_vec)
+    bw_off = head + n_rg * 20 + 2 * cc.n_vectors
+    blob[bw_off] = 200
+    with pytest.raises(ValueError):
+        container.CompressedColumn.from_bytes(bytes(blob))
