@@ -53,3 +53,12 @@ def decompress(col):
     """Bit-exact inverse of :func:`compress`."""
     from . import container
     return container.decompress(col)
+
+
+def __getattr__(name):
+    # public re-export of the compressed-column type without importing
+    # the (jax-heavy) container module at package import time
+    if name == "CompressedColumn":
+        from . import container
+        return container.CompressedColumn
+    raise AttributeError(f"module 'alp_tpu' has no attribute {name!r}")

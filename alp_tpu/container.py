@@ -126,6 +126,16 @@ class CompressedColumn:
         dtype_tag = 0 if self.dtype == np.float64 else 1
         head = struct.pack("<4sHBBQII", _MAGIC, _VERSION, dtype_tag, 0,
                            self.n_values, self.n_vectors, self.n_rowgroups)
+        tc = constants_for(self.dtype)
+
+        def ragged(parts, dt):
+            # one C-level concatenate + one copy-out, no per-vector join
+            if not parts:
+                return b""
+            return np.concatenate(
+                [np.asarray(p, dt) for p in parts] or
+                [np.empty(0, dt)]).tobytes()
+
         sections = [
             self.rg_scheme.astype(np.uint8).tobytes(),
             self.rd_dict.astype(np.uint16).tobytes(),
@@ -137,10 +147,10 @@ class CompressedColumn:
             self.bit_width.astype(np.uint8).tobytes(),
             self.base.tobytes(),
             self.exc_count.astype(np.uint16).tobytes(),
-            b"".join(p.tobytes() for p in self.packed),
-            b"".join(p.tobytes() for p in self.left_packed),
-            b"".join(p.tobytes() for p in self.exc_values),
-            b"".join(p.tobytes() for p in self.exc_positions),
+            ragged(self.packed, tc.ut),
+            ragged(self.left_packed, np.uint16),
+            b"".join(np.asarray(p).tobytes() for p in self.exc_values),
+            ragged(self.exc_positions, np.uint16),
         ]
         return head + b"".join(sections)
 
@@ -203,28 +213,33 @@ class CompressedColumn:
         S = tc.exact_type_bit_size
         L = C.VECTOR_SIZE // S
         L16 = C.VECTOR_SIZE // 16
-        packed, left_packed, exc_values, exc_positions = [], [], [], []
-        for v in range(n_vec):
-            rg = v // C.N_VECTORS_PER_ROWGROUP
-            if rg_scheme[rg] == C.SCHEME_ALP:
-                packed.append(take(wt, int(bit_width[v]) * L))
-            else:
-                packed.append(take(wt, int(rd_right_bw[rg]) * L))
-        for v in range(n_vec):
-            rg = v // C.N_VECTORS_PER_ROWGROUP
-            if rg_scheme[rg] == C.SCHEME_ALP_RD:
-                left_packed.append(take(np.uint16,
-                                        int(rd_left_bw[rg]) * L16))
-            else:
-                left_packed.append(np.empty(0, np.uint16))
-        for v in range(n_vec):
-            rg = v // C.N_VECTORS_PER_ROWGROUP
-            if rg_scheme[rg] == C.SCHEME_ALP:
-                exc_values.append(take(dtype, int(exc_count[v])))
-            else:
-                exc_values.append(take(np.uint16, int(exc_count[v])))
-        for v in range(n_vec):
-            exc_positions.append(take(np.uint16, int(exc_count[v])))
+
+        # vectorized ragged-section split: per-vector sizes derive from
+        # the metadata (no per-vector buffer reads; np.split returns
+        # zero-copy views of one frombuffer per section)
+        vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+        is_alp = rg_scheme[vec_rg] == C.SCHEME_ALP
+
+        def split_section(sizes, dt):
+            total = int(sizes.sum())
+            flat = take(dt, total)
+            return np.split(flat, np.cumsum(sizes[:-1], dtype=np.int64))
+
+        packed_sizes = np.where(
+            is_alp, bit_width.astype(np.int64) * L,
+            rd_right_bw[vec_rg].astype(np.int64) * L)
+        packed = split_section(packed_sizes, wt)
+        left_sizes = np.where(
+            is_alp, 0, rd_left_bw[vec_rg].astype(np.int64) * L16)
+        left_packed = split_section(left_sizes, np.uint16)
+        # exc_values is dtype-ragged (PT for ALP, u16 left parts for RD):
+        # split the byte stream, then view each piece
+        ev_item = np.where(is_alp, tc.pt.itemsize, 2)
+        ev_bytes = exc_count.astype(np.int64) * ev_item
+        ev_parts = split_section(ev_bytes, np.uint8)
+        exc_values = [p.view(dtype) if a else p.view(np.uint16)
+                      for p, a in zip(ev_parts, is_alp)]
+        exc_positions = split_section(exc_count.astype(np.int64), np.uint16)
         return cls(dtype, n_values, n_vec, rg_scheme, rd_dict, rd_dict_size,
                    rd_left_bw, rd_right_bw, fac, exp, bit_width, base,
                    exc_count, packed, left_packed, exc_values, exc_positions)

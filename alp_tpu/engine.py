@@ -106,6 +106,16 @@ def make_sum_step(plan):
                 hi, lo = kfalp.rd_decode_dict_f64(
                     right, left ^ carry, dicts, rbw=g.bw, lbw=g.meta[1])
                 i += 10
+            elif g.variant == "small":
+                tiles, base, fact, fsh, fsl, fb = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_small(
+                    tiles, base ^ carry, fact, fsh, fsl, fb, bw=g.bw)
+                i += 6
+            elif g.variant == "mid":
+                tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_mid(
+                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw)
+                i += 6
             else:
                 tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(

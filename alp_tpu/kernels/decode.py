@@ -41,6 +41,7 @@ class _Group:
     tiles: jax.Array               # [G, limbs, 128] u32
     meta: tuple                    # lane-expanded metadata planes (device)
     scheme: int = C.SCHEME_ALP     # ALP (falp) or ALP_RD (right+left glue)
+    variant: str = "gen"           # f64 falp kernel: "gen"/"mid"/"small"
     # exception scatter indices into the output planes (device arrays);
     # empty for RD groups (exceptions folded into the left parts)
     exc_g: jax.Array | None = None
@@ -74,6 +75,14 @@ class DecodePlan:
                         rbw=g.bw, lbw=g.meta[1])
                 else:
                     out = kfalp.rd_decode_f32(g.tiles, g.meta[0], rbw=g.bw)
+            elif g.variant == "small":
+                base, fact, fsh, fsl, fb = g.meta
+                out = kfalp.falp_decode_f64_small(
+                    g.tiles, base, fact, fsh, fsl, fb, bw=g.bw)
+            elif g.variant == "mid":
+                base, c2, c1, c0, fb2 = g.meta
+                out = kfalp.falp_decode_f64_mid(
+                    g.tiles, base, c2, c1, c0, fb2, bw=g.bw)
             elif self.dtype == np.float64:
                 blo, bhi, flo, fhi, frlo, frhi = g.meta
                 out = kfalp.falp_decode_f64(
@@ -141,8 +150,35 @@ def build_plan(col) -> DecodePlan:
     vec_rg = np.arange(col.n_vectors) // C.N_VECTORS_PER_ROWGROUP
     alp_idx = np.nonzero(col.rg_scheme[vec_rg] == C.SCHEME_ALP)[0]
     groups = []
-    for bw in np.unique(col.bit_width[alp_idx]):
-        sel = alp_idx[col.bit_width[alp_idx] == bw]
+
+    # Fast-variant eligibility (f64), from the per-vector FFOR bounds.
+    # With FACT = 10^fac = 2^fac * 5^fac, only the ODD part n * 5^fac
+    # decides whether double(m) is exact (the 2^fac is pure exponent):
+    #   small: |n * 5^fac| < 2^32  -> one 32x53 product, single rounding
+    #   mid:   |n * 5^fac| < 2^53 (and n * 10^fac can't wrap int64)
+    #          -> one 32x96 product against the plan-time constant
+    #             5^fac * fsig(FRAC), single rounding
+    # both need n itself in int32; everything else takes the generic
+    # two-rounding softfloat kernel (reference src/falp.cpp semantics).
+    bws_v = col.bit_width[alp_idx].astype(np.int64)
+    var_v = np.full(len(alp_idx), "gen", dtype=object)
+    if col.dtype == np.float64 and alp_idx.size:
+        base_v = col.base[alp_idx].astype(np.int64)
+        fact_v = tc.fact_arr[col.fac[alp_idx]]
+        five_v = np.power(np.int64(5), col.fac[alp_idx].astype(np.int64))
+        span = np.where(bws_v <= 32,
+                        (np.int64(1) << np.minimum(bws_v, 32)) - 1, 0)
+        cand = (bws_v <= 32) & (base_v >= -(2**31)) & (base_v <= 2**31)
+        n_hi = np.where(cand, base_v + span, 0)
+        cand &= n_hi <= 2**31 - 1
+        maxn = np.maximum(np.maximum(np.abs(base_v), np.abs(n_hi)), 1)
+        var_v[cand & (five_v <= (2**53 - 1) // maxn)
+              & (fact_v <= (2**63 - 1) // maxn)] = "mid"
+        var_v[cand & (five_v <= (2**32 - 1) // maxn)] = "small"
+
+    for bw, vr in sorted({(int(b), str(v))
+                          for b, v in zip(bws_v, var_v)}):
+        sel = alp_idx[(bws_v == bw) & (var_v == vr)]
         n = len(sel)
         n_pad = layout.pad_vectors(n, eb)
         packed = np.zeros((n_pad, int(bw) * (1024 // eb)), tc.ut)
@@ -155,7 +191,45 @@ def build_plan(col) -> DecodePlan:
             full[:n] = per_vec
             return jnp.asarray(layout.lane_expand(full, eb))
 
-        if col.dtype == np.float64:
+        if col.dtype == np.float64 and vr == "small":
+            base32 = col.base[sel].astype(np.int64).astype(
+                np.int32).view(np.uint32)
+            fives = np.power(np.int64(5), col.fac[sel].astype(np.int64))
+            factu = (fives.view(np.uint64)
+                     & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
+            fsig_hi = (((frac_u >> np.uint64(32)) & np.uint64(0xFFFFF))
+                       | np.uint64(1 << 20)).astype(np.uint32)
+            fsig_lo = (frac_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            # fac's power of two folds into the exponent: 10^f = 2^f * 5^f
+            fbias = (((frac_u >> np.uint64(52)) & np.uint64(0x7FF))
+                     + col.fac[sel].astype(np.uint64)).astype(np.uint32)
+            meta = tuple(expand(x) for x in (base32, factu, fsig_hi,
+                                             fsig_lo, fbias))
+        elif col.dtype == np.float64 and vr == "mid":
+            base32 = col.base[sel].astype(np.int64).astype(
+                np.int32).view(np.uint32)
+            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
+            f_biased = ((frac_u >> np.uint64(52))
+                        & np.uint64(0x7FF)).astype(np.int64)
+            fsig = ((frac_u & np.uint64((1 << 52) - 1))
+                    | np.uint64(1 << 52)).astype(np.int64)
+            facs = col.fac[sel].astype(np.int64)
+            # exact python-int 96-bit constant C' = (5^fac * fsig) << sC
+            c2 = np.empty(len(sel), np.uint32)
+            c1 = np.empty(len(sel), np.uint32)
+            c0 = np.empty(len(sel), np.uint32)
+            fb2 = np.empty(len(sel), np.uint32)
+            for r in range(len(sel)):
+                cc = (5 ** int(facs[r])) * int(fsig[r])
+                s_c = 95 - (cc.bit_length() - 1)
+                cc <<= s_c
+                c0[r] = cc & 0xFFFFFFFF
+                c1[r] = (cc >> 32) & 0xFFFFFFFF
+                c2[r] = cc >> 64
+                fb2[r] = int(f_biased[r]) + 74 + int(facs[r]) - s_c
+            meta = tuple(expand(x) for x in (base32, c2, c1, c0, fb2))
+        elif col.dtype == np.float64:
             # fold the FOR base into the decode multiply: bf = base * FACT
             # (wrapping int64), per vector
             with np.errstate(over="ignore"):
@@ -180,7 +254,7 @@ def build_plan(col) -> DecodePlan:
                 rows.append(np.full(len(pos), r, np.int32))
                 poss.append(pos.astype(np.int32))
                 vbits.append(col.exc_values[v])
-        grp = _Group(int(bw), n, sel, tiles, meta)
+        grp = _Group(int(bw), n, sel, tiles, meta, variant=vr)
         if rows:
             rows = np.concatenate(rows)
             poss = np.concatenate(poss)

@@ -167,6 +167,115 @@ def falp_decode_f64(packed, bf_lo, bf_hi, fact_lo, fact_hi,
     return out[0][:G], out[1][:G]
 
 
+def _falp_f64_small_kernel(packed_ref, base, fact, fsig_hi, fsig_lo,
+                           fbias, out_hi, out_lo, *, bw: int):
+    # Small-magnitude fast path: every m = (u + base) * FACT of the block
+    # provably fits a 32-bit magnitude (plan-build bounds check), so the
+    # int64->double convert is exact and one 32x53 product with a single
+    # rounding replaces the generic softfloat pipeline.
+    b = base[:][:, None, :]
+    fa = fact[:][:, None, :]
+    fh = fsig_hi[:][:, None, :]
+    fl = fsig_lo[:][:, None, :]
+    fb = fbias[:][:, None, :]
+    if bw == 0:
+        n = jnp.broadcast_to(b, out_hi.shape)
+    else:
+        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+    r = sf.i32fact_to_f64_times_normal(n, fa, fh, fl, fb)
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
+
+
+def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
+                         out_hi, out_lo, *, bw: int):
+    # Mid-magnitude fast path: |n| <= 2^31 and |n * 5^fac| < 2^53, so
+    # double(m) is exact and one 32x96 product with a single rounding
+    # replaces the generic convert-then-multiply softfloat pipeline.
+    b = base[:][:, None, :]
+    if bw == 0:
+        n = jnp.broadcast_to(b, out_hi.shape)
+    else:
+        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+    r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
+                         c0[:][:, None, :], fb2[:][:, None, :])
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int):
+    """Fused falp decode, mid-magnitude variant (bw <= 32, odd part of
+    m = n * FACT below 2^53: double(m) exact, single rounding).
+
+    Metadata planes (per-vector, lane-expanded u32): ``base`` (int32 FOR
+    base), ``c2``/``c1``/``c0`` (the 96-bit plan-time constant
+    5^fac * fsig(FRAC) top-aligned to bit 95), ``fb2`` (combined biased
+    exponent term).  See softfloat.i32c96_to_f64.
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base, c2, c1, c0, fb2 = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base, c2, c1, c0, fb2))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_mid_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base, c2, c1, c0, fb2)
+    return out[0][:G], out[1][:G]
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f64_small(packed, base, fact, fsig_hi, fsig_lo, fbias, *,
+                          bw: int):
+    """Fused falp decode, small-magnitude variant (bw <= 32, |m| < 2^32).
+
+    Metadata planes are per-vector lane-expanded u32: ``base`` (int32
+    FOR base), ``fact`` (FACT_ARR[fac], < 2^32 whenever any m != 0),
+    ``fsig_hi``/``fsig_lo`` (53-bit FRAC significand, implicit bit set)
+    and ``fbias`` (FRAC biased exponent).  Bit-exact vs the reference
+    two-step decode on its domain (see softfloat.i32fact_to_f64_times_
+    normal); the plan builder routes only vectors whose FFOR bounds
+    prove the domain.
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base, fact, fsig_hi, fsig_lo, fbias = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base, fact, fsig_hi, fsig_lo, fbias))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_small_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base, fact, fsig_hi, fsig_lo, fbias)
+    return out[0][:G], out[1][:G]
+
+
 # ---------------------------------------------------------------------------
 # Fused falp decode, floats — all-native i32/f32 (src/falp.cpp:33762 analog)
 # ---------------------------------------------------------------------------

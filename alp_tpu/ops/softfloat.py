@@ -610,6 +610,108 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
                jnp.where(zero, _u32(0), packed.lo))
 
 
+def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
+                  c0: jnp.ndarray, fb2: jnp.ndarray) -> U64:
+    """``RN(n * C * 2^E)`` for int32 ``n`` and a per-vector positive
+    constant ``C'`` top-aligned into [2^95, 2^96) as three u32 limbs.
+
+    The falp decode mid-magnitude fast path: with ``FACT = 10^f =
+    2^f * 5^f``, the int64 ``m = n_int * FACT`` converts to double
+    exactly whenever its odd part ``n * 5^f`` fits 53 bits (the 2^f is
+    pure exponent), so the reference's two-step rounding collapses to a
+    single correctly rounded product ``n * (5^f * fsig(FRAC))`` — and
+    that constant is at most 42 + 53 = 95 bits, exactly representable in
+    three u32 limbs computed at plan-build time.  ``fb2`` carries the
+    whole per-vector exponent term ``f_biased + 74 + f - shiftC``.
+
+    Exact on the domain |n| <= 2^31, |n * 5^f| < 2^53 (plan-build
+    bounds check); ~2/3 the work of :func:`i64_to_f64_times_normal`.
+    """
+    mask = (n.astype(_I32) >> 31).astype(_U32)
+    sign = mask & _u32(1)
+    mag = (n ^ mask) - mask
+    nb = _msb32(mag | _u32(1))
+    k = (_I32(31) - nb).astype(_U32)
+    M = mag << k                                   # [2^31, 2^32)
+    # exact 32x96 product: p = M * C' in [2^126, 2^128) as 4 u32 limbs
+    p0 = umul32_wide(M, c0)
+    p1 = umul32_wide(M, c1)
+    p2 = umul32_wide(M, c2)
+    x0 = p0.lo
+    x1 = p0.hi + p1.lo
+    ca = (x1 < p1.lo).astype(_U32)
+    s2 = p1.hi + p2.lo
+    cb = (s2 < p2.lo).astype(_U32)
+    x2 = s2 + ca
+    cb = cb | (x2 < ca).astype(_U32)
+    x3 = p2.hi + cb
+    t = x3 >> 31                                   # leading bit 127 vs 126
+    up = t == 1
+    lo = jnp.where(up, (x2 >> 11) | (x3 << 21), (x2 >> 10) | (x3 << 22))
+    hi = jnp.where(up, x3 >> 11, (x3 >> 10) & _u32(0x1FFFFF))
+    guard = jnp.where(up, (x2 >> 10) & _u32(1), (x2 >> 9) & _u32(1))
+    low = x0 | x1 | (x2 & jnp.where(up, _u32(0x3FF), _u32(0x1FF)))
+    sticky = low != 0
+    round_up = (guard == 1) & (sticky | ((lo & _u32(1)) == 1))
+    biased_out = fb2 + t - k
+    packed = _pack_with_carry(sign, biased_out - _u32(1), U64(hi, lo),
+                              round_up)
+    zero = mag == 0
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
+def i32fact_to_f64_times_normal(n: jnp.ndarray, fact: jnp.ndarray,
+                                fsig_hi21: jnp.ndarray, fsig_lo: jnp.ndarray,
+                                f_biased: jnp.ndarray) -> U64:
+    """Fused ``double(int64(n) * fact) * f`` when ``|n * fact| < 2^32``.
+
+    The falp decode small-magnitude fast path: when the per-vector FFOR
+    bounds prove every ``m = (packed + base) * FACT`` of a vector fits a
+    32-bit magnitude, ``double(m)`` is *exact* (|m| < 2^32 <= 2^53), so
+    the reference's two-step rounding (int64->double convert, then the
+    FRAC multiply, src/falp.cpp:100-120) collapses to a single correctly
+    rounded product of the exact integer ``m`` with the normal positive
+    constant ``f`` — about half the generic softfloat work of
+    :func:`i64_to_f64_times_normal`.
+
+    ``n`` is an int32 (two's-complement in a u32 plane), ``fact`` a u32,
+    ``fsig_hi21``/``fsig_lo`` the 53-bit significand of ``f`` with the
+    implicit bit already set in the high limb (bits 52..32 -> 21 bits),
+    ``f_biased`` its biased exponent.  Plan-build precomputes the three
+    constants per vector.
+    """
+    mask = (n.astype(_I32) >> 31).astype(_U32)    # 0 or ~0 (sign spread)
+    sign = mask & _u32(1)
+    mag_n = (n ^ mask) - mask                      # |n| as u32
+    mmag = mag_n * fact                            # |m| < 2^32 by contract
+    # normalize |m| to [2^31, 2^32): one 32-bit shift, msb via f32 trick
+    nb = _msb32(mmag | _u32(1))
+    k = (_I32(31) - nb).astype(_U32)
+    M = mmag << k
+    # exact 32x53 product: p = M * fsig in [2^83, 2^85) as 3 u32 limbs
+    ll = umul32_wide(M, fsig_lo)
+    lh = umul32_wide(M, fsig_hi21)
+    x0 = ll.lo
+    x1 = ll.hi + lh.lo
+    x2 = lh.hi + (x1 < lh.lo).astype(_U32)
+    t = (x2 >> 20) & _u32(1)                       # leading bit 84 vs 83
+    up = t == 1
+    # keep 53 bits below the leading bit; guard/sticky straddle x0
+    lo = jnp.where(up, x1, (x0 >> 31) | (x1 << 1))
+    hi = jnp.where(up, x2, (x1 >> 31) | (x2 << 1)) & _u32(0x1FFFFF)
+    guard = jnp.where(up, x0 >> 31, (x0 >> 30) & _u32(1))
+    sticky = (x0 & jnp.where(up, _u32(0x7FFFFFFF), _u32(0x3FFFFFFF))) != 0
+    round_up = (guard == 1) & (sticky | ((lo & _u32(1)) == 1))
+    # r = ±p * 2^(f_unbiased - 52 - k - 31): biased(r) = f_biased + 31 + t - k
+    biased_out = f_biased + _u32(31) + t - k
+    packed = _pack_with_carry(sign, biased_out - _u32(1), U64(hi, lo),
+                              round_up)
+    zero = mmag == 0
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
 # ---------------------------------------------------------------------------
 # ALP encode fast path: v * 10^e * 10^-f + MAGIC - MAGIC, cast to int64,
 # computed exactly on unpacked operands with integer-only magic rounding.

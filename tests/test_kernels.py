@@ -121,3 +121,79 @@ def test_falp_f32_vs_oracle(bw, fac, exp):
     got = layout.tile_to_values(np.asarray(out), 32, np.float32, n)
     np.testing.assert_array_equal(got.view(np.uint32),
                                   expect.view(np.uint32))
+
+
+def _mid_planes(n, base, fac, exp, tc):
+    """Plan-style metadata planes for the mid-variant kernel."""
+    frac_u = np.full(n, tc.frac_arr[exp], np.float64).view(np.uint64)
+    f_biased = int((frac_u[0] >> np.uint64(52)) & np.uint64(0x7FF))
+    fsig = int((frac_u[0] & np.uint64((1 << 52) - 1)) | np.uint64(1 << 52))
+    cc = (5 ** fac) * fsig
+    s_c = 95 - (cc.bit_length() - 1)
+    cc <<= s_c
+    mk = lambda v: np.repeat(np.full(n, v, np.uint32).reshape(-1, 8), 16,
+                             axis=1)
+    return (mk(np.uint32(np.int32(base))), mk(cc >> 64),
+            mk((cc >> 32) & 0xFFFFFFFF), mk(cc & 0xFFFFFFFF),
+            mk(f_biased + 74 + fac - s_c))
+
+
+@pytest.mark.parametrize("bw,fac,exp", [(0, 13, 14), (11, 13, 14),
+                                        (16, 9, 14), (25, 4, 14),
+                                        (31, 0, 18), (8, 18, 18)])
+def test_falp_f64_mid_vs_oracle(bw, fac, exp):
+    """Mid-variant kernel parity on its domain |n * 5^fac| < 2^53."""
+    n = 16
+    tc = C.DOUBLE
+    lim_n = min((2**53 - 1) // 5**fac, (2**63 - 1) // 10**fac, 2**31 - 1)
+    base = np.int64(max(-lim_n, -990))
+    hi_n = min(lim_n, int(base) + (1 << bw) - 1) if bw else int(base)
+    if bw == 0:
+        ints = np.full((n, 1024), base, dtype=np.int64)
+    else:
+        ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                            dtype=np.int64)
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    b32, c2, c1, c0, fb2 = _mid_planes(n, base, fac, exp, tc)
+    hi, lo = falp.falp_decode_f64_mid(tile, b32, c2, c1, c0, fb2, bw=bw)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("bw,fac,exp", [(0, 2, 3), (11, 3, 5), (20, 1, 14),
+                                        (31, 0, 0)])
+def test_falp_f64_small_vs_oracle(bw, fac, exp):
+    """Small-variant kernel parity on its domain |n * 5^fac| < 2^32."""
+    n = 16
+    tc = C.DOUBLE
+    lim_n = min((2**32 - 1) // 5**fac, 2**31 - 1)
+    base = np.int64(-min(lim_n, 500))
+    hi_n = min(lim_n, int(base) + (1 << bw) - 1) if bw else int(base)
+    if bw == 0:
+        ints = np.full((n, 1024), base, dtype=np.int64)
+    else:
+        ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                            dtype=np.int64)
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    frac_u = np.full(n, tc.frac_arr[exp], np.float64).view(np.uint64)
+    mk = lambda v: np.repeat(np.asarray(v, np.uint32).reshape(-1, 8)
+                             if np.ndim(v) else
+                             np.full(n, v, np.uint32).reshape(-1, 8), 16,
+                             axis=1)
+    fives = np.uint32((5 ** fac) & 0xFFFFFFFF)
+    fsig_hi = np.uint32(((int(frac_u[0]) >> 32) & 0xFFFFF) | (1 << 20))
+    fsig_lo = np.uint32(int(frac_u[0]) & 0xFFFFFFFF)
+    fbias = np.uint32(((int(frac_u[0]) >> 52) & 0x7FF) + fac)
+    hi, lo = falp.falp_decode_f64_small(
+        tile, mk(np.uint32(np.int32(base))), mk(fives), mk(fsig_hi),
+        mk(fsig_lo), mk(fbias), bw=bw)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
