@@ -271,8 +271,22 @@ def _compact_exceptions(mask: np.ndarray):
     return out
 
 
-def compress(data: np.ndarray) -> CompressedColumn:
-    """Compress a 1-D float64/float32 array (both ALP schemes, adaptive)."""
+def compress(data: np.ndarray, *, mesh=None,
+             device: bool = False) -> CompressedColumn:
+    """Compress a 1-D float64/float32 array (both ALP schemes, adaptive).
+
+    ``mesh``: a jax.sharding.Mesh — shard the per-vector encode stages
+    over its ``rg`` axis (parallel.container_par.compress_sharded);
+    output is bit-identical to the single-device path.
+    ``device=True``: run the encode hot path as TPU kernels
+    (device_compress.compress_device; float64).
+    """
+    if mesh is not None:
+        from .parallel.container_par import compress_sharded
+        return compress_sharded(data, mesh)
+    if device:
+        from .device_compress import compress_device
+        return compress_device(data)
     with _host_cpu():
         return _compress(data)
 
@@ -459,8 +473,14 @@ def _compress(data: np.ndarray) -> CompressedColumn:
 # Decompress (correctness path; kernels.decode has the speed path)
 # ---------------------------------------------------------------------------
 
-def decompress(col: CompressedColumn) -> np.ndarray:
-    """Decompress to a 1-D numpy array; bit-exact round-trip."""
+def decompress(col: CompressedColumn, *, mesh=None) -> np.ndarray:
+    """Decompress to a 1-D numpy array; bit-exact round-trip.
+
+    ``mesh``: shard each decode bucket's tile groups over the mesh
+    (SPMD fused kernels, ordered host gather of the planes)."""
+    if mesh is not None:
+        from .parallel.container_par import decompress_sharded
+        return decompress_sharded(col, mesh)
     with _host_cpu():
         return _decompress(col)
 

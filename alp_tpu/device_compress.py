@@ -1,0 +1,291 @@
+"""Device-integrated column compression (f64): the encode hot path on TPU.
+
+The reference's encode hot loop — encode+verify, exception patching,
+FFOR analysis, bit-packing (include/alp/encoder.hpp:307-418 and
+fastlanes ffor) — runs here as device kernels over value bit planes,
+with only the tiny per-rowgroup planning and final assembly on host:
+
+1. host planning: sampling + top-k (e, f) per rowgroup and per-vector
+   second-level choice on the 32-sample stride (native/oracle, exact);
+2. device: exact softfloat encode+verify (kernels.encode), in-value-order
+   exception patching, FFOR analysis (min/max -> bw, base);
+3. device: per-bit-width bucketed FFOR pack (kernels.falp.ffor_planes);
+4. host: fetch packed words + exception indices (compressed-size bytes,
+   not decoded-size) and assemble the same CompressedColumn the host
+   path produces — bit-identical output (tests assert equality).
+
+Input can be a numpy array (staged to device once) or value bit planes
+already on device in tile order ([G, 64, 128] u32 hi/lo — the decode
+plan output format, closing the device-resident round trip).
+
+ALP_RD rowgroups and "rare" flagged vectors (subnormal inputs, outside
+the device encode envelope) fall back to the host path; both are rare
+and correctness-neutral (kernels/encode.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .constants import constants_for
+from .kernels import encode as kencode
+from .kernels import falp as kfalp
+from .kernels import layout
+
+
+def _expand(per_vec: np.ndarray, n_pad: int) -> jnp.ndarray:
+    full = np.zeros(n_pad, per_vec.dtype)
+    full[:len(per_vec)] = per_vec
+    return jnp.asarray(layout.lane_expand(full, 64))
+
+
+def _u64_split(arr: np.ndarray):
+    u = arr.view(np.uint64)
+    return ((u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (u >> np.uint64(32)).astype(np.uint32))
+
+
+@jax.jit
+def _to_vector_major(plane):
+    """[G, 64, 128] tile plane -> [G*8, 64, 16] vector-major rows."""
+    G = plane.shape[0]
+    t = plane.reshape(G, 64, 8, 16).transpose(0, 2, 1, 3)
+    return t.reshape(G * 8, 64, 16)
+
+
+@jax.jit
+def _to_tile_major(rows):
+    """Inverse of :func:`_to_vector_major` (rows count divisible by 8)."""
+    n = rows.shape[0]
+    t = rows.reshape(n // 8, 8, 64, 16).transpose(0, 2, 1, 3)
+    return t.reshape(n // 8, 64, 128)
+
+
+@jax.jit
+def _patch_and_count(nhi, nlo, exc):
+    """Patch exception slots with the vector's first non-exception value
+    (value order, encoder.hpp:382-399) and count exceptions per vector.
+
+    Planes are [G, 64, 128] tile order; returns patched (hi, lo) planes
+    plus per-vector exception counts [G*8] (group-major vector order).
+    """
+    ok = _to_vector_major(exc) == 0                    # [n, 64, 16]
+    okf = ok.reshape(ok.shape[0], 1024)                # value order
+    first_ok = jnp.argmax(okf, axis=1)
+    any_ok = okf.any(axis=1)
+    n_exc = (1024 - okf.sum(axis=1)).astype(jnp.int32)
+
+    def pick(plane):
+        rows = _to_vector_major(plane).reshape(-1, 1024)
+        val = jnp.take_along_axis(rows, first_ok[:, None], axis=1)[:, 0]
+        return jnp.where(any_ok, val, jnp.uint32(0))
+
+    fill_hi = pick(nhi)
+    fill_lo = pick(nlo)
+
+    def patch(plane, fill):
+        rows = _to_vector_major(plane).reshape(-1, 1024)
+        patched = jnp.where(okf, rows, fill[:, None])
+        return _to_tile_major(patched.reshape(-1, 64, 16))
+
+    return patch(nhi, fill_hi), patch(nlo, fill_lo), n_exc
+
+
+@jax.jit
+def _gather_regroup(plane, rows_idx):
+    """Select vector rows by index from a tile plane and retile."""
+    rows = _to_vector_major(plane)[rows_idx]
+    return _to_tile_major(rows)
+
+
+def compress_device(data, *, planes=None, n_values=None):
+    """Compress float64 data with the encode hot path on the TPU.
+
+    Either ``data`` (1-D numpy float64, staged to device once) or
+    ``planes=(vhi, vlo)`` device tile planes with ``n_values``.
+    Returns a :class:`container.CompressedColumn` bit-identical to
+    :func:`container.compress`.
+    """
+    from . import container as ct
+
+    if planes is not None:
+        vhi, vlo = planes
+        n_vec = vhi.shape[0] * 8
+        if n_values is None:
+            n_values = n_vec * C.VECTOR_SIZE
+        # host copy for planning/second-level sampling and RD/exception
+        # values: fetched on demand below (samples are 3% of the data)
+        hi_np = np.asarray(vhi)
+        lo_np = np.asarray(vlo)
+        t = np.empty((vhi.shape[0], 128, 128), np.uint32)
+        t[:, 0::2, :] = lo_np
+        t[:, 1::2, :] = hi_np
+        vectors = layout.tile_to_values(t, 64, np.float64, n_vec)
+        n_vec = max(1, math.ceil(n_values / C.VECTOR_SIZE))
+        vectors = vectors[:n_vec]
+    else:
+        data = np.ascontiguousarray(data)
+        if data.dtype != np.float64:
+            raise NotImplementedError("device compress: float64 only")
+        n_values = len(data)
+        vectors, n_vec = ct._pad_to_vectors(data)
+        n_pad_v = layout.pad_vectors(n_vec, 64)
+        vp = np.zeros((n_pad_v, C.VECTOR_SIZE), np.float64)
+        vp[:n_vec] = vectors
+        lo32, hi32 = _u64_split(vp)
+        vhi = jnp.asarray(layout.plane_to_tile(hi32, 64))
+        vlo = jnp.asarray(layout.plane_to_tile(lo32, 64))
+
+    tc = constants_for(np.float64)
+    n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
+    n_pad_v = layout.pad_vectors(n_vec, 64)
+
+    # ------- host planning (rowgroup sampling + per-vector (e, f)) ------
+    flat = vectors.reshape(-1)
+    rg_scheme = np.zeros(n_rg, np.uint8)
+    combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k_count = np.zeros(n_vec, np.int32)
+    try:
+        from . import native as nat
+        nat.build()
+    except Exception:
+        nat = None
+    for rg in range(n_rg):
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
+        if nat is not None:
+            scheme, cb, ks = nat.init_f64(rg_data, 0)
+            if scheme == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                combos[lo_v:hi_v, :ks] = cb[None, :, :]
+                k_count[lo_v:hi_v] = ks
+        else:
+            from .oracle import core as ocore
+            stt = ocore.encoder_init(rg_data, 0, tc)
+            if stt.scheme == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                ks = len(stt.best_k_combinations)
+                for i, (e, f) in enumerate(stt.best_k_combinations):
+                    combos[lo_v:hi_v, i] = (e, f)
+                k_count[lo_v:hi_v] = ks
+
+    if (rg_scheme == C.SCHEME_ALP_RD).any():
+        # mixed/RD columns: host path is authoritative for RD rowgroups;
+        # rather than split the assembly across two engines, defer the
+        # whole column (RD rowgroups are high-entropy data where the ALP
+        # encode kernel would not run anyway)
+        src = flat[:n_values] if planes is None else \
+            vectors.reshape(-1)[:n_values]
+        return ct.compress(np.asarray(src, np.float64))
+
+    # second-level (e, f) choice on the 32-sample stride (host, exact,
+    # 3% of the data) — encoder.hpp:241-305 semantics via ops.alp
+    from .ops import alp as oalp
+    from .ops.numerics import numerics_for
+    nm = numerics_for(np.float64)
+    with jax.default_device(jax.devices("cpu")[0]):
+        fac_v, exp_v = (np.asarray(x) for x in oalp.choose_factor_exponent(
+            nm, nm.values_from_np(vectors), combos, k_count))
+
+    # ------- device encode + patch + analyze ---------------------------
+    c1 = tc.exp_arr[exp_v]               # 10^e
+    c2 = tc.frac_arr[fac_v]              # 10^-f
+    fact = tc.fact_arr[fac_v]
+    frac = tc.frac_arr[exp_v]
+    c1lo, c1hi = _u64_split(np.ascontiguousarray(c1))
+    c2lo, c2hi = _u64_split(np.ascontiguousarray(c2))
+    flo, fhi = _u64_split(np.ascontiguousarray(fact))
+    frlo, frhi = _u64_split(np.ascontiguousarray(frac))
+    meta = [_expand(x, n_pad_v) for x in (c1lo, c1hi, c2lo, c2hi,
+                                          flo, fhi, frlo, frhi)]
+    nhi, nlo, exc, rare = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
+    nhi, nlo, n_exc = _patch_and_count(nhi, nlo, exc)
+    bw_d, base_d = kencode.analyze_planes_f64(nhi, nlo)
+    bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
+    base_all = np.asarray(base_d)[:n_vec].astype(np.int64)
+    n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
+    rare_count = int(np.asarray(jnp.sum(rare)))
+
+    # ------- device FFOR pack, bucketed by bit width -------------------
+    packed = [None] * n_vec
+    base_lo = (base_all.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32)
+    base_hi = (base_all.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
+    for bw in np.unique(bw_all):
+        sel = np.nonzero(bw_all == bw)[0]
+        if bw == 0:
+            for v in sel:
+                packed[v] = np.zeros(0, np.uint64)
+            continue
+        n_sel_pad = layout.pad_vectors(len(sel), 64)
+        rows_idx = np.zeros(n_sel_pad, np.int64)
+        rows_idx[:len(sel)] = sel
+        ridx = jnp.asarray(rows_idx)
+        sel_hi = _gather_regroup(nhi, ridx)
+        sel_lo = _gather_regroup(nlo, ridx)
+        blo = _expand(base_lo[sel], n_sel_pad)
+        bhi = _expand(base_hi[sel], n_sel_pad)
+        tiles = kfalp.ffor_planes_f64(sel_hi, sel_lo, blo, bhi, bw=int(bw))
+        words = layout.tile_to_ref(np.asarray(tiles), int(bw), 64, len(sel))
+        for r, v in enumerate(sel):
+            packed[v] = words[r]
+
+    # ------- exceptions: positions/values, host side -------------------
+    exc_positions = [np.empty(0, np.uint16)] * n_vec
+    exc_values = [np.empty(0, np.float64)] * n_vec
+    exc_vec = np.nonzero(n_exc_np)[0]
+    if exc_vec.size:
+        exc_rows = np.asarray(
+            _to_vector_major(exc).reshape(-1, 1024)[jnp.asarray(exc_vec)])
+        for r, v in enumerate(exc_vec):
+            pos = np.nonzero(exc_rows[r])[0].astype(np.uint16)
+            exc_positions[v] = pos
+            exc_values[v] = vectors[v][pos]
+
+    col = ct.CompressedColumn(
+        dtype=np.dtype(np.float64), n_values=n_values, n_vectors=n_vec,
+        rg_scheme=rg_scheme,
+        rd_dict=np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16),
+        rd_dict_size=np.zeros(n_rg, np.uint8),
+        rd_left_bw=np.zeros(n_rg, np.uint8),
+        rd_right_bw=np.zeros(n_rg, np.uint8),
+        fac=fac_v.astype(np.uint8), exp=exp_v.astype(np.uint8),
+        bit_width=bw_all, base=base_all,
+        exc_count=n_exc_np, packed=packed,
+        left_packed=[np.empty(0, np.uint16)] * n_vec,
+        exc_values=exc_values, exc_positions=exc_positions)
+
+    if rare_count:
+        # subnormal inputs outside the device envelope: re-encode those
+        # vectors host-side with the already-chosen (e, f) (the choice
+        # ran on exact host f64); bit-identical fallback
+        rare_rows = np.asarray(_to_vector_major(rare).reshape(-1, 1024))
+        bad = np.nonzero(rare_rows[:n_vec].any(axis=1))[0]
+        _host_fixup(col, vectors, bad, fac_v, exp_v, tc)
+    return col
+
+
+def _host_fixup(col, vectors, bad_vectors, fac_v, exp_v, tc):
+    """Re-encode specific vectors with the host oracle (exact), in place."""
+    from .oracle import core as ocore
+    from .oracle import fastlanes as ofl
+    for v in bad_vectors:
+        enc = ocore.encode_vector(vectors[v], int(fac_v[v]), int(exp_v[v]),
+                                  tc)
+        bw, base = ocore.analyze_ffor(enc.encoded, tc)
+        col.bit_width[v] = bw
+        col.base[v] = base
+        col.exc_count[v] = len(enc.exc_positions)
+        col.exc_positions[v] = enc.exc_positions
+        col.exc_values[v] = enc.exc_values
+        col.packed[v] = ofl.ffor_pack(enc.encoded, int(bw), base)

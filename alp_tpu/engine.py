@@ -114,7 +114,9 @@ def make_sum_step(plan):
             elif g.variant == "mid":
                 tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
                 hi, lo = kfalp.falp_decode_f64_mid(
-                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw)
+                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw,
+                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
+                    cheap_msb=bool(g.flags & 4))
                 i += 6
             else:
                 tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]

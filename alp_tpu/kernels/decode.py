@@ -42,6 +42,7 @@ class _Group:
     meta: tuple                    # lane-expanded metadata planes (device)
     scheme: int = C.SCHEME_ALP     # ALP (falp) or ALP_RD (right+left glue)
     variant: str = "gen"           # f64 falp kernel: "gen"/"mid"/"small"
+    flags: int = 0                 # mid statics: 1 c0zero, 2 nonneg, 4 cheap_msb
     # exception scatter indices into the output planes (device arrays);
     # empty for RD groups (exceptions folded into the left parts)
     exc_g: jax.Array | None = None
@@ -82,7 +83,9 @@ class DecodePlan:
             elif g.variant == "mid":
                 base, c2, c1, c0, fb2 = g.meta
                 out = kfalp.falp_decode_f64_mid(
-                    g.tiles, base, c2, c1, c0, fb2, bw=g.bw)
+                    g.tiles, base, c2, c1, c0, fb2, bw=g.bw,
+                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
+                    cheap_msb=bool(g.flags & 4))
             elif self.dtype == np.float64:
                 blo, bhi, flo, fhi, frlo, frhi = g.meta
                 out = kfalp.falp_decode_f64(
@@ -162,7 +165,8 @@ def build_plan(col) -> DecodePlan:
     # two-rounding softfloat kernel (reference src/falp.cpp semantics).
     bws_v = col.bit_width[alp_idx].astype(np.int64)
     var_v = np.full(len(alp_idx), "gen", dtype=object)
-    if col.dtype == np.float64 and alp_idx.size:
+    flags_v = np.zeros(len(alp_idx), np.int8)   # bit0 c0zero, 1 nonneg,
+    if col.dtype == np.float64 and alp_idx.size:  # 2 cheap_msb
         base_v = col.base[alp_idx].astype(np.int64)
         fact_v = tc.fact_arr[col.fac[alp_idx]]
         five_v = np.power(np.int64(5), col.fac[alp_idx].astype(np.int64))
@@ -172,13 +176,36 @@ def build_plan(col) -> DecodePlan:
         n_hi = np.where(cand, base_v + span, 0)
         cand &= n_hi <= 2**31 - 1
         maxn = np.maximum(np.maximum(np.abs(base_v), np.abs(n_hi)), 1)
-        var_v[cand & (five_v <= (2**53 - 1) // maxn)
-              & (fact_v <= (2**63 - 1) // maxn)] = "mid"
+        mid_v = (cand & (five_v <= (2**53 - 1) // maxn)
+                 & (fact_v <= (2**63 - 1) // maxn))
+        var_v[mid_v] = "mid"
         var_v[cand & (five_v <= (2**32 - 1) // maxn)] = "small"
+        # static work-pruning flags, uniform per bucket (mid kernel)
+        c0z_cache = {}
 
-    for bw, vr in sorted({(int(b), str(v))
-                          for b, v in zip(bws_v, var_v)}):
-        sel = alp_idx[(bws_v == bw) & (var_v == vr)]
+        def c0_is_zero(fac, exp):
+            key = (int(fac), int(exp))
+            if key not in c0z_cache:
+                frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+                fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+                cc = (5 ** int(fac)) * fsig
+                cc <<= 95 - (cc.bit_length() - 1)
+                c0z_cache[key] = (cc & 0xFFFFFFFF) == 0
+            return c0z_cache[key]
+
+        mi = np.nonzero(mid_v)[0]
+        for j in mi:
+            f = 1 if c0_is_zero(col.fac[alp_idx[j]],
+                                col.exp[alp_idx[j]]) else 0
+            if base_v[j] >= 0:
+                f |= 2
+            if maxn[j] < 2**24:
+                f |= 4
+            flags_v[j] = f
+
+    for bw, vr, fl in sorted({(int(b), str(v), int(f))
+                              for b, v, f in zip(bws_v, var_v, flags_v)}):
+        sel = alp_idx[(bws_v == bw) & (var_v == vr) & (flags_v == fl)]
         n = len(sel)
         n_pad = layout.pad_vectors(n, eb)
         packed = np.zeros((n_pad, int(bw) * (1024 // eb)), tc.ut)
@@ -254,7 +281,7 @@ def build_plan(col) -> DecodePlan:
                 rows.append(np.full(len(pos), r, np.int32))
                 poss.append(pos.astype(np.int32))
                 vbits.append(col.exc_values[v])
-        grp = _Group(int(bw), n, sel, tiles, meta, variant=vr)
+        grp = _Group(int(bw), n, sel, tiles, meta, variant=vr, flags=fl)
         if rows:
             rows = np.concatenate(rows)
             poss = np.concatenate(poss)

@@ -188,7 +188,8 @@ def _falp_f64_small_kernel(packed_ref, base, fact, fsig_hi, fsig_lo,
 
 
 def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
-                         out_hi, out_lo, *, bw: int):
+                         out_hi, out_lo, *, bw: int, c0zero: bool,
+                         nonneg: bool, cheap_msb: bool):
     # Mid-magnitude fast path: |n| <= 2^31 and |n * 5^fac| < 2^53, so
     # double(m) is exact and one 32x96 product with a single rounding
     # replaces the generic convert-then-multiply softfloat pipeline.
@@ -198,23 +199,31 @@ def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
     else:
         n = _unpack_all(packed_ref, bw, 64, 2).lo + b
     r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
-                         c0[:][:, None, :], fb2[:][:, None, :])
+                         c0[:][:, None, :], fb2[:][:, None, :],
+                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
-@functools.partial(jax.jit, static_argnames=("bw",))
-def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int):
+@functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
+                                             "cheap_msb", "block_groups"))
+def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
+                        c0zero: bool = False, nonneg: bool = False,
+                        cheap_msb: bool = False,
+                        block_groups: int | None = None):
     """Fused falp decode, mid-magnitude variant (bw <= 32, odd part of
     m = n * FACT below 2^53: double(m) exact, single rounding).
 
     Metadata planes (per-vector, lane-expanded u32): ``base`` (int32 FOR
     base), ``c2``/``c1``/``c0`` (the 96-bit plan-time constant
     5^fac * fsig(FRAC) top-aligned to bit 95), ``fb2`` (combined biased
-    exponent term).  See softfloat.i32c96_to_f64.
+    exponent term).  Static bucket flags prune work the plan proved
+    impossible: ``c0zero`` (low constant limb zero for every vector —
+    fac <= 4), ``nonneg`` (no negative encodings), ``cheap_msb``
+    (|n| < 2^24).  See softfloat.i32c96_to_f64.
     """
     G = packed.shape[0]
-    gb = min(_BLOCK_GROUPS, max(G, 1))
+    gb = min(block_groups or _BLOCK_GROUPS, max(G, 1))
     pad = (-G) % gb
     if pad:
         packed, base, c2, c1, c0, fb2 = (
@@ -224,7 +233,8 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int):
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_falp_f64_mid_kernel, bw=bw),
+        functools.partial(_falp_f64_mid_kernel, bw=bw, c0zero=c0zero,
+                          nonneg=nonneg, cheap_msb=cheap_msb),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -232,6 +242,9 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int):
         out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       base, c2, c1, c0, fb2)

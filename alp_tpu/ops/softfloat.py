@@ -611,7 +611,9 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
 
 
 def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
-                  c0: jnp.ndarray, fb2: jnp.ndarray) -> U64:
+                  c0: jnp.ndarray, fb2: jnp.ndarray, *,
+                  c0zero: bool = False, nonneg: bool = False,
+                  cheap_msb: bool = False) -> U64:
     """``RN(n * C * 2^E)`` for int32 ``n`` and a per-vector positive
     constant ``C'`` top-aligned into [2^95, 2^96) as three u32 limbs.
 
@@ -627,30 +629,68 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
     Exact on the domain |n| <= 2^31, |n * 5^f| < 2^53 (plan-build
     bounds check); ~2/3 the work of :func:`i64_to_f64_times_normal`.
     """
-    mask = (n.astype(_I32) >> 31).astype(_U32)
-    sign = mask & _u32(1)
-    mag = (n ^ mask) - mask
-    nb = _msb32(mag | _u32(1))
+    if nonneg:
+        sign = jnp.zeros_like(n)
+        mag = n
+    else:
+        mask = (n.astype(_I32) >> 31).astype(_U32)
+        sign = mask & _u32(1)
+        mag = (n ^ mask) - mask
+    if cheap_msb:
+        # |n| < 2^24 for the whole bucket: i32->f32 convert is exact, the
+        # exponent field IS the msb (no round-up-to-power-of-2 guard)
+        f = (mag | _u32(1)).astype(_I32).astype(jnp.float32)
+        nb = ((f.view(_U32) >> 23) - _u32(127)).astype(_I32)
+    else:
+        nb = _msb32(mag | _u32(1))
     k = (_I32(31) - nb).astype(_U32)
     M = mag << k                                   # [2^31, 2^32)
-    # exact 32x96 product: p = M * C' in [2^126, 2^128) as 4 u32 limbs
-    p0 = umul32_wide(M, c0)
-    p1 = umul32_wide(M, c1)
-    p2 = umul32_wide(M, c2)
-    x0 = p0.lo
-    x1 = p0.hi + p1.lo
-    ca = (x1 < p1.lo).astype(_U32)
-    s2 = p1.hi + p2.lo
-    cb = (s2 < p2.lo).astype(_U32)
-    x2 = s2 + ca
-    cb = cb | (x2 < ca).astype(_U32)
+    # exact 32x96 product: p = M * C' in [2^126, 2^128) as 4 u32 limbs;
+    # the 16-bit split of M is shared across the three partial products
+    # (the splits of c2/c1/c0 are per-vector metadata planes — 1/slots
+    # the cost of a value-plane op)
+    al = M & _u32(0xFFFF)
+    ah = M >> 16
+
+    def mul_c(c):
+        bl = c & _u32(0xFFFF)
+        bh = c >> 16
+        ll = al * bl
+        lh = al * bh
+        hl = ah * bl
+        hh = ah * bh
+        mid = lh + hl
+        midc = (mid < lh).astype(_U32)
+        lo = ll + (mid << 16)
+        loc = (lo < ll).astype(_U32)
+        return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
+
+    p1 = mul_c(c1)
+    p2 = mul_c(c2)
+    if c0zero:
+        x0 = None
+        x1 = p1.lo
+        s2 = p1.hi + p2.lo
+        cb = (s2 < p2.lo).astype(_U32)
+        x2 = s2
+    else:
+        p0 = mul_c(c0)
+        x0 = p0.lo
+        x1 = p0.hi + p1.lo
+        ca = (x1 < p1.lo).astype(_U32)
+        s2 = p1.hi + p2.lo
+        cb = (s2 < p2.lo).astype(_U32)
+        x2 = s2 + ca
+        cb = cb | (x2 < ca).astype(_U32)
     x3 = p2.hi + cb
     t = x3 >> 31                                   # leading bit 127 vs 126
     up = t == 1
     lo = jnp.where(up, (x2 >> 11) | (x3 << 21), (x2 >> 10) | (x3 << 22))
     hi = jnp.where(up, x3 >> 11, (x3 >> 10) & _u32(0x1FFFFF))
     guard = jnp.where(up, (x2 >> 10) & _u32(1), (x2 >> 9) & _u32(1))
-    low = x0 | x1 | (x2 & jnp.where(up, _u32(0x3FF), _u32(0x1FF)))
+    low = x1 | (x2 & jnp.where(up, _u32(0x3FF), _u32(0x1FF)))
+    if x0 is not None:
+        low = low | x0
     sticky = low != 0
     round_up = (guard == 1) & (sticky | ((lo & _u32(1)) == 1))
     biased_out = fb2 + t - k

@@ -78,6 +78,9 @@ def bench_dataset(path):
         # ``carry`` XORs into one metadata plane per bucket: a real data
         # dependence between iterations (prevents dispatch elision); the
         # decode cost is data-independent, so timing is unaffected.
+        # Dispatch mirrors DecodePlan.run (kernels/decode.py): buckets
+        # route to the small/mid single-rounding kernels when the plan's
+        # FFOR bounds proved the domain, generic softfloat otherwise.
         acc = carry
         i = 0
         for g in groups:
@@ -87,6 +90,18 @@ def bench_dataset(path):
                 hi, lo = kfalp.rd_decode_dict_f64(
                     right, left ^ carry, dicts, rbw=g.bw, lbw=g.meta[1])
                 i += 10
+            elif g.variant == "small":
+                tiles, base, fact, fsh, fsl, fb = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_small(
+                    tiles, base ^ carry, fact, fsh, fsl, fb, bw=g.bw)
+                i += 6
+            elif g.variant == "mid":
+                tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_mid(
+                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw,
+                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
+                    cheap_msb=bool(g.flags & 4))
+                i += 6
             else:
                 (tiles, blo, bhi, flo, fhi, frlo, frhi) = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(
