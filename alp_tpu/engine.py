@@ -139,6 +139,125 @@ def make_sum_step(plan):
     return step, tuple(metas)
 
 
+def _masked_keys(col, plan, outs):
+    """Yield (total-order keys, mask) per bucket.
+
+    XLA's float64 on TPU is *emulated* (not bit-exact), so float
+    comparisons can misorder near-equal doubles.  Aggregate comparisons
+    therefore run on the IEEE-754 total-order integer key
+    (``bits ^ sign ? ~0 : 2^63``), which is monotone in the float value
+    and uses only exact integer ops.  float32 is native/exact but takes
+    the same path for uniformity.
+    """
+    for vals_bits, mask in _masked_bits(col, plan, outs):
+        if col.dtype == np.float64:
+            sign = (vals_bits >> jnp.uint64(63)) != 0
+            key = jnp.where(sign, ~vals_bits,
+                            vals_bits | jnp.uint64(1 << 63))
+        else:
+            sign = (vals_bits >> jnp.uint32(31)) != 0
+            key = jnp.where(sign, ~vals_bits,
+                            vals_bits | jnp.uint32(1 << 31))
+        yield key, mask
+
+
+def _masked_bits(col, plan, outs):
+    """Yield (value bit patterns, mask) device pairs per bucket."""
+    if col.dtype == np.float64:
+        slots, L, per_group = 64, 16, 8
+    else:
+        slots, L, per_group = 32, 32, 4
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
+    for g, out in zip(plan.groups, outs):
+        if col.dtype == np.float64:
+            hi, lo = out
+            bits = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
+                jnp.uint64)
+        else:
+            bits = out
+        has_partial = (n_valid_last < C.VECTOR_SIZE
+                       and v_last in g.vec_indices)
+        last = _last_group_mask(g, slots, L, per_group, n_valid_last,
+                                has_partial)
+        mask = jnp.concatenate(
+            [jnp.ones((bits.shape[0] - 1,) + last.shape, bool),
+             last[None]]) if bits.shape[0] > 1 else last[None]
+        yield bits, mask
+
+
+def query_min(col) -> float:
+    """MIN(column) on device (q1-style aggregate over the fused scan)."""
+    plan = kdecode.build_plan(col)
+    outs = plan.run(patch=True)
+    kt = np.uint64 if col.dtype == np.float64 else np.uint32
+    fill = kt(np.iinfo(kt).max)
+    best = None
+    for key, mask in _masked_keys(col, plan, outs):
+        k = jnp.where(mask, key, fill).min()
+        best = k if best is None else jnp.minimum(best, k)
+    return _key_float(int(best), col.dtype)
+
+
+def query_max(col) -> float:
+    """MAX(column) on device."""
+    plan = kdecode.build_plan(col)
+    outs = plan.run(patch=True)
+    best = None
+    for key, mask in _masked_keys(col, plan, outs):
+        k = jnp.where(mask, key, 0).max()
+        best = k if best is None else jnp.maximum(best, k)
+    return _key_float(int(best), col.dtype)
+
+
+def _float_key(v: float, dtype) -> int:
+    """Host-side total-order key of a float (inverse of _key_float)."""
+    if np.dtype(dtype) == np.float64:
+        b = int(np.float64(v).view(np.uint64))
+        return (~b) & ((1 << 64) - 1) if b >> 63 else b | (1 << 63)
+    b = int(np.float32(v).view(np.uint32))
+    return (~b) & ((1 << 32) - 1) if b >> 31 else b | (1 << 31)
+
+
+def _key_float(k: int, dtype) -> float:
+    if np.dtype(dtype) == np.float64:
+        b = (k ^ (1 << 63)) if k >> 63 else (~k) & ((1 << 64) - 1)
+        return float(np.uint64(b).view(np.float64))
+    b = (k ^ (1 << 31)) if k >> 31 else (~k) & ((1 << 32) - 1)
+    return float(np.uint32(b).view(np.float32))
+
+
+def query_filter_count(col, lo: float, hi: float) -> int:
+    """SELECT COUNT(*) WHERE lo <= v <= hi — predicated SCAN, fully on
+    device (decode + exact total-order key compare + popcount)."""
+    plan = kdecode.build_plan(col)
+    outs = plan.run(patch=True)
+    kt = np.uint64 if col.dtype == np.float64 else np.uint32
+    klo = kt(_float_key(lo, col.dtype))
+    khi = kt(_float_key(hi, col.dtype))
+    total = jnp.zeros((), jnp.int64)
+    for key, mask in _masked_keys(col, plan, outs):
+        keep = mask & (key >= klo) & (key <= khi)
+        total = total + keep.sum().astype(jnp.int64)
+    return int(total)
+
+
+def query_compression(data: np.ndarray, *, device: bool = False):
+    """COMPRESSION query (bench_end_to_end's compression operator): run
+    the adaptive compressor over raw input inside the pipeline; returns
+    (CompressedColumn, stats) with the reference cost-model ratio."""
+    import time
+    from . import container
+    t0 = time.perf_counter()
+    cc = container.compress(data, device=device)
+    dt = time.perf_counter() - t0
+    return cc, {
+        "seconds": dt,
+        "throughput_gbps": data.nbytes / dt / 1e9,
+        "bits_per_value": cc.bits_per_value(),
+    }
+
+
 def query_scan(col):
     """SCAN: full decompression on device; returns the decode plan's
     patched planes (device arrays) for downstream operators."""

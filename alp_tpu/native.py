@@ -19,6 +19,7 @@ import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRC = _ROOT / "native" / "alpcore.cpp"
+_SRC_COMPETITORS = _ROOT / "native" / "competitors.cpp"
 _CACHE_DIR = pathlib.Path(
     os.environ.get("ALP_TPU_NATIVE_CACHE", _ROOT / "native" / ".cache"))
 
@@ -28,35 +29,37 @@ class NativeUnavailable(RuntimeError):
 
 
 _lib = None
+_clib = None
 
 
-def _lib_path() -> pathlib.Path:
-    """Artifact path keyed on the source content hash: a fresh checkout
-    (git does not preserve mtimes) or an edited source always rebuilds,
-    and stale binaries are never loaded."""
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    return _CACHE_DIR / f"libalpcore-{digest}.so"
+def _build_lib(src: pathlib.Path, name: str) -> pathlib.Path:
+    """Build ``src`` into a cache path keyed on its content hash: a
+    fresh checkout (git does not preserve mtimes) or an edited source
+    always rebuilds, and stale binaries are never loaded.
 
-
-def build(force: bool = False) -> pathlib.Path:
-    lib_file = _lib_path()
-    if lib_file.exists() and not force:
+    -ffp-contract=off: GCC's default contraction would fuse the magic
+    add into an FMA and change the encode rounding semantics.
+    No -march=native: the artifact directory may be shared between
+    machines; -O3 generic x86-64 is within noise for these bit loops.
+    """
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    lib_file = _CACHE_DIR / f"lib{name}-{digest}.so"
+    if lib_file.exists():
         return lib_file
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    # -ffp-contract=off: GCC's default contraction would fuse the magic
-    # add into an FMA and change the encode rounding semantics.
-    # No -march=native: the artifact directory may be shared between
-    # machines; -O2/-O3 autovectorised generic x86-64 is within noise for
-    # this engine's bit loops.
     tmp = lib_file.with_suffix(".so.tmp")
     cmd = ["g++", "-O3", "-ffp-contract=off", "-shared",
-           "-fPIC", "-o", str(tmp), str(_SRC)]
+           "-fPIC", "-o", str(tmp), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, lib_file)
     except (OSError, subprocess.CalledProcessError) as e:
-        raise NativeUnavailable(f"failed to build alpcore: {e}") from e
+        raise NativeUnavailable(f"failed to build {name}: {e}") from e
     return lib_file
+
+
+def build(force: bool = False) -> pathlib.Path:
+    return _build_lib(_SRC, "alpcore")
 
 
 def lib() -> ctypes.CDLL:
@@ -64,6 +67,14 @@ def lib() -> ctypes.CDLL:
     if _lib is None:
         _lib = ctypes.CDLL(str(build()))
     return _lib
+
+
+def competitors_lib() -> ctypes.CDLL:
+    global _clib
+    if _clib is None:
+        _clib = ctypes.CDLL(str(_build_lib(_SRC_COMPETITORS,
+                                           "competitors")))
+    return _clib
 
 
 def _ptr(a, t):
@@ -176,3 +187,43 @@ def falp_f64(packed_flat: np.ndarray, offsets: np.ndarray, bws: np.ndarray,
         _ptr(np.ascontiguousarray(fracs), ctypes.c_double),
         _ptr(out, ctypes.c_double), n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Competitor codecs (native/competitors.cpp): single-core C++ XOR-family
+# encode/decode for table-6-style speed comparisons against the TPU path.
+# ---------------------------------------------------------------------------
+
+_RING_CODECS = {"chimp128", "patas"}
+
+
+def competitor_encode(name: str, data: np.ndarray):
+    """Encode f64 ``data`` with a native competitor codec.
+
+    Returns (stream u64[:], n_bits).  Names: gorillas, chimp, chimp128,
+    patas."""
+    bits = np.ascontiguousarray(data).view(np.uint64)
+    n = len(bits)
+    # worst case ~(W + meta) bits per value, round up generously
+    out = np.zeros(n + (n * 88) // 64 + 4, np.uint64)
+    cl = competitors_lib()
+    fn = getattr(cl, f"cmp_{name}_encode_f64")
+    fn.restype = ctypes.c_long
+    if name in _RING_CODECS:
+        scratch = np.zeros(1 << 14, np.int64)
+        nbits = fn(_ptr(bits, ctypes.c_uint64), ctypes.c_long(n),
+                   _ptr(out, ctypes.c_uint64), _ptr(scratch, ctypes.c_int64))
+    else:
+        nbits = fn(_ptr(bits, ctypes.c_uint64), ctypes.c_long(n),
+                   _ptr(out, ctypes.c_uint64))
+    return out[: (nbits + 63) // 64], int(nbits)
+
+
+def competitor_decode(name: str, stream: np.ndarray, n: int) -> np.ndarray:
+    """Decode ``n`` doubles from a native competitor stream."""
+    out = np.empty(n, np.uint64)
+    cl = competitors_lib()
+    fn = getattr(cl, f"cmp_{name}_decode_f64")
+    fn(_ptr(np.ascontiguousarray(stream), ctypes.c_uint64),
+       ctypes.c_long(n), _ptr(out, ctypes.c_uint64))
+    return out.view(np.float64)

@@ -58,12 +58,20 @@ def ratio_report(columns, out_path, dtype=np.float64,
     return rows
 
 
-def speed_report(results, out_path) -> None:
-    """results: [(name, iterations, value, unit)] -> fls_bench-style CSV."""
+def speed_report(results, out_path, header=None) -> None:
+    """results: [(name, iterations, value, unit)] -> fls_bench-style CSV.
+
+    ``header``: custom column tuple — rows are then written verbatim
+    (used by the e2e query table, table_6-style)."""
     with open(out_path, "w") as f:
-        f.write("benchmark_number,name,iterations,throughput,unit\n")
-        for i, (name, iters, value, unit) in enumerate(results, 1):
-            f.write(f"{i},{name},{iters},{value:.3f},{unit}\n")
+        if header is not None:
+            f.write(",".join(header) + "\n")
+            for row in results:
+                f.write(",".join(str(x) for x in row) + "\n")
+        else:
+            f.write("benchmark_number,name,iterations,throughput,unit\n")
+            for i, (name, iters, value, unit) in enumerate(results, 1):
+                f.write(f"{i},{name},{iters},{value:.3f},{unit}\n")
     _write_metadata(out_path + ".metadata")
 
 

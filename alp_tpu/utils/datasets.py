@@ -55,11 +55,18 @@ class Column:
 
     @property
     def binary_path(self) -> pathlib.Path | None:
-        bd = binary_dir()
-        if self.binary_name and bd is not None:
-            p = bd / self.binary_name
-            if p.exists():
-                return p
+        if not self.binary_name:
+            return None
+        dirs = [binary_dir()]
+        if self.dtype == "float32":
+            # hurricane-isabel files live under their own env dir
+            # (column.hpp:56-58)
+            dirs.append(hurricane_dir())
+        for bd in dirs:
+            if bd is not None:
+                p = bd / self.binary_name
+                if p.exists():
+                    return p
         return None
 
 

@@ -28,6 +28,13 @@ def read_binary(path, dtype) -> np.ndarray:
     return np.fromfile(path, dtype=np.dtype(dtype))
 
 
+def mmap_binary(path, dtype) -> np.ndarray:
+    """Memory-map a raw binary column (reference test/include/test/
+    mapper.hpp:14-24): zero-copy read-only view, paged on demand — the
+    right reader for full-corpus files larger than RAM."""
+    return np.memmap(path, dtype=np.dtype(dtype), mode="r")
+
+
 def read_column(column: Column, prefer_binary: bool = True) -> np.ndarray:
     """Load a column's data; binary preferred when present (data.hpp:16)."""
     if prefer_binary and column.binary_path is not None:

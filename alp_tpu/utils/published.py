@@ -1,0 +1,59 @@
+"""Published full-dataset compression-ratio numbers (bits/value).
+
+Transcribed from the reference paper artifact table
+(reference publication/tables/table_4.md) so ratio reports can carry
+the comparisons this environment cannot reproduce directly:
+
+* ``zstd``: Zstandard v1.5.5 (the reference fetches real zstd;
+  this image has none, so the measured general-purpose column in our
+  reports is zlib/DEFLATE and is labeled as such — NOT comparable to
+  these numbers);
+* ``elf``: the Elf codec (Java artifact, excluded from this build);
+* ``alp``: the reference's own full-dataset ALP result — our measured
+  column uses the shipped 1024-value samples unless the full corpus is
+  mounted (ALP_DATASET_DIR_PATH), so expect sample-vs-full deltas.
+"""
+
+# dataset name -> (zstd, elf, alp) published bits/value, table_4.md
+TABLE_4 = {
+    "Air-Pressure": (9.39, 14.25, 16.43),
+    "Basel-Temp": (18.44, 36.85, 30.72),
+    "Basel-Wind": (14.66, 36.72, 29.81),
+    "Bird-Mig": (21.02, 22.78, 20.14),
+    "Btc-Price": (42.08, 36.42, 26.37),
+    "City-Temp": (16.77, 17.95, 10.74),
+    "Dew-Temp": (25.07, 20.85, 13.40),
+    "Bio-Temp": (17.46, 16.66, 10.75),
+    "PM10-dust": (7.78, 10.38, 8.56),
+    "Stocks-DE": (10.54, 14.41, 11.01),
+    "Stocks-UK": (10.28, 12.05, 12.59),
+    "Stocks-USA": (8.56, 12.20, 7.90),
+    "Wind-dir": (25.53, 25.62, 15.89),
+    "Arade/4": (33.90, 34.58, 24.94),
+    "Blockchain": (43.97, 41.26, 36.49),
+    "CMS/1": (26.56, 27.71, 35.65),
+    "CMS/25": (58.27, 51.34, 41.11),
+    "CMS/9": (14.73, 14.79, 11.67),
+    "Food-prices": (18.32, 17.31, 23.65),
+    "Gov/10": (28.09, 30.47, 30.99),
+    "Gov/26": (0.23, 3.16, 0.41),
+    "Gov/30": (4.48, 7.17, 7.48),
+    "Gov/31": (1.63, 4.50, 3.05),
+    "Gov/40": (0.46, 3.34, 0.83),
+    "Medicare/1": (31.18, 31.87, 39.35),
+    "Medicare/9": (15.03, 15.03, 12.26),
+    "NYC/29": (27.50, 32.04, 40.38),
+    "POI-lat": (59.34, 61.53, 55.74),
+    "POI-lon": (60.98, 67.78, 56.56),
+    "SD-bench": (11.34, 20.41, 16.21),
+}
+
+# suite averages from the same table (ALL AVG. row)
+SUITE_AVG = {"gorillas": 41.6, "chimp": 37.7, "chimp128": 28.6,
+             "patas": 35.5, "pde": 31.3, "elf": 24.7, "alp": 21.7,
+             "zstd": 22.1}
+
+
+def published(name: str):
+    """(zstd, elf, alp) published bits/value for a dataset, or Nones."""
+    return TABLE_4.get(name, (None, None, None))

@@ -1,0 +1,369 @@
+// Native competitor codecs for speed benchmarking: Gorillas, Chimp,
+// Chimp128, Patas (XOR-family, double path, W = 64).
+//
+// Formats follow the reference implementations the Python spec-level
+// round-trips in alp_tpu/competitors/xor_codecs.py were transcribed
+// from (reference publication/source_code/include/{gorillas/gorillas.hpp,
+// chimp/chimp.hpp, chimp/chimp128.hpp, patas/patas.hpp}); streams here
+// are MSB-first bitstreams carrying the same fields, so encoded bit
+// counts match the Python *_bits cost models exactly (cross-checked in
+// tests/test_competitors.py).  These are the single-core host codecs
+// the ALP TPU decode is compared against (table-6-style speed ratios).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitWriter {
+    uint64_t* buf;
+    long w = 0;
+    uint64_t acc = 0;
+    int fill = 0;
+    long bits = 0;
+    explicit BitWriter(uint64_t* b) : buf(b) {}
+    inline void put(uint64_t v, int n) {
+        if (!n) return;
+        bits += n;
+        if (n < 64) v &= (1ULL << n) - 1;
+        int rem = 64 - fill;
+        if (n < rem) {
+            acc = (acc << n) | v;
+            fill += n;
+        } else if (n == rem) {
+            // n == 64 only possible with fill == 0 (acc empty)
+            buf[w++] = (fill ? (acc << n) : 0) | v;
+            acc = 0;
+            fill = 0;
+        } else {                 // n > rem >= 1, so both shifts are < 64
+            buf[w++] = (acc << rem) | (v >> (n - rem));
+            fill = n - rem;      // in [1, 63]
+            acc = v & ((1ULL << fill) - 1);
+        }
+    }
+    long finish() {
+        if (fill) buf[w++] = acc << (64 - fill);
+        return bits;
+    }
+};
+
+struct BitReader {
+    const uint64_t* buf;
+    long r = 0;
+    uint64_t acc = 0;
+    int have = 0;
+    explicit BitReader(const uint64_t* b) : buf(b) {}
+    inline uint64_t get(int n) {
+        if (!n) return 0;
+        if (n <= have) {
+            uint64_t v = acc >> (64 - n);
+            acc = (n < 64) ? (acc << n) : 0;
+            have -= n;
+            return v;
+        }
+        int need = n - have;                      // need in [1, 64]
+        uint64_t next = buf[r++];
+        uint64_t nextbits = (need < 64) ? (next >> (64 - need)) : next;
+        // have > 0 implies need <= 63, so the shift below is safe
+        uint64_t v = have ? ((acc >> (64 - have)) << need) | nextbits
+                          : nextbits;
+        acc = (need < 64) ? (next << need) : 0;
+        have = 64 - need;
+        return v;
+    }
+};
+
+inline int clz64(uint64_t x) { return x ? __builtin_clzll(x) : 64; }
+inline int ctz64(uint64_t x) { return x ? __builtin_ctzll(x) : 64; }
+
+// chimp_utils.hpp LEADING_ROUND / 3-bit representation
+const uint8_t LEAD_ROUND[65] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 12, 12, 12, 12,
+    16, 16, 18, 18, 20, 20, 22, 22,
+    24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24,
+    24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24, 24,
+    24, 24, 24, 24, 24, 24, 24, 24, 24};
+inline int lead_repr(int lz) {
+    switch (lz) {
+        case 0: return 0; case 8: return 1; case 12: return 2;
+        case 16: return 3; case 18: return 4; case 20: return 5;
+        case 22: return 6; default: return 7;   // 24
+    }
+}
+const int REPR_LEAD[8] = {0, 8, 12, 16, 18, 20, 22, 24};
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------ Gorillas ------------------------------
+
+long cmp_gorillas_encode_f64(const uint64_t* bits, long n, uint64_t* out) {
+    BitWriter bw(out);
+    bw.put(bits[0], 64);
+    int pl = 0, pt = 0;
+    for (long i = 1; i < n; i++) {
+        uint64_t x = bits[i] ^ bits[i - 1];
+        if (x == 0) { bw.put(0b00, 2); continue; }
+        int lz = clz64(x); if (lz > 31) lz = 31;
+        int tz = ctz64(x);
+        if (lz >= pl && tz >= pt) {
+            bw.put(0b10, 2);
+            bw.put(x >> pt, 64 - pl - pt);
+        } else {
+            bw.put(0b11, 2);
+            bw.put(lz, 5);
+            bw.put(64 - lz - tz - 1, 6);
+            bw.put(x >> tz, 64 - lz - tz);
+            pl = lz; pt = tz;
+        }
+    }
+    return bw.finish();
+}
+
+void cmp_gorillas_decode_f64(const uint64_t* stream, long n, uint64_t* out) {
+    BitReader br(stream);
+    out[0] = br.get(64);
+    int pl = 0, pt = 0;
+    for (long i = 1; i < n; i++) {
+        int f = (int)br.get(2);
+        if (f == 0b00) { out[i] = out[i - 1]; continue; }
+        uint64_t x;
+        if (f == 0b10) {
+            x = br.get(64 - pl - pt) << pt;
+        } else {
+            pl = (int)br.get(5);
+            int sig = (int)br.get(6) + 1;
+            pt = 64 - pl - sig;
+            x = br.get(sig) << pt;
+        }
+        out[i] = out[i - 1] ^ x;
+    }
+}
+
+// ------------------------------- Chimp --------------------------------
+
+long cmp_chimp_encode_f64(const uint64_t* bits, long n, uint64_t* out) {
+    BitWriter bw(out);
+    bw.put(bits[0], 64);
+    int prev_lead = 255;
+    for (long i = 1; i < n; i++) {
+        uint64_t x = bits[i] ^ bits[i - 1];
+        if (x == 0) { bw.put(0b00, 2); prev_lead = 255; continue; }
+        int lz = LEAD_ROUND[clz64(x)];
+        int tz = ctz64(x);
+        if (tz > 6) {
+            int sig = 64 - lz - tz;
+            bw.put(0b01, 2);
+            bw.put(lead_repr(lz), 3);
+            bw.put(sig, 6);
+            bw.put(x >> tz, sig);
+            prev_lead = 255;
+        } else if (lz == prev_lead) {
+            bw.put(0b10, 2);
+            bw.put(x, 64 - lz);
+        } else {
+            bw.put(0b11, 2);
+            bw.put(lead_repr(lz), 3);
+            bw.put(x, 64 - lz);
+            prev_lead = lz;
+        }
+    }
+    return bw.finish();
+}
+
+void cmp_chimp_decode_f64(const uint64_t* stream, long n, uint64_t* out) {
+    BitReader br(stream);
+    out[0] = br.get(64);
+    int prev_lead = 255;
+    for (long i = 1; i < n; i++) {
+        int f = (int)br.get(2);
+        uint64_t x;
+        if (f == 0b00) { out[i] = out[i - 1]; prev_lead = 255; continue; }
+        if (f == 0b01) {
+            int lz = REPR_LEAD[br.get(3)];
+            int sig = (int)br.get(6);
+            int tz = 64 - lz - sig;
+            x = br.get(sig) << tz;
+            prev_lead = 255;
+        } else if (f == 0b10) {
+            x = br.get(64 - prev_lead);
+        } else {
+            int lz = REPR_LEAD[br.get(3)];
+            x = br.get(64 - lz);
+            prev_lead = lz;
+        }
+        out[i] = out[i - 1] ^ x;
+    }
+}
+
+// ------------------------------ Chimp128 ------------------------------
+
+static const int C128_KEY_BITS = 6 + 7 + 1;           // ring_buffer.hpp:19
+static const int C128_THRESHOLD = 6 + 7;
+
+long cmp_chimp128_encode_f64(const uint64_t* bits, long n, uint64_t* out,
+                             int64_t* indices_scratch) {
+    BitWriter bw(out);
+    uint64_t ring[128] = {0};
+    int64_t* indices = indices_scratch;               // [1 << 14]
+    memset(indices, 0, sizeof(int64_t) << C128_KEY_BITS);
+    const uint64_t key_mask = (1ULL << C128_KEY_BITS) - 1;
+    uint64_t v0 = bits[0];
+    bw.put(v0, 64);
+    ring[0] = v0;
+    indices[v0 & key_mask] = 0;
+    long size = 0;
+    int prev_lead = 255;
+    for (long i = 1; i < n; i++) {
+        uint64_t v = bits[i];
+        long key = (long)(v & key_mask);
+        long ref_idx = indices[key];
+        bool trailing_exceeds = false;
+        long prev_index = size % 128;
+        int tz = 0;
+        uint64_t x;
+        if (size - ref_idx < 128) {
+            long cur = (ref_idx > size) ? 0 : ref_idx;
+            uint64_t tempxor = v ^ ring[cur % 128];
+            tz = ctz64(tempxor);
+            if (tz > C128_THRESHOLD) {
+                trailing_exceeds = true;
+                prev_index = cur % 128;
+                x = tempxor;
+            } else {
+                x = v ^ ring[size % 128];
+            }
+        } else {
+            x = v ^ ring[size % 128];
+        }
+        if (x == 0) {
+            bw.put(0b00, 2);
+            bw.put(prev_index, 7);
+            prev_lead = 255;
+        } else {
+            int lz = LEAD_ROUND[clz64(x)];
+            if (trailing_exceeds) {
+                int sig = 64 - lz - tz;
+                bw.put(0b01, 2);
+                bw.put(prev_index, 7);
+                bw.put(lead_repr(lz), 3);
+                bw.put(sig, 6);
+                bw.put(x >> tz, sig);
+                prev_lead = 255;
+            } else if (lz == prev_lead) {
+                bw.put(0b10, 2);
+                bw.put(x, 64 - lz);
+            } else {
+                bw.put(0b11, 2);
+                bw.put(lead_repr(lz), 3);
+                bw.put(x, 64 - lz);
+                prev_lead = lz;
+            }
+        }
+        size += 1;
+        ring[size % 128] = v;
+        indices[key] = size;
+    }
+    return bw.finish();
+}
+
+void cmp_chimp128_decode_f64(const uint64_t* stream, long n, uint64_t* out) {
+    BitReader br(stream);
+    uint64_t ring[128] = {0};
+    out[0] = br.get(64);
+    ring[0] = out[0];
+    long size = 0;
+    int prev_lead = 255;
+    for (long i = 1; i < n; i++) {
+        int f = (int)br.get(2);
+        uint64_t v;
+        if (f == 0b00) {
+            v = ring[br.get(7)];
+            prev_lead = 255;
+        } else if (f == 0b01) {
+            long idx = (long)br.get(7);
+            int lz = REPR_LEAD[br.get(3)];
+            int sig = (int)br.get(6);
+            int tz = 64 - lz - sig;
+            v = ring[idx] ^ (br.get(sig) << tz);
+            prev_lead = 255;
+        } else if (f == 0b10) {
+            v = out[i - 1] ^ br.get(64 - prev_lead);
+        } else {
+            int lz = REPR_LEAD[br.get(3)];
+            v = out[i - 1] ^ br.get(64 - lz);
+            prev_lead = lz;
+        }
+        out[i] = v;
+        size += 1;
+        ring[size % 128] = v;
+    }
+}
+
+// ------------------------------- Patas --------------------------------
+// Stream: per value a 16-bit packed metadata word (index_diff:7,
+// byte_count:3, trailing_zeros:6) followed by the byte-aligned payload.
+
+long cmp_patas_encode_f64(const uint64_t* bits, long n, uint64_t* out,
+                          int64_t* indices_scratch) {
+    BitWriter bw(out);
+    uint64_t ring[128] = {0};
+    int64_t* indices = indices_scratch;
+    memset(indices, 0, sizeof(int64_t) << C128_KEY_BITS);
+    const uint64_t key_mask = (1ULL << C128_KEY_BITS) - 1;
+    // seed value: 16-bit meta slot (byte_count field can't hold 8, so
+    // the decoder special-cases i == 0 and reads a full 64-bit payload)
+    bw.put(0, 16);
+    bw.put(bits[0], 64);
+    ring[0] = bits[0];
+    indices[bits[0] & key_mask] = 0;
+    long size = 0;
+    for (long i = 1; i < n; i++) {
+        uint64_t v = bits[i];
+        long key = (long)(v & key_mask);
+        long ref_idx = indices[key];
+        if (ref_idx > size || (size + 1 - ref_idx) >= 128) ref_idx = size;
+        uint64_t x = v ^ ring[ref_idx % 128];
+        int is_equal = x == 0;
+        int tz = ctz64(x);
+        int lz = clz64(x);
+        int sig_bits = is_equal ? 0 : 64 - tz - lz;
+        int sig_bytes = (sig_bits >> 3) + ((sig_bits & 7) ? 1 : 0);
+        int shift = tz - is_equal;
+        // sig_bytes == 8 wraps to 0 in the 3-bit field; unambiguous
+        // because a true empty payload always has shift == 63
+        bw.put(((size + 1 - ref_idx) << 9)
+               | ((uint64_t)(sig_bytes & 0x7) << 6) | (uint64_t)shift, 16);
+        bw.put(x >> shift, sig_bytes * 8);
+        size += 1;
+        ring[size % 128] = v;
+        indices[key] = size;
+    }
+    return bw.finish();
+}
+
+void cmp_patas_decode_f64(const uint64_t* stream, long n, uint64_t* out) {
+    BitReader br(stream);
+    uint64_t ring[128] = {0};
+    for (long i = 0; i < n; i++) {
+        uint64_t meta = br.get(16);
+        uint64_t v;
+        if (i == 0) {
+            v = br.get(64);
+        } else {
+            long idiff = (long)(meta >> 9);
+            int nbytes = (int)((meta >> 6) & 0x7);
+            int tz = (int)(meta & 0x3F);
+            if (nbytes == 0 && tz != 63) nbytes = 8;
+            uint64_t val = br.get(nbytes * 8);
+            v = (tz < 64)
+                ? ring[(i - idiff) % 128] ^ (val << tz)
+                : ring[(i - idiff) % 128];
+        }
+        ring[i % 128] = v;
+        out[i] = v;
+    }
+}
+
+}  // extern "C"

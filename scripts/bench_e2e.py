@@ -1,0 +1,113 @@
+"""End-to-end query benchmark -> results/e2e_queries.csv (table-6 analog).
+
+The reference's headline e2e result is SCAN/SUM/COMPRESSION queries over
+ALP and competitor-compressed columns at 1/8/16 TBB threads (reference
+publication/source_code/bench_end_to_end/, tables/table_6.md: ALP 59.3x
+faster than Chimp at 1 thread).  The TPU analog:
+
+* ALP queries run on one TPU chip (fused falp decode + on-device
+  reduction, plan staged once — the steady-state query shape);
+* competitor schemes decode with the native single-core C++ codecs
+  (native/competitors.cpp) — the same codec class the reference times;
+* the COMPRESSION query compresses raw input inside the pipeline (host
+  engine and, when a TPU is present, the device encode path);
+* a functional mesh-scaling block runs the container round trip over
+  1/2/4/8 virtual devices (real chips being single in this environment;
+  the driver validates the same path via dryrun_multichip).
+
+Run on the TPU terminal: python scripts/bench_e2e.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SAMPLE = "/root/reference/data/1_rg_data_sample/city_temperature_f_tw.bin"
+REPS = 512          # ~400 MiB of doubles for competitor/host numbers
+TPU_REPS = 512
+
+
+def main():
+    import jax
+    import alp_tpu  # noqa: F401
+    from alp_tpu import container, engine, native
+    from alp_tpu.benchlib import loop_bench
+    from alp_tpu.kernels import decode as kdecode
+    from alp_tpu.reports import speed_report
+
+    rows = []
+    base = np.fromfile(SAMPLE, np.float64)
+    data = np.tile(base, REPS)                     # ~400 MiB
+    on_tpu = jax.default_backend() == "tpu"
+
+    # ---- ALP queries on device (plan staged once, q1 shape) -----------
+    cc = container.compress(np.tile(base, TPU_REPS))
+    plan = kdecode.build_plan(cc)
+    step, metas = engine.make_sum_step(plan)
+    dt = loop_bench(step, metas, 20)
+    gbps = plan.decoded_bytes / dt / 1e9
+    rows.append(("SUM", "ALP", "1 chip", round(gbps, 2), 1.0))
+    print(rows[-1], flush=True)
+
+    # correctness companions (never timed through the tunnel):
+    small = container.compress(base)
+    s = engine.query_sum(small)
+    assert abs(s - base.sum()) < 1e-9 * abs(base.sum()) + 1e-9
+    assert engine.query_min(small) == base.min()
+    assert engine.query_max(small) == base.max()
+
+    # ---- competitor decode speed (native single-core C++) -------------
+    alp_gbps = gbps
+    for name in ("gorillas", "chimp", "chimp128", "patas"):
+        stream, nbits = native.competitor_encode(name, data)
+        t0 = time.perf_counter()
+        out = native.competitor_decode(name, stream, len(data))
+        t1 = time.perf_counter()
+        assert (out.view(np.uint64) == data.view(np.uint64)).all()
+        g = data.nbytes / (t1 - t0) / 1e9
+        rows.append(("SUM-scan decode", name, "1 core", round(g, 2),
+                     round(alp_gbps / g, 1)))
+        print(rows[-1], flush=True)
+
+    # ---- COMPRESSION query --------------------------------------------
+    _, stats = engine.query_compression(data)
+    rows.append(("COMPRESSION", "ALP host engine", "1 core",
+                 round(stats["throughput_gbps"], 2), ""))
+    print(rows[-1], flush=True)
+    if on_tpu:
+        # device encode path: second run is the steady-state number
+        engine.query_compression(np.tile(base, 64), device=True)
+        _, stats = engine.query_compression(np.tile(base, TPU_REPS),
+                                            device=True)
+        rows.append(("COMPRESSION", "ALP device encode", "1 chip",
+                     round(stats["throughput_gbps"], 2), ""))
+        print(rows[-1], flush=True)
+
+    # ---- functional mesh scaling (virtual devices on CPU are a
+    # correctness demonstration, not a perf claim) ----------------------
+    if not on_tpu and len(jax.devices()) >= 8:
+        from alp_tpu.parallel import make_mesh
+        d = np.tile(base, 32)
+        blob = container.compress(d).to_bytes()
+        for nd in (1, 2, 4, 8):
+            mesh = make_mesh(nd)
+            t0 = time.perf_counter()
+            cc2 = container.compress(d, mesh=mesh)
+            t1 = time.perf_counter()
+            assert cc2.to_bytes() == blob
+            rows.append(("COMPRESSION", "ALP sharded", f"{nd} dev",
+                         round(d.nbytes / (t1 - t0) / 1e9, 2), ""))
+            print(rows[-1], flush=True)
+
+    speed_report(rows, os.path.join(ROOT, "results", "e2e_queries.csv"),
+                 header=("query", "scheme", "parallelism", "gbps",
+                         "alp_speedup"))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,16 +42,56 @@ def main():
     out_gb = G * 64 * 128 * 8 / 1e9
     results = []
 
+    # production routing (kernels/decode.py build_plan): synthetic
+    # fact=1 profiles route to the mid single-rounding kernel for
+    # bw <= 32 (c0zero+nonneg, cheap_msb when max |n| < 2^24), and to
+    # the generic two-rounding softfloat kernel above that
+    from alp_tpu import constants as C
+
+    def mid_planes(fac, exp):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        s_c = 95 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        mk = lambda v: jnp.full((G, 128), np.uint32(v & 0xFFFFFFFF),
+                                jnp.uint32)
+        return (mk(cc >> 64), mk(cc >> 32), mk(cc),
+                mk(fb + 74 + fac - s_c))
+
+    c2p, c1p, c0p, fb2p = mid_planes(0, 9)
     for bw in (8, 16, 24, 32, 42, 52, 64):
         packed = devbits((G, 2 * bw, 128), seed=bw)
+        if bw <= 31:   # bw 32 cannot prove n in int32 -> generic
+            def step_falp(carry, packed, bw=bw):
+                hi, lo = kf.falp_decode_f64_mid(
+                    packed, zero + carry, c2p, c1p, c0p, fb2p, bw=bw,
+                    c0zero=True, nonneg=True, cheap_msb=bw <= 23)
+                return hi[0, 0, 0] ^ lo[0, 0, 0]
+            dt = loop_bench(step_falp, (packed,), ITERS)
+        else:
+            def step_falp(carry, packed, frlo, frhi, bw=bw):
+                hi, lo = kf.falp_decode_f64(packed, zero + carry, zero,
+                                            onem, zero, frlo, frhi, bw=bw)
+                return hi[0, 0, 0] ^ lo[0, 0, 0]
+            dt = loop_bench(step_falp, (packed, frlo, frhi), ITERS)
+        results.append((f"falp_f64_bw{bw}", ITERS, out_gb / dt, "GB/s"))
+        print(results[-1], flush=True)
 
-        def step_falp(carry, packed, frlo, frhi, bw=bw):
+    # generic-kernel reference rows (the softfloat two-rounding path the
+    # plan uses when the FFOR bounds cannot prove a fast domain)
+    for bw in (11, 16):
+        packed = devbits((G, 2 * bw, 128), seed=bw)
+
+        def step_gen(carry, packed, frlo, frhi, bw=bw):
             hi, lo = kf.falp_decode_f64(packed, zero + carry, zero, onem,
                                         zero, frlo, frhi, bw=bw)
             return hi[0, 0, 0] ^ lo[0, 0, 0]
 
-        dt = loop_bench(step_falp, (packed, frlo, frhi), ITERS)
-        results.append((f"falp_f64_bw{bw}", ITERS, out_gb / dt, "GB/s"))
+        dt = loop_bench(step_gen, (packed, frlo, frhi), ITERS)
+        results.append((f"falp_f64_generic_bw{bw}", ITERS, out_gb / dt,
+                        "GB/s"))
         print(results[-1], flush=True)
 
     for bw in (16, 52):
@@ -77,6 +117,67 @@ def main():
 
     dt = loop_bench(step_rd, (packed52, left), ITERS)
     results.append(("rd_decode_f64_rbw52", ITERS, out_gb / dt, "GB/s"))
+    print(results[-1], flush=True)
+
+    # encode WITHOUT sampling (bench_alp_encode_without_sampling analog):
+    # fixed per-vector (e, f), exact encode+verify kernel only — isolates
+    # the (e, f) search cost the full pipeline adds
+    from alp_tpu.kernels import encode as kenc
+    Ge = 2048                                      # 128 MiB of doubles
+    in_gb_e = Ge * 64 * 128 * 8 / 1e9
+    # f64 bit planes widened from random f32 values on device (pure u32
+    # ops: exact f32->f64 bit widening, no emulated-f64 dependency)
+    def make_planes():
+        v = jax.random.uniform(jax.random.PRNGKey(3), (Ge, 64, 128),
+                               jnp.float32, 1.0, 100.0)
+        b = v.view(jnp.uint32)
+        sign = b >> 31
+        e32 = (b >> 23) & jnp.uint32(0xFF)
+        frac = b & jnp.uint32(0x7FFFFF)
+        hi = ((sign << 31) | ((e32 + jnp.uint32(1023 - 127)) << 20)
+              | (frac >> 3))
+        lo = frac << 29
+        return hi, lo
+
+    vhi, vlo = jax.jit(make_planes)()
+
+    def const_plane(x64):
+        u = np.full((Ge, 128), x64, np.uint64)
+        return (jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                jnp.asarray((u >> np.uint64(32)).astype(np.uint32)))
+
+    tc = C.DOUBLE
+    e_, f_ = 14, 12
+    c1lo, c1hi = const_plane(np.float64(tc.exp_arr[e_]).view(np.uint64))
+    c2lo, c2hi = const_plane(np.float64(tc.frac_arr[f_]).view(np.uint64))
+    flo_, fhi_ = const_plane(np.uint64(tc.fact_arr[f_]))
+    frlo_, frhi_ = const_plane(np.float64(tc.frac_arr[e_]).view(np.uint64))
+
+    def step_enc(carry, vhi, vlo):
+        nh, nl, exc, rare = kenc.alp_encode_f64_tiles(
+            vhi, vlo ^ carry, c1lo, c1hi, c2lo, c2hi, flo_, fhi_,
+            frlo_, frhi_)
+        return nh[0, 0, 0] ^ nl[0, 0, 0] ^ exc[0, 0, 0]
+
+    dt = loop_bench(step_enc, (vhi, vlo), 15)
+    results.append(("encode_f64_without_sampling", 15, in_gb_e / dt,
+                    "GB/s"))
+    print(results[-1], flush=True)
+
+    def step_encpipe(carry, vhi, vlo):
+        nh, nl, exc, rare = kenc.alp_encode_f64_tiles(
+            vhi, vlo ^ carry, c1lo, c1hi, c2lo, c2hi, flo_, fhi_,
+            frlo_, frhi_)
+        bw_, base_ = kenc.analyze_planes_f64(nh, nl)
+        packed = kf.ffor_planes_f64(
+            nh, nl, jnp.zeros((Ge, 128), jnp.uint32),
+            jnp.zeros((Ge, 128), jnp.uint32), bw=48)
+        return (nh[0, 0, 0] ^ packed[0, 0, 0]
+                ^ bw_[0].astype(jnp.uint32))
+
+    dt = loop_bench(step_encpipe, (vhi, vlo), 15)
+    results.append(("encode_f64_pipeline_device", 15, in_gb_e / dt,
+                    "GB/s"))
     print(results[-1], flush=True)
 
     # float kernels (4 vectors/group; 256 MiB decoded)

@@ -19,6 +19,7 @@ from alp_tpu import container
 from alp_tpu.competitors import ALL_CODECS
 from alp_tpu.reports import RATIO_HEADER, _write_metadata
 from alp_tpu.utils import datasets, io
+from alp_tpu.utils.published import published
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results")
@@ -44,11 +45,20 @@ def suite(columns, dtype, name):
               + " ".join(f"{n}={v:.2f}" for n, v in comp.items()),
               flush=True)
     with open(path, "w") as f:
+        # measured columns are sample-level unless the full corpus is
+        # mounted; the *_published columns carry the reference paper's
+        # full-data numbers (table_4.md) for codecs not in this image
+        # (real Zstd, Elf) and for ALP itself as the parity target
         f.write("idx,column,alp_bits_per_value,rowgroups,vectors,"
-                + ",".join(ALL_CODECS) + "\n")
+                + ",".join(ALL_CODECS)
+                + ",zstd_published,elf_published,alp_published\n")
         for i, nm, alp, nrg, nv, comp in rows:
+            pz, pe, pa = published(nm)
+            pub = ",".join("" if x is None else f"{x:.2f}"
+                           for x in (pz, pe, pa))
             f.write(f"{i},{nm},{alp:.2f},{nrg},{nv},"
-                    + ",".join(f"{comp[n]:.2f}" for n in ALL_CODECS) + "\n")
+                    + ",".join(f"{comp[n]:.2f}" for n in ALL_CODECS)
+                    + f",{pub}\n")
     _write_metadata(path + ".metadata")
     if rows:
         avg = float(np.mean([r[2] for r in rows]))
@@ -61,3 +71,10 @@ if __name__ == "__main__":
     suite(datasets.FLOAT_TEST_DATASET, np.float32, "float_test")
     suite(datasets.GENERATED_COLUMNS, np.float64, "generated")
     suite(datasets.ISSUE_DATASET, np.float64, "issue")
+    # data-gated float suites: light up when the corpora are mounted
+    # (reference data/include/float/{hurricane_isabel,sp}.hpp env paths)
+    if datasets.hurricane_dir():
+        suite(datasets.HURRICANE_ISABEL, np.float32, "hurricane_isabel")
+    if any(c.binary_path is not None
+           for c in datasets.SP_DATASETS):
+        suite(datasets.SP_DATASETS, np.float32, "sp")

@@ -1,0 +1,71 @@
+"""Master reproduction script (reference publication/script/
+master_script.sh analog): tests -> ratio reports -> speed benches ->
+e2e queries -> plots, in one invocation.
+
+    python scripts/run_all.py [--skip-tpu] [--skip-tests]
+
+CPU-only stages (tests, ratio reports, plots) always run; TPU stages
+(speed sweep, e2e queries, headline bench) run when a TPU backend is
+reachable and --skip-tpu is not given.  Each stage's artifacts land in
+results/ with .metadata sidecars; failures stop the script (like the
+reference's set -e).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(desc, cmd, env=None):
+    print(f"\n=== {desc}: {' '.join(cmd)}", flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    subprocess.run(cmd, check=True, cwd=ROOT, env=e)
+
+
+def tpu_available() -> bool:
+    probe = ("import jax; import sys; "
+             "sys.exit(0 if jax.default_backend() == 'tpu' else 1)")
+    return subprocess.run([sys.executable, "-c", probe], cwd=ROOT,
+                          capture_output=True).returncode == 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--skip-tests", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_tests:
+        run("unit + golden tests",
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        run("multichip dryrun (8 virtual devices)",
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu'); "
+             "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+            env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                 "JAX_PLATFORMS": "cpu"})
+
+    run("compression-ratio reports",
+        [sys.executable, "scripts/make_reports.py"])
+
+    if not args.skip_tpu and tpu_available():
+        run("per-primitive TPU speed sweep",
+            [sys.executable, "scripts/bench_speed.py"])
+        run("end-to-end query benchmark",
+            [sys.executable, "scripts/bench_e2e.py"])
+        run("headline bench", [sys.executable, "bench.py"])
+    else:
+        print("\n=== TPU stages skipped "
+              "(no TPU backend or --skip-tpu)", flush=True)
+
+    run("plots", [sys.executable, "scripts/make_plots.py"])
+    print("\n=== all stages complete; artifacts in results/", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,10 @@ Gorillas bitstream round-trips, and ALP beats the XOR family on the
 decimal datasets (the reference's headline claim, table_4.md)."""
 
 import numpy as np
+import pytest
 
 from alp_tpu import container
+from alp_tpu.competitors import xor_codecs
 from alp_tpu.competitors import (ALL_CODECS, chimp_roundtrip,
                                  gorillas_bits, gorillas_roundtrip,
                                  patas_roundtrip, chimp128_roundtrip)
@@ -88,3 +90,39 @@ def test_suite_average_matches_published():
         totals.append(cc.bits_per_value())
     avg = sum(totals) / len(totals)
     assert 20.0 < avg < 23.0, avg
+
+
+class TestNativeCodecs:
+    """Native C++ competitor codecs: round-trip + bit-count parity with
+    the Python cost models (same formats, so sizes must match exactly)."""
+
+    def _cases(self):
+        rng = np.random.default_rng(31)
+        col = [c for c in datasets.ALP_DATASET if c.name == "City-Temp"][0]
+        city = io.read_csv(col.csv_path, np.float64)[:4096]
+        return {
+            "city": city,
+            "smooth": np.cumsum(rng.standard_normal(4096)) * 0.125,
+            "repeat": np.repeat(np.round(rng.uniform(0, 9, 64), 1), 64),
+            "random": rng.standard_normal(4096),
+            "tiny": np.array([3.14]),
+        }
+
+    @pytest.mark.parametrize("name,bits_fn", [
+        ("gorillas", xor_codecs.gorillas_bits),
+        ("chimp", xor_codecs.chimp_bits),
+        ("chimp128", xor_codecs.chimp128_bits),
+        ("patas", xor_codecs.patas_bits),
+    ])
+    def test_native_roundtrip_and_size(self, name, bits_fn):
+        from alp_tpu import native
+        try:
+            native.competitors_lib()
+        except native.NativeUnavailable:
+            pytest.skip("no compiler")
+        for label, data in self._cases().items():
+            stream, nbits = native.competitor_encode(name, data)
+            assert nbits == bits_fn(data), f"{name}/{label} size"
+            out = native.competitor_decode(name, stream, len(data))
+            assert (out.view(np.uint64) == data.view(np.uint64)).all(), \
+                f"{name}/{label} roundtrip"

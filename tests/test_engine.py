@@ -82,3 +82,37 @@ def test_sum_rd_column():
     got = engine.query_sum(cc)
     expect = float(np.sum(data))
     assert abs(got - expect) <= abs(expect) * 1e-12
+
+
+def test_min_max_filter():
+    rng = np.random.default_rng(21)
+    data = np.round(rng.uniform(-100, 100, 5000), 2)
+    cc = container.compress(data)
+    assert engine.query_min(cc) == data.min()
+    assert engine.query_max(cc) == data.max()
+    lo, hi = -25.0, 40.0
+    expect = int(((data >= lo) & (data <= hi)).sum())
+    assert engine.query_filter_count(cc, lo, hi) == expect
+
+
+def test_min_max_rd_and_f32():
+    rng = np.random.default_rng(22)
+    rd = rng.standard_normal(2048 + 100)
+    cc = container.compress(rd)
+    assert engine.query_min(cc) == rd.min()
+    assert engine.query_max(cc) == rd.max()
+    f32 = np.round(rng.uniform(0, 9, 3000), 1).astype(np.float32)
+    cc = container.compress(f32)
+    assert engine.query_min(cc) == float(f32.min())
+    assert engine.query_max(cc) == float(f32.max())
+    n = int(engine.query_filter_count(cc, 2.0, 5.0))
+    assert n == int(((f32 >= 2.0) & (f32 <= 5.0)).sum())
+
+
+def test_compression_query():
+    rng = np.random.default_rng(23)
+    data = np.round(rng.uniform(-10, 10, 4096), 2)
+    cc, stats = engine.query_compression(data)
+    assert stats["bits_per_value"] < 30
+    out = container.decompress(cc)
+    np.testing.assert_array_equal(out.view(np.uint64), data.view(np.uint64))
