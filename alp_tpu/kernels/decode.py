@@ -144,6 +144,31 @@ def _stage_rd_exceptions(grp, col, sel, packed, rbw: int, eb: int):
     grp.exc_lo = jnp.asarray((full & np.uint64(0xFFFFFFFF)).astype(np.uint32))
 
 
+def _true_max_encoded(col, vec_ids, bws, bases):
+    """Actual max encoded int of specific vectors, from the packed words
+    (host unFFOR of just those vectors; used to refine plan bounds)."""
+    out = np.empty(len(vec_ids), np.int64)
+    try:
+        from .. import native as nat
+        nat.build()
+    except Exception:
+        nat = None
+    from ..oracle import fastlanes as ofl
+    for bw in np.unique(bws):
+        sel = np.nonzero(bws == bw)[0]
+        if bw == 0:
+            out[sel] = bases[sel]
+            continue
+        pk = np.stack([col.packed[vec_ids[i]] for i in sel])
+        if nat is not None:
+            u = nat.unffor(pk, int(bw), 0, np.uint64)
+        else:
+            u = np.stack([ofl.unffor_unpack(r, int(bw), np.uint64(0),
+                                            np.uint64) for r in pk])
+        out[sel] = bases[sel] + u.max(axis=1).astype(np.int64)
+    return out
+
+
 def build_plan(col) -> DecodePlan:
     """Stage an ALP-scheme compressed column (container.CompressedColumn)
     as device tiles bucketed by bit width."""
@@ -176,10 +201,38 @@ def build_plan(col) -> DecodePlan:
         n_hi = np.where(cand, base_v + span, 0)
         cand &= n_hi <= 2**31 - 1
         maxn = np.maximum(np.maximum(np.abs(base_v), np.abs(n_hi)), 1)
-        mid_v = (cand & (five_v <= (2**53 - 1) // maxn)
-                 & (fact_v <= (2**63 - 1) // maxn))
+
+        def eligible(mx):
+            mid = (cand & (five_v <= (2**53 - 1) // mx)
+                   & (fact_v <= (2**63 - 1) // mx))
+            small = cand & (five_v <= (2**32 - 1) // mx)
+            return mid, small
+
+        mid_v, small_v = eligible(maxn)
+        # Bound refinement: bw only gives max(n) <= base + 2^bw - 1, but
+        # the true max can be half that (bw covers [2^(bw-1), 2^bw)).
+        # Where the conservative bound fails but the best-case bound
+        # would pass, unpack those vectors host-side (cheap, native) and
+        # re-test with the actual max — recovers columns sitting right
+        # at the |n * 5^fac| < 2^53 edge (e.g. bitcoin at bw 30).
+        lo_hi = np.where(cand & (bws_v > 0),
+                         base_v + (np.int64(1) << np.maximum(
+                             np.minimum(bws_v, 32) - 1, 0)), n_hi)
+        maxn_best = np.maximum(
+            np.maximum(np.abs(base_v), np.abs(lo_hi)), 1)
+        mid_best, small_best = eligible(maxn_best)
+        border = np.nonzero((mid_best | small_best)
+                            & ~(mid_v | small_v))[0]
+        if border.size:
+            true_max = _true_max_encoded(col, alp_idx[border],
+                                         bws_v[border], base_v[border])
+            mx = maxn.copy()
+            mx[border] = np.maximum(
+                np.maximum(np.abs(base_v[border]), np.abs(true_max)), 1)
+            mid_v, small_v = eligible(mx)
+            maxn = mx
         var_v[mid_v] = "mid"
-        var_v[cand & (five_v <= (2**32 - 1) // maxn)] = "small"
+        var_v[small_v] = "small"
         # static work-pruning flags, uniform per bucket (mid kernel)
         c0z_cache = {}
 
