@@ -103,99 +103,114 @@ def _gather_regroup(plane, rows_idx):
     return _to_tile_major(rows)
 
 
-def compress_device(data, *, planes=None, n_values=None):
+def _gather_flat(vhi, vlo, flat_idx: np.ndarray) -> np.ndarray:
+    """Gather f64 values at flat value indices from device tile planes
+    (one small device gather + fetch; the device-resident path ships
+    only samples/exceptions to the host, never the column)."""
+    v = flat_idx // C.VECTOR_SIZE
+    pos = flat_idx % C.VECTOR_SIZE
+    g = (v // 8).astype(np.int32)
+    slot = (pos // 16).astype(np.int32)
+    lane = ((v % 8) * 16 + pos % 16).astype(np.int32)
+    gi, si, li = (jnp.asarray(x) for x in (g, slot, lane))
+    hi = np.asarray(vhi[gi, si, li]).astype(np.uint64)
+    lo = np.asarray(vlo[gi, si, li]).astype(np.uint64)
+    return ((hi << np.uint64(32)) | lo).view(np.float64)
+
+
+def compress_device(data=None, *, planes=None, n_values=None):
     """Compress float64 data with the encode hot path on the TPU.
 
     Either ``data`` (1-D numpy float64, staged to device once) or
-    ``planes=(vhi, vlo)`` device tile planes with ``n_values``.
+    ``planes=(vhi, vlo)`` — value bit planes already on device in tile
+    order ([G, 64, 128] u32 hi/lo, the decode-plan output format) with
+    ``n_values``; a trailing partial vector must be pre-padded with its
+    last value (container._pad_to_vectors convention).  The planes path
+    fetches only rowgroup samples (~0.25%), the 32-value second-level
+    strides (~3%), exception values and the packed output — the column
+    itself never crosses to the host.
+
     Returns a :class:`container.CompressedColumn` bit-identical to
     :func:`container.compress`.
     """
     from . import container as ct
+    from .oracle import core as ocore
 
+    tc = constants_for(np.float64)
     if planes is not None:
         vhi, vlo = planes
-        n_vec = vhi.shape[0] * 8
         if n_values is None:
-            n_values = n_vec * C.VECTOR_SIZE
-        # host copy for planning/second-level sampling and RD/exception
-        # values: fetched on demand below (samples are 3% of the data)
-        hi_np = np.asarray(vhi)
-        lo_np = np.asarray(vlo)
-        t = np.empty((vhi.shape[0], 128, 128), np.uint32)
-        t[:, 0::2, :] = lo_np
-        t[:, 1::2, :] = hi_np
-        vectors = layout.tile_to_values(t, 64, np.float64, n_vec)
+            n_values = vhi.shape[0] * 8 * C.VECTOR_SIZE
         n_vec = max(1, math.ceil(n_values / C.VECTOR_SIZE))
-        vectors = vectors[:n_vec]
+        fetch = lambda idx: _gather_flat(vhi, vlo, np.asarray(idx))
     else:
         data = np.ascontiguousarray(data)
         if data.dtype != np.float64:
             raise NotImplementedError("device compress: float64 only")
         n_values = len(data)
         vectors, n_vec = ct._pad_to_vectors(data)
-        n_pad_v = layout.pad_vectors(n_vec, 64)
-        vp = np.zeros((n_pad_v, C.VECTOR_SIZE), np.float64)
+        n_pad_stage = layout.pad_vectors(n_vec, 64)
+        vp = np.zeros((n_pad_stage, C.VECTOR_SIZE), np.float64)
         vp[:n_vec] = vectors
         lo32, hi32 = _u64_split(vp)
         vhi = jnp.asarray(layout.plane_to_tile(hi32, 64))
         vlo = jnp.asarray(layout.plane_to_tile(lo32, 64))
+        flat_host = vp.reshape(-1)
+        fetch = lambda idx: flat_host[np.asarray(idx)]
 
-    tc = constants_for(np.float64)
     n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
     n_pad_v = layout.pad_vectors(n_vec, 64)
 
-    # ------- host planning (rowgroup sampling + per-vector (e, f)) ------
-    flat = vectors.reshape(-1)
+    # ------- host planning from fetched samples ------------------------
+    # first_level_sample over an index ramp yields the sampled POSITIONS
+    # (indices < 2^53 are exact in f64), so only those values are fetched
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
-    try:
-        from . import native as nat
-        nat.build()
-    except Exception:
-        nat = None
     for rg in range(n_rg):
         lo_v = rg * C.N_VECTORS_PER_ROWGROUP
         hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
-        rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
-        if nat is not None:
-            scheme, cb, ks = nat.init_f64(rg_data, 0)
-            if scheme == C.SCHEME_ALP_RD:
-                rg_scheme[rg] = C.SCHEME_ALP_RD
-            else:
-                rg_scheme[rg] = C.SCHEME_ALP
-                combos[lo_v:hi_v, :ks] = cb[None, :, :]
-                k_count[lo_v:hi_v] = ks
+        rg_len = (hi_v - lo_v) * C.VECTOR_SIZE
+        pos = ocore.first_level_sample(
+            np.arange(rg_len, dtype=np.float64), 0).astype(np.int64)
+        sample = fetch(lo_v * C.VECTOR_SIZE + pos)
+        stt = ocore.AlpState(scheme=C.SCHEME_ALP)
+        stt.sampled_values_n = len(sample)
+        stt.k_combinations = C.MAX_K_COMBINATIONS
+        stt.best_k_combinations = []
+        ocore.find_top_k_combinations_fast(sample, stt, tc)
+        if stt.scheme == C.SCHEME_ALP_RD:
+            rg_scheme[rg] = C.SCHEME_ALP_RD
         else:
-            from .oracle import core as ocore
-            stt = ocore.encoder_init(rg_data, 0, tc)
-            if stt.scheme == C.SCHEME_ALP_RD:
-                rg_scheme[rg] = C.SCHEME_ALP_RD
-            else:
-                rg_scheme[rg] = C.SCHEME_ALP
-                ks = len(stt.best_k_combinations)
-                for i, (e, f) in enumerate(stt.best_k_combinations):
-                    combos[lo_v:hi_v, i] = (e, f)
-                k_count[lo_v:hi_v] = ks
+            rg_scheme[rg] = C.SCHEME_ALP
+            ks = len(stt.best_k_combinations)
+            for i, (e, f) in enumerate(stt.best_k_combinations):
+                combos[lo_v:hi_v, i] = (e, f)
+            k_count[lo_v:hi_v] = ks
 
     if (rg_scheme == C.SCHEME_ALP_RD).any():
-        # mixed/RD columns: host path is authoritative for RD rowgroups;
-        # rather than split the assembly across two engines, defer the
-        # whole column (RD rowgroups are high-entropy data where the ALP
-        # encode kernel would not run anyway)
-        src = flat[:n_values] if planes is None else \
-            vectors.reshape(-1)[:n_values]
-        return ct.compress(np.asarray(src, np.float64))
+        # mixed/RD columns: the host path is authoritative for RD
+        # rowgroups (dictionary-bound, not encode-bound); fetch once
+        full = fetch(np.arange(n_vec * C.VECTOR_SIZE,
+                               dtype=np.int64))[:n_values]
+        return ct.compress(np.asarray(full, np.float64))
 
-    # second-level (e, f) choice on the 32-sample stride (host, exact,
-    # 3% of the data) — encoder.hpp:241-305 semantics via ops.alp
+    # second-level (e, f) choice on the 32-sample stride (host, exact
+    # f64, ~3% of the data) — encoder.hpp:241-305 semantics via ops.alp
     from .ops import alp as oalp
     from .ops.numerics import numerics_for
     nm = numerics_for(np.float64)
+    stride = C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR
+    sample_idx = (np.arange(n_vec, dtype=np.int64)[:, None] * C.VECTOR_SIZE
+                  + np.arange(C.SAMPLES_PER_VECTOR,
+                              dtype=np.int64)[None, :] * stride)
+    samples2 = fetch(sample_idx.ravel()).reshape(n_vec,
+                                                 C.SAMPLES_PER_VECTOR)
     with jax.default_device(jax.devices("cpu")[0]):
-        fac_v, exp_v = (np.asarray(x) for x in oalp.choose_factor_exponent(
-            nm, nm.values_from_np(vectors), combos, k_count))
+        fac_v, exp_v = (np.asarray(x) for x in
+                        oalp.choose_factor_exponent_from_samples(
+                            nm, nm.values_from_np(samples2), combos,
+                            k_count))
 
     # ------- device encode + patch + analyze ---------------------------
     c1 = tc.exp_arr[exp_v]               # 10^e
@@ -247,10 +262,17 @@ def compress_device(data, *, planes=None, n_values=None):
     if exc_vec.size:
         exc_rows = np.asarray(
             _to_vector_major(exc).reshape(-1, 1024)[jnp.asarray(exc_vec)])
+        flat_pos, counts = [], []
         for r, v in enumerate(exc_vec):
             pos = np.nonzero(exc_rows[r])[0].astype(np.uint16)
             exc_positions[v] = pos
-            exc_values[v] = vectors[v][pos]
+            flat_pos.append(v * C.VECTOR_SIZE + pos.astype(np.int64))
+            counts.append(len(pos))
+        vals = fetch(np.concatenate(flat_pos))
+        off = 0
+        for v, cnt in zip(exc_vec, counts):
+            exc_values[v] = vals[off:off + cnt]
+            off += cnt
 
     col = ct.CompressedColumn(
         dtype=np.dtype(np.float64), n_values=n_values, n_vectors=n_vec,
@@ -271,17 +293,21 @@ def compress_device(data, *, planes=None, n_values=None):
         # ran on exact host f64); bit-identical fallback
         rare_rows = np.asarray(_to_vector_major(rare).reshape(-1, 1024))
         bad = np.nonzero(rare_rows[:n_vec].any(axis=1))[0]
-        _host_fixup(col, vectors, bad, fac_v, exp_v, tc)
+        if bad.size:
+            rows = fetch((bad[:, None] * C.VECTOR_SIZE
+                          + np.arange(C.VECTOR_SIZE)[None, :]).ravel()
+                         ).reshape(len(bad), C.VECTOR_SIZE)
+            _host_fixup(col, dict(zip(bad, rows)), bad, fac_v, exp_v, tc)
     return col
 
 
-def _host_fixup(col, vectors, bad_vectors, fac_v, exp_v, tc):
+def _host_fixup(col, rows_by_vec, bad_vectors, fac_v, exp_v, tc):
     """Re-encode specific vectors with the host oracle (exact), in place."""
     from .oracle import core as ocore
     from .oracle import fastlanes as ofl
     for v in bad_vectors:
-        enc = ocore.encode_vector(vectors[v], int(fac_v[v]), int(exp_v[v]),
-                                  tc)
+        enc = ocore.encode_vector(rows_by_vec[v], int(fac_v[v]),
+                                  int(exp_v[v]), tc)
         bw, base = ocore.analyze_ffor(enc.encoded, tc)
         col.bit_width[v] = bw
         col.base[v] = base

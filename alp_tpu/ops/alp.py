@@ -168,6 +168,15 @@ def choose_factor_exponent(nm: Numerics, vectors, combos, k_count):
     Returns (fac [n], exp [n]) int32, replaying the sequential early-exit.
     """
     samples = vectors[:, ::C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR]
+    return choose_factor_exponent_from_samples(nm, samples, combos,
+                                               k_count)
+
+
+def choose_factor_exponent_from_samples(nm: Numerics, samples, combos,
+                                        k_count):
+    """Second-level choice given the 32-value-per-vector sample strides
+    directly (device pipelines gather the stride on device and ship only
+    3% of the data to this host-side exact-f64 step)."""
     n = samples.shape[0]
     combos = jnp.asarray(combos)
     k_count = jnp.asarray(k_count)

@@ -64,6 +64,7 @@ def main():
               "(no TPU backend or --skip-tpu)", flush=True)
 
     run("plots", [sys.executable, "scripts/make_plots.py"])
+    run("tables", [sys.executable, "scripts/make_tables.py"])
     print("\n=== all stages complete; artifacts in results/", flush=True)
 
 

@@ -137,3 +137,28 @@ def test_analyze_planes_and_ffor_planes():
     for v in range(n):
         expect = ofl.ffor_pack(ints[v], target_bw, np.int64(bases[v]))
         np.testing.assert_array_equal(ref[v], expect)
+
+
+def test_compress_device_planes_path():
+    """Device-resident input: value bit planes in, bit-identical
+    CompressedColumn out — no full-column host fetch."""
+    import jax.numpy as jnp
+    import math
+    from alp_tpu import container
+    from alp_tpu.device_compress import compress_device, _u64_split
+    from alp_tpu.kernels import layout
+    from alp_tpu import constants as C
+
+    rng = np.random.default_rng(17)
+    data = np.round(rng.uniform(-900, 900, 3 * 1024 + 500), 2)
+    vectors, n_vec = container._pad_to_vectors(data)
+    n_pad = layout.pad_vectors(n_vec, 64)
+    vp = np.zeros((n_pad, C.VECTOR_SIZE), np.float64)
+    vp[:n_vec] = vectors
+    lo32, hi32 = _u64_split(vp)
+    vhi = jnp.asarray(layout.plane_to_tile(hi32, 64))
+    vlo = jnp.asarray(layout.plane_to_tile(lo32, 64))
+
+    dev = compress_device(planes=(vhi, vlo), n_values=len(data))
+    host = container.compress(data)
+    assert dev.to_bytes() == host.to_bytes()
