@@ -149,7 +149,7 @@ def _masked_keys(col, plan, outs):
     and uses only exact integer ops.  float32 is native/exact but takes
     the same path for uniformity.
     """
-    for vals_bits, mask in _masked_bits(col, plan, outs):
+    for vals_bits, last_mask in _masked_bits(col, plan, outs):
         if col.dtype == np.float64:
             sign = (vals_bits >> jnp.uint64(63)) != 0
             key = jnp.where(sign, ~vals_bits,
@@ -158,11 +158,13 @@ def _masked_keys(col, plan, outs):
             sign = (vals_bits >> jnp.uint32(31)) != 0
             key = jnp.where(sign, ~vals_bits,
                             vals_bits | jnp.uint32(1 << 31))
-        yield key, mask
+        yield key, last_mask
 
 
 def _masked_bits(col, plan, outs):
-    """Yield (value bit patterns, mask) device pairs per bucket."""
+    """Yield (value bit patterns, LAST-group mask) device pairs per
+    bucket; all groups but the last are fully valid (consumers reduce
+    ``bits[:-1]`` unmasked and mask only ``bits[-1]``)."""
     if col.dtype == np.float64:
         slots, L, per_group = 64, 16, 8
     else:
@@ -180,10 +182,7 @@ def _masked_bits(col, plan, outs):
                        and v_last in g.vec_indices)
         last = _last_group_mask(g, slots, L, per_group, n_valid_last,
                                 has_partial)
-        mask = jnp.concatenate(
-            [jnp.ones((bits.shape[0] - 1,) + last.shape, bool),
-             last[None]]) if bits.shape[0] > 1 else last[None]
-        yield bits, mask
+        yield bits, last
 
 
 def query_min(col) -> float:
@@ -193,8 +192,10 @@ def query_min(col) -> float:
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     fill = kt(np.iinfo(kt).max)
     best = None
-    for key, mask in _masked_keys(col, plan, outs):
-        k = jnp.where(mask, key, fill).min()
+    for key, last in _masked_keys(col, plan, outs):
+        k = jnp.where(last, key[-1], fill).min()
+        if key.shape[0] > 1:
+            k = jnp.minimum(k, key[:-1].min())
         best = k if best is None else jnp.minimum(best, k)
     return _key_float(int(best), col.dtype)
 
@@ -204,8 +205,10 @@ def query_max(col) -> float:
     plan = kdecode.build_plan(col)
     outs = plan.run(patch=True)
     best = None
-    for key, mask in _masked_keys(col, plan, outs):
-        k = jnp.where(mask, key, 0).max()
+    for key, last in _masked_keys(col, plan, outs):
+        k = jnp.where(last, key[-1], 0).max()
+        if key.shape[0] > 1:
+            k = jnp.maximum(k, key[:-1].max())
         best = k if best is None else jnp.maximum(best, k)
     return _key_float(int(best), col.dtype)
 
@@ -236,9 +239,12 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     klo = kt(_float_key(lo, col.dtype))
     khi = kt(_float_key(hi, col.dtype))
     total = jnp.zeros((), jnp.int64)
-    for key, mask in _masked_keys(col, plan, outs):
-        keep = mask & (key >= klo) & (key <= khi)
-        total = total + keep.sum().astype(jnp.int64)
+    for key, last in _masked_keys(col, plan, outs):
+        inr = (key >= klo) & (key <= khi)
+        t = jnp.where(last, inr[-1], False).sum()
+        if key.shape[0] > 1:
+            t = t + inr[:-1].sum()
+        total = total + t.astype(jnp.int64)
     return int(total)
 
 

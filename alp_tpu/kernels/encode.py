@@ -100,6 +100,85 @@ def _encode_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
     out_rare[:] = rare.astype(_U32)
 
 
+_UPPER32 = int(np.float32(C.FLOAT.encoding_upper_limit_pt).view(np.uint32))
+
+
+def _encode_f32_kernel(v_ref, c1, c2, fact, frac, out_n, out_exc):
+    # All-native f32/i32 (TPU f32 is IEEE): replace specials, scale,
+    # magic-round, cvttss2si cast semantics, decode-verify
+    # (encoder.hpp:307-400 float instantiation).
+    bits = v_ref[:]
+    mag = bits & _U32(0x7FFFFFFF)
+    special = (mag >= _U32(0x7F800000)) | (bits == _U32(0x80000000))
+    vb = jnp.where(special, _U32(_UPPER32), bits)
+    v = vb.view(jnp.float32)
+    tmp = v * c1[:][:, None, :].view(jnp.float32)
+    tmp = tmp * c2[:][:, None, :].view(jnp.float32)
+    # the magic round MUST NOT be algebraically simplified: XLA folds
+    # (x + c) - c (and the two-add variant) into x, deleting the
+    # rounding — pin the intermediate with an optimization barrier
+    magic = jnp.float32(C.FLOAT.magic_number)
+    t1 = jax.lax.optimization_barrier(tmp + magic)
+    r = t1 - magic
+    ok = (r >= jnp.float32(-(2.0 ** 31))) & (r < jnp.float32(2.0 ** 31))
+    n = jnp.where(ok, r, jnp.float32(0)).astype(_I32)
+    n = jnp.where(ok, n, _I32(-(1 << 31)))
+    m = n * fact[:][:, None, :].astype(_I32)
+    d = m.astype(jnp.float32) * frac[:][:, None, :].view(jnp.float32)
+    out_n[:] = n.view(_U32)
+    out_exc[:] = (~(d == v)).astype(_U32)
+
+
+@jax.jit
+def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
+    """Encode f32 value bit planes [G, 32, 128] -> (n, exc) planes.
+
+    Metadata per-vector lane-expanded [G, 128] u32: c1 = 10^e bits,
+    c2 = 10^-f bits, fact = FACT int32, frac = FRAC bits.  Exceptions
+    use float equality on the decode-verify (reference semantics; the
+    specials were replaced, so no NaN ambiguity)."""
+    G = vbits.shape[0]
+    gb = min(16, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        vbits, c1, c2, fact, frac = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (vbits, c1, c2, fact, frac))
+    Gp = G + pad
+    meta = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _encode_f32_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta] * 4,
+        out_specs=[pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32)] * 2,
+        interpret=jax.default_backend() != "tpu",
+    )(vbits, c1, c2, fact, frac)
+    return tuple(o[:G] for o in out)
+
+
+@jax.jit
+def analyze_planes_f32(n_plane):
+    """analyze_ffor for f32: [G, 32, 128] i32-as-u32 planes ->
+    per-vector (bit_width, base) in group-major vector order [G*4]."""
+    G = n_plane.shape[0]
+    i = n_plane.astype(jnp.int32).reshape(G, 32, 4, 32)
+    mn = i.min(axis=(1, 3)).reshape(-1)
+    mx = i.max(axis=(1, 3)).reshape(-1)
+    delta = mx.astype(jnp.uint32) - mn.astype(jnp.uint32)
+    bw = jnp.zeros(delta.shape, jnp.int32)
+    d = delta
+    for s in (16, 8, 4, 2, 1):
+        big = (d >> jnp.uint32(s)) != 0
+        bw = bw + jnp.where(big, jnp.int32(s), 0)
+        d = jnp.where(big, d >> jnp.uint32(s), d)
+    bw = bw + (d != 0).astype(jnp.int32)
+    return bw, mn
+
+
 @jax.jit
 def analyze_planes_f64(nhi, nlo):
     """analyze_ffor on device: encoded int64 (hi, lo) planes

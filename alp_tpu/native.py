@@ -219,9 +219,15 @@ def competitor_encode(name: str, data: np.ndarray):
     return out[: (nbits + 63) // 64], int(nbits)
 
 
-def competitor_decode(name: str, stream: np.ndarray, n: int) -> np.ndarray:
-    """Decode ``n`` doubles from a native competitor stream."""
-    out = np.empty(n, np.uint64)
+def competitor_decode(name: str, stream: np.ndarray, n: int,
+                      out: np.ndarray | None = None) -> np.ndarray:
+    """Decode ``n`` doubles from a native competitor stream.
+
+    ``out``: optional preallocated u64[n] buffer (steady-state benches
+    pass a pre-touched buffer; fresh pages fault ~15 us each on some
+    hosts, swamping the codec)."""
+    if out is None:
+        out = np.empty(n, np.uint64)
     cl = competitors_lib()
     fn = getattr(cl, f"cmp_{name}_decode_f64")
     fn(_ptr(np.ascontiguousarray(stream), ctypes.c_uint64),

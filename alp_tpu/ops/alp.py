@@ -50,7 +50,10 @@ def encode_value_unsafe(nm: Numerics, values, fac_idx, exp_idx):
     tmp = nm.mul(tmp, _take(nm.frac_tab, fac_idx))
     magic = nm.values_from_np(np.array(nm.tc.magic_number, nm.tc.pt))[()]
     neg_magic = nm.values_from_np(np.array(-nm.tc.magic_number, nm.tc.pt))[()]
-    rounded = nm.add(nm.add(tmp, magic), neg_magic)
+    # barrier: XLA's simplifier can reassociate (x + M) + (-M) into x,
+    # deleting the magic rounding (observed on the f32 path)
+    rounded = nm.add(jax.lax.optimization_barrier(nm.add(tmp, magic)),
+                     neg_magic)
     return nm.float_to_int(rounded)
 
 

@@ -62,11 +62,17 @@ def main():
     assert engine.query_max(small) == base.max()
 
     # ---- competitor decode speed (native single-core C++) -------------
+    # steady-state: decode twice, time the second (first touch of the
+    # output pages costs ~50x on this host — the reference's 30k-iter
+    # cycle benches are steady-state too)
     alp_gbps = gbps
+    scratch = np.zeros(len(data), np.uint64)      # pre-touched output
     for name in ("gorillas", "chimp", "chimp128", "patas"):
         stream, nbits = native.competitor_encode(name, data)
+        native.competitor_decode(name, stream, len(data), out=scratch)
         t0 = time.perf_counter()
-        out = native.competitor_decode(name, stream, len(data))
+        out = native.competitor_decode(name, stream, len(data),
+                                       out=scratch)
         t1 = time.perf_counter()
         assert (out.view(np.uint64) == data.view(np.uint64)).all()
         g = data.nbytes / (t1 - t0) / 1e9
@@ -74,7 +80,8 @@ def main():
                      round(alp_gbps / g, 1)))
         print(rows[-1], flush=True)
 
-    # ---- COMPRESSION query --------------------------------------------
+    # ---- COMPRESSION query (steady state: second full run timed) ------
+    engine.query_compression(data)
     _, stats = engine.query_compression(data)
     rows.append(("COMPRESSION", "ALP host engine", "1 core",
                  round(stats["throughput_gbps"], 2), ""))
@@ -111,7 +118,11 @@ def main():
         t0 = time.perf_counter()
         ccd = compress_device(planes=(vhi, vlo))
         t1 = time.perf_counter()
-        rows.append(("COMPRESSION", "ALP device encode (device data)",
+        # through the axon tunnel this wall time is dominated by the
+        # sample/packed-output RPC fetches (~100 ms each), not device
+        # work — the kernel-side capability is the
+        # encode_f64_pipeline_device row of results/speed_tpu.csv
+        rows.append(("COMPRESSION", "ALP device encode e2e (tunnel I/O)",
                      "1 chip", round(gb_dev / (t1 - t0), 2), ""))
         print(rows[-1], flush=True)
         assert abs(ccd.bits_per_value() - bwd) < 2.0

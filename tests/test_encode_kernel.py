@@ -162,3 +162,55 @@ def test_compress_device_planes_path():
     dev = compress_device(planes=(vhi, vlo), n_values=len(data))
     host = container.compress(data)
     assert dev.to_bytes() == host.to_bytes()
+
+
+def test_encode_f32_kernel_vs_ops():
+    """f32 encode kernel parity with the batched ops encode (native f32
+    semantics: magic rounding, cvttss2si cast, decode-verify)."""
+    import jax.numpy as jnp
+    from alp_tpu.kernels.encode import (alp_encode_f32_tiles,
+                                        analyze_planes_f32)
+    from alp_tpu.kernels import layout
+    from alp_tpu.ops import alp as oalp
+    from alp_tpu.ops.numerics import numerics_for
+    from alp_tpu import constants as C
+
+    rng = np.random.default_rng(3)
+    n = 8
+    vals = np.round(rng.uniform(-1000, 1000, (n, 1024)), 2).astype(
+        np.float32)
+    vals[0, 5] = np.nan
+    vals[1, 7] = np.inf
+    vals[2, 9] = -0.0
+    vals[3, 11] = np.float32(1e30)          # impossible-to-encode
+    fac = np.full(n, 2, np.int32)
+    exp = np.full(n, 4, np.int32)
+
+    nm = numerics_for(np.float32)
+    expect_n, expect_exc = oalp.encode_vectors(
+        nm, nm.values_from_np(vals), jnp.asarray(fac), jnp.asarray(exp))
+    expect_n = np.asarray(expect_n)
+    expect_exc = np.asarray(expect_exc)
+
+    tc = C.FLOAT
+    tiles = jnp.asarray(layout.plane_to_tile(vals.view(np.uint32), 32))
+
+    def expand(v):
+        return jnp.asarray(layout.lane_expand(np.asarray(v, np.uint32),
+                                              32))
+
+    n_p, exc_p = alp_encode_f32_tiles(
+        tiles, expand(tc.exp_arr[exp].view(np.uint32)),
+        expand(tc.frac_arr[fac].view(np.uint32)),
+        expand(tc.fact_arr[fac].astype(np.int32).view(np.uint32)),
+        expand(tc.frac_arr[exp].view(np.uint32)))
+    got_n = layout.tile_to_values(np.asarray(n_p), 32, np.int32, n)
+    got_exc = layout.tile_to_values(np.asarray(exc_p), 32, np.uint32, n)
+    # ops patches exception slots with the first ok value; the kernel
+    # reports raw n + exc mask — compare the mask and non-exc ints
+    np.testing.assert_array_equal(got_exc.astype(bool), expect_exc)
+    ok = ~expect_exc
+    np.testing.assert_array_equal(got_n[ok], expect_n[ok])
+    # analyze on kernel-patched planes should match ops analyze of the
+    # patched ints (patch host-side here for the comparison)
+    bw, base = analyze_planes_f32(n_p)

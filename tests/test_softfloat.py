@@ -11,6 +11,9 @@ import pytest
 
 import jax
 
+import jax.numpy as jnp
+
+from alp_tpu import constants as C
 from alp_tpu.ops import softfloat as sf
 
 N = 200_000
@@ -195,3 +198,84 @@ def test_comparisons():
     np.testing.assert_array_equal(np.asarray(sf.f64_is_nan(A)), np.isnan(a))
     np.testing.assert_array_equal(np.asarray(sf.f64_is_finite(A)),
                                   np.isfinite(a))
+
+
+class TestFastDecodeVariants:
+    """Randomized cross-checks of the single-rounding fast paths against
+    numpy's exact f64 (the two-step reference semantics collapse to one
+    rounding on these domains; see kernels/decode.py build_plan)."""
+
+    def _frac_parts(self, e):
+        frac = C.DOUBLE.frac_arr[e]
+        fb = frac.view(np.uint64)
+        return frac, fb
+
+    def test_i32c96_fuzz(self):
+        rng = np.random.default_rng(0)
+        N = 60000
+        f = rng.integers(0, 19, N)
+        e = rng.integers(0, 19, N)
+        o5 = np.array([5**k for k in range(19)], object)[f]
+        lim = np.array([min((2**53 - 1) // int(o), 2**31 - 1,
+                            (2**63 - 1) // 10**int(k))
+                        for o, k in zip(o5, f)])
+        n = np.array([rng.integers(-l, l + 1) for l in lim])
+        frac = C.DOUBLE.frac_arr[e]
+        expect = (n * C.DOUBLE.fact_arr[f]).astype(np.float64) * frac
+        fb = frac.view(np.uint64)
+        fsig = ((fb & np.uint64((1 << 52) - 1)) | np.uint64(1 << 52))
+        f_biased = ((fb >> np.uint64(52)) & np.uint64(0x7FF)).astype(
+            np.int64)
+        cc = np.array([int(a) * int(b) for a, b in zip(o5, fsig)], object)
+        msb = np.array([c.bit_length() - 1 for c in cc])
+        s_c = 95 - msb
+        cp = np.array([int(c) << int(s) for c, s in zip(cc, s_c)], object)
+        c0 = np.array([int(c) & 0xFFFFFFFF for c in cp], np.uint32)
+        c1 = np.array([(int(c) >> 32) & 0xFFFFFFFF for c in cp], np.uint32)
+        c2 = np.array([(int(c) >> 64) for c in cp], np.uint32)
+        fb2 = (f_biased + 74 + f - s_c).astype(np.uint32)
+        out = sf.i32c96_to_f64(
+            jnp.asarray(n.astype(np.int32).view(np.uint32)),
+            jnp.asarray(c2), jnp.asarray(c1), jnp.asarray(c0),
+            jnp.asarray(fb2))
+        got = ((np.asarray(out.hi, np.uint64) << np.uint64(32))
+               | np.asarray(out.lo, np.uint64))
+        np.testing.assert_array_equal(got, expect.view(np.uint64))
+        # flagged sub-domains must agree too
+        for kw, m in ((dict(c0zero=True), c0 == 0),
+                      (dict(nonneg=True), n >= 0),
+                      (dict(cheap_msb=True), np.abs(n) < 2**24)):
+            idx = np.nonzero(m)[0]
+            o = sf.i32c96_to_f64(
+                jnp.asarray(n[idx].astype(np.int32).view(np.uint32)),
+                jnp.asarray(c2[idx]), jnp.asarray(c1[idx]),
+                jnp.asarray(c0[idx]), jnp.asarray(fb2[idx]), **kw)
+            g = ((np.asarray(o.hi, np.uint64) << np.uint64(32))
+                 | np.asarray(o.lo, np.uint64))
+            np.testing.assert_array_equal(
+                g, expect.view(np.uint64)[idx], err_msg=str(kw))
+
+    def test_i32fact_fuzz(self):
+        rng = np.random.default_rng(1)
+        N = 60000
+        f = rng.integers(0, 14, N)            # 5^f < 2^32
+        e = rng.integers(0, 19, N)
+        o5 = np.array([5**k for k in range(19)], object)[f]
+        lim = np.array([min((2**32 - 1) // int(o), 2**31 - 1)
+                        for o in o5])
+        n = np.array([rng.integers(-l, l + 1) for l in lim])
+        frac = C.DOUBLE.frac_arr[e]
+        expect = (n * C.DOUBLE.fact_arr[f]).astype(np.float64) * frac
+        fb = frac.view(np.uint64)
+        out = sf.i32fact_to_f64_times_normal(
+            jnp.asarray(n.astype(np.int32).view(np.uint32)),
+            jnp.asarray(np.array([int(o) & 0xFFFFFFFF for o in o5],
+                                 np.uint32)),
+            jnp.asarray((((fb >> np.uint64(32)) & np.uint64(0xFFFFF))
+                         | np.uint64(1 << 20)).astype(np.uint32)),
+            jnp.asarray((fb & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((((fb >> np.uint64(52)) & np.uint64(0x7FF))
+                         + f.astype(np.uint64)).astype(np.uint32)))
+        got = ((np.asarray(out.hi, np.uint64) << np.uint64(32))
+               | np.asarray(out.lo, np.uint64))
+        np.testing.assert_array_equal(got, expect.view(np.uint64))
