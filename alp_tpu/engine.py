@@ -112,12 +112,18 @@ def make_sum_step(plan):
                     tiles, base ^ carry, fact, fsh, fsl, fb, bw=g.bw)
                 i += 6
             elif g.variant == "mid":
+                # fully fused decode + reduction: partial sums are the
+                # only kernel output (no decoded-plane traffic)
                 tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_mid(
+                part = kfalp.falp_decode_f64_mid_sum(
                     tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw,
                     c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
                     cheap_msb=bool(g.flags & 4))
+                total = total + part.sum()
+                acc = acc ^ jax.lax.bitcast_convert_type(
+                    part[0, 0], jnp.uint32)
                 i += 6
+                continue
             else:
                 tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(

@@ -103,7 +103,8 @@ def _encode_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
 _UPPER32 = int(np.float32(C.FLOAT.encoding_upper_limit_pt).view(np.uint32))
 
 
-def _encode_f32_kernel(v_ref, c1, c2, fact, frac, out_n, out_exc):
+def _encode_f32_kernel(v_ref, c1, c2, fact, frac, magicp, out_n,
+                       out_exc):
     # All-native f32/i32 (TPU f32 is IEEE): replace specials, scale,
     # magic-round, cvttss2si cast semantics, decode-verify
     # (encoder.hpp:307-400 float instantiation).
@@ -116,10 +117,10 @@ def _encode_f32_kernel(v_ref, c1, c2, fact, frac, out_n, out_exc):
     tmp = tmp * c2[:][:, None, :].view(jnp.float32)
     # the magic round MUST NOT be algebraically simplified: XLA folds
     # (x + c) - c (and the two-add variant) into x, deleting the
-    # rounding — pin the intermediate with an optimization barrier
-    magic = jnp.float32(C.FLOAT.magic_number)
-    t1 = jax.lax.optimization_barrier(tmp + magic)
-    r = t1 - magic
+    # rounding, and Mosaic has no optimization_barrier — so the magic
+    # constant arrives as a runtime input plane the compiler cannot fold
+    magic = magicp[:][:, None, :].view(jnp.float32)
+    r = (tmp + magic) - magic
     ok = (r >= jnp.float32(-(2.0 ** 31))) & (r < jnp.float32(2.0 ** 31))
     n = jnp.where(ok, r, jnp.float32(0)).astype(_I32)
     n = jnp.where(ok, n, _I32(-(1 << 31)))
@@ -130,20 +131,14 @@ def _encode_f32_kernel(v_ref, c1, c2, fact, frac, out_n, out_exc):
 
 
 @jax.jit
-def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
-    """Encode f32 value bit planes [G, 32, 128] -> (n, exc) planes.
-
-    Metadata per-vector lane-expanded [G, 128] u32: c1 = 10^e bits,
-    c2 = 10^-f bits, fact = FACT int32, frac = FRAC bits.  Exceptions
-    use float equality on the decode-verify (reference semantics; the
-    specials were replaced, so no NaN ambiguity)."""
+def _alp_encode_f32_jit(vbits, c1, c2, fact, frac, magicp):
     G = vbits.shape[0]
     gb = min(16, max(G, 1))
     pad = (-G) % gb
     if pad:
-        vbits, c1, c2, fact, frac = (
+        vbits, c1, c2, fact, frac, magicp = (
             jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-            for a in (vbits, c1, c2, fact, frac))
+            for a in (vbits, c1, c2, fact, frac, magicp))
     Gp = G + pad
     meta = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                         memory_space=pltpu.VMEM)
@@ -151,13 +146,30 @@ def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
         _encode_f32_kernel,
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM)] + [meta] * 4,
+                               memory_space=pltpu.VMEM)] + [meta] * 5,
         out_specs=[pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32)] * 2,
         interpret=jax.default_backend() != "tpu",
-    )(vbits, c1, c2, fact, frac)
+    )(vbits, c1, c2, fact, frac, magicp)
     return tuple(o[:G] for o in out)
+
+
+def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
+    """Encode f32 value bit planes [G, 32, 128] -> (n, exc) planes.
+
+    Metadata per-vector lane-expanded [G, 128] u32: c1 = 10^e bits,
+    c2 = 10^-f bits, fact = FACT int32, frac = FRAC bits.  Exceptions
+    use float equality on the decode-verify (reference semantics; the
+    specials were replaced, so no NaN ambiguity).
+
+    The magic-round constant is materialised OUTSIDE the jit and passed
+    as a runtime argument: as a traced constant, XLA's simplifier folds
+    (x + M) - M into x and deletes the rounding."""
+    magicp = jnp.full((vbits.shape[0], 128),
+                      np.uint32(np.float32(C.FLOAT.magic_number)
+                                .view(np.uint32)), jnp.uint32)
+    return _alp_encode_f32_jit(vbits, c1, c2, fact, frac, magicp)
 
 
 @jax.jit

@@ -251,6 +251,70 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
     return out[0][:G], out[1][:G]
 
 
+def _f64_bits_to_f32(hi, lo):
+    """Truncating f64-bits -> f32 value (checksum-grade convert for the
+    fused SUM reduction; ~8 integer ops, no rounding of the mantissa)."""
+    sign = hi & _U32(0x80000000)
+    e = ((hi >> 20) & _U32(0x7FF)).astype(jnp.int32)
+    e32 = jnp.minimum(jnp.maximum(e - jnp.int32(896), jnp.int32(0)),
+                      jnp.int32(254)).astype(_U32)
+    m = ((hi & _U32(0xFFFFF)) << 3) | (lo >> 29)
+    return (sign | (e32 << 23) | m).view(jnp.float32)
+
+
+def _falp_f64_mid_sum_kernel(packed_ref, base, c2, c1, c0, fb2, out_sum,
+                             *, bw: int, c0zero: bool, nonneg: bool,
+                             cheap_msb: bool):
+    # fused decode + per-lane partial SUM: the 8-byte/value output
+    # planes never leave the kernel (the reference's q1 fuses decode
+    # into the aggregation the same way); output is [gb, 128] f32.
+    b = base[:][:, None, :]
+    if bw == 0:
+        n = jnp.broadcast_to(b, (b.shape[0], 64, 128))
+    else:
+        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+    r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
+                         c0[:][:, None, :], fb2[:][:, None, :],
+                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb)
+    vals = _f64_bits_to_f32(r.hi, r.lo)
+    out_sum[:] = vals.sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
+                                             "cheap_msb"))
+def falp_decode_f64_mid_sum(packed, base, c2, c1, c0, fb2, *, bw: int,
+                            c0zero: bool = False, nonneg: bool = False,
+                            cheap_msb: bool = False):
+    """Fused mid-variant decode + SUM: one [G, 128] f32 partial-sum
+    plane out (per tile lane), no decoded-plane writes.  This is the
+    SUM-query throughput shape; exact aggregates use engine.query_sum
+    over full planes."""
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base, c2, c1, c0, fb2 = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base, c2, c1, c0, fb2))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_mid_sum_kernel, bw=bw, c0zero=c0zero,
+                          nonneg=nonneg, cheap_msb=cheap_msb),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.float32),
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base, c2, c1, c0, fb2)
+    return out[:G]
+
+
 @functools.partial(jax.jit, static_argnames=("bw",))
 def falp_decode_f64_small(packed, base, fact, fsig_hi, fsig_lo, fbias, *,
                           bw: int):

@@ -67,7 +67,7 @@ def main():
             def step_falp(carry, packed, bw=bw):
                 hi, lo = kf.falp_decode_f64_mid(
                     packed, zero + carry, c2p, c1p, c0p, fb2p, bw=bw,
-                    c0zero=True, nonneg=True, cheap_msb=bw <= 23)
+                    c0zero=True, nonneg=True, cheap_msb=bw <= 24)
                 return hi[0, 0, 0] ^ lo[0, 0, 0]
             dt = loop_bench(step_falp, (packed,), ITERS)
         else:
@@ -178,6 +178,42 @@ def main():
     dt = loop_bench(step_encpipe, (vhi, vlo), 15)
     results.append(("encode_f64_pipeline_device", 15, in_gb_e / dt,
                     "GB/s"))
+    print(results[-1], flush=True)
+
+    # f32 encode kernel (all-native f32/i32; 128 MiB in)
+    from alp_tpu.kernels.encode import alp_encode_f32_tiles
+    Gf32 = 8192
+    in_gb_f32 = Gf32 * 32 * 128 * 4 / 1e9
+    vt32 = jax.jit(lambda: jax.random.bits(
+        jax.random.PRNGKey(5), (Gf32, 32, 128),
+        dtype=jnp.uint32) >> jnp.uint32(2))()
+    tcf = C.FLOAT
+    mkf = lambda v: jnp.full((Gf32, 128), np.uint32(v), jnp.uint32)
+    ec1 = mkf(np.float32(tcf.exp_arr[4]).view(np.uint32))
+    ec2 = mkf(np.float32(tcf.frac_arr[2]).view(np.uint32))
+    efa = mkf(np.int64(tcf.fact_arr[2]) & 0xFFFFFFFF)
+    efr = mkf(np.float32(tcf.frac_arr[4]).view(np.uint32))
+
+    def step_e32(carry, vt32):
+        n_, e_ = alp_encode_f32_tiles(vt32 ^ carry, ec1, ec2, efa, efr)
+        return n_[0, 0, 0] ^ e_[0, 0, 0]
+
+    dt = loop_bench(step_e32, (vt32,), 20)
+    results.append(("encode_f32_kernel", 20, in_gb_f32 / dt, "GB/s"))
+    print(results[-1], flush=True)
+
+    # fused decode+SUM (mid variant): reduction inside the kernel, no
+    # decoded-plane writes (q1 full-fusion analog)
+    packed16 = devbits((G, 32, 128), seed=16)
+
+    def step_fsum(carry, packed16):
+        part = kf.falp_decode_f64_mid_sum(
+            packed16, zero + carry, c2p, c1p, c0p, fb2p, bw=16,
+            c0zero=True, nonneg=True, cheap_msb=True)
+        return jax.lax.bitcast_convert_type(part[0, 0], jnp.uint32)
+
+    dt = loop_bench(step_fsum, (packed16,), ITERS)
+    results.append(("falp_sum_fused_f64_bw16", ITERS, out_gb / dt, "GB/s"))
     print(results[-1], flush=True)
 
     # float kernels (4 vectors/group; 256 MiB decoded)

@@ -51,16 +51,18 @@ def ratio_figure():
 
 
 def speed_figure():
-    # Headline kernel numbers recorded in round-1 benchmarks (DEVNOTES /
-    # BENCH history); refreshed manually as benches rerun.
+    # Headline kernel numbers recorded in round-2 benchmarks
+    # (results/speed_tpu.csv, e2e_queries.csv); refreshed as benches rerun.
     data = {
-        "falp decode f64 (suite avg)": 87.2,
-        "ALP_RD decode f64": 101.2,
-        "unFFOR f64": 142.8,
-        "encode f64 (exact)": 11.7,
-        "encode f32 (native ops)": 23.7,
-        "falp decode f32": 121.5,
-        "e2e SUM query": 26.2,
+        "falp decode f64 (suite avg)": 108.2,
+        "falp decode f64 bw16 (mid)": 106.9,
+        "fused decode+SUM f64": 99.7,
+        "ALP_RD decode f64": 106.0,
+        "unFFOR f64": 155.5,
+        "encode f64 (exact kernel)": 14.4,
+        "encode f32 kernel": 50.3,
+        "falp decode f32": 126.7,
+        "e2e SUM query (400 MiB)": 82.6,
     }
     fig, ax = plt.subplots(figsize=(8, 4))
     ax.barh(list(data)[::-1], list(data.values())[::-1])

@@ -116,3 +116,20 @@ def test_compression_query():
     assert stats["bits_per_value"] < 30
     out = container.decompress(cc)
     np.testing.assert_array_equal(out.view(np.uint64), data.view(np.uint64))
+
+
+def test_make_sum_step_runs():
+    """The throughput step (fused decode [+ fused reduction for mid
+    buckets]) must execute across variants; its value is a checksum."""
+    import jax.numpy as jnp
+    from alp_tpu.kernels import decode as kdecode
+    rng = np.random.default_rng(30)
+    data = np.concatenate([
+        np.round(rng.uniform(-900, 900, 2048), 2),       # mid bucket
+        rng.standard_normal(1024) * 1e-3,                # high precision
+    ])
+    cc = container.compress(data)
+    plan = kdecode.build_plan(cc)
+    step, metas = engine.make_sum_step(plan)
+    out = step(jnp.uint32(0), *metas)
+    assert np.asarray(out).dtype == np.uint32
