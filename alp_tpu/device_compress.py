@@ -145,8 +145,10 @@ def compress_device(data=None, *, planes=None, n_values=None):
         fetch = lambda idx: _gather_flat(vhi, vlo, np.asarray(idx))
     else:
         data = np.ascontiguousarray(data)
+        if data.dtype == np.float32:
+            return _compress_device_f32(data)
         if data.dtype != np.float64:
-            raise NotImplementedError("device compress: float64 only")
+            raise NotImplementedError(f"device compress: {data.dtype}")
         n_values = len(data)
         vectors, n_vec = ct._pad_to_vectors(data)
         n_pad_stage = layout.pad_vectors(n_vec, 64)
@@ -315,3 +317,147 @@ def _host_fixup(col, rows_by_vec, bad_vectors, fac_v, exp_v, tc):
         col.exc_positions[v] = enc.exc_positions
         col.exc_values[v] = enc.exc_values
         col.packed[v] = ofl.ffor_pack(enc.encoded, int(bw), base)
+
+
+# ---------------------------------------------------------------------------
+# float32 path: all-native kernels (kernels.encode.alp_encode_f32_tiles)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _to_vector_major32(plane):
+    """[G, 32, 128] f32 tile plane -> [G*4, 32, 32] vector-major rows."""
+    G = plane.shape[0]
+    t = plane.reshape(G, 32, 4, 32).transpose(0, 2, 1, 3)
+    return t.reshape(G * 4, 32, 32)
+
+
+@jax.jit
+def _to_tile_major32(rows):
+    n = rows.shape[0]
+    t = rows.reshape(n // 4, 4, 32, 32).transpose(0, 2, 1, 3)
+    return t.reshape(n // 4, 32, 128)
+
+
+@jax.jit
+def _patch_and_count32(n_plane, exc):
+    ok = _to_vector_major32(exc) == 0
+    okf = ok.reshape(ok.shape[0], 1024)
+    first_ok = jnp.argmax(okf, axis=1)
+    any_ok = okf.any(axis=1)
+    n_exc = (1024 - okf.sum(axis=1)).astype(jnp.int32)
+    rows = _to_vector_major32(n_plane).reshape(-1, 1024)
+    fill = jnp.take_along_axis(rows, first_ok[:, None], axis=1)[:, 0]
+    fill = jnp.where(any_ok, fill, jnp.uint32(0))
+    patched = jnp.where(okf, rows, fill[:, None])
+    return _to_tile_major32(patched.reshape(-1, 32, 32)), n_exc
+
+
+def _compress_device_f32(data: np.ndarray):
+    """float32 device compress: encode/patch/analyze/pack as native-f32
+    kernels; bit-identical to the host path (same structure as the f64
+    pipeline, minus the softfloat machinery and rare-value fixup — the
+    f32 kernel has no envelope)."""
+    from . import container as ct
+    from .oracle import core as ocore
+
+    tc = constants_for(np.float32)
+    data = np.ascontiguousarray(data, np.float32)
+    n_values = len(data)
+    vectors, n_vec = ct._pad_to_vectors(data)
+    n_pad_v = layout.pad_vectors(n_vec, 32)
+    vp = np.zeros((n_pad_v, C.VECTOR_SIZE), np.float32)
+    vp[:n_vec] = vectors
+    vtiles = jnp.asarray(layout.plane_to_tile(vp.view(np.uint32), 32))
+    flat = vp.reshape(-1)
+
+    n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
+    rg_scheme = np.zeros(n_rg, np.uint8)
+    combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k_count = np.zeros(n_vec, np.int32)
+    for rg in range(n_rg):
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        stt = ocore.encoder_init(
+            flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE], 0, tc)
+        if stt.scheme == C.SCHEME_ALP_RD:
+            rg_scheme[rg] = C.SCHEME_ALP_RD
+        else:
+            rg_scheme[rg] = C.SCHEME_ALP
+            ks = len(stt.best_k_combinations)
+            for i, (e, f) in enumerate(stt.best_k_combinations):
+                combos[lo_v:hi_v, i] = (e, f)
+            k_count[lo_v:hi_v] = ks
+    if (rg_scheme == C.SCHEME_ALP_RD).any():
+        return ct.compress(data)
+
+    from .ops import alp as oalp
+    from .ops.numerics import numerics_for
+    nm = numerics_for(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        fac_v, exp_v = (np.asarray(x) for x in oalp.choose_factor_exponent(
+            nm, nm.values_from_np(vectors), combos, k_count))
+
+    def expand32(x):
+        full = np.zeros(n_pad_v, np.uint32)
+        full[:n_vec] = x
+        return jnp.asarray(layout.lane_expand(full, 32))
+
+    n_p, exc_p = kencode.alp_encode_f32_tiles(
+        vtiles,
+        expand32(tc.exp_arr[exp_v].view(np.uint32)),
+        expand32(tc.frac_arr[fac_v].view(np.uint32)),
+        expand32(tc.fact_arr[fac_v].astype(np.int32).view(np.uint32)),
+        expand32(tc.frac_arr[exp_v].view(np.uint32)))
+    n_p, n_exc = _patch_and_count32(n_p, exc_p)
+    bw_d, base_d = kencode.analyze_planes_f32(n_p)
+    bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
+    base_all = np.asarray(base_d)[:n_vec].astype(np.int32)
+    n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
+
+    packed = [None] * n_vec
+    for bw in np.unique(bw_all):
+        sel = np.nonzero(bw_all == bw)[0]
+        if bw == 0:
+            for v in sel:
+                packed[v] = np.zeros(0, np.uint32)
+            continue
+        n_sel_pad = layout.pad_vectors(len(sel), 32)
+        ridx = np.zeros(n_sel_pad, np.int64)
+        ridx[:len(sel)] = sel
+        rows = _to_vector_major32(n_p)[jnp.asarray(ridx)]
+        sel_tiles = _to_tile_major32(rows)
+        blo = jnp.asarray(layout.lane_expand(np.concatenate(
+            [base_all[sel].view(np.uint32),
+             np.zeros(n_sel_pad - len(sel), np.uint32)]), 32))
+        bhi = jnp.zeros_like(blo)
+        tiles = kfalp.ffor_tile(sel_tiles, blo, bhi, bw=int(bw),
+                                element_bits=32)
+        words = layout.tile_to_ref(np.asarray(tiles), int(bw), 32,
+                                   len(sel))
+        for r, v in enumerate(sel):
+            packed[v] = words[r]
+
+    exc_positions = [np.empty(0, np.uint16)] * n_vec
+    exc_values = [np.empty(0, np.float32)] * n_vec
+    exc_vec = np.nonzero(n_exc_np)[0]
+    if exc_vec.size:
+        exc_rows = np.asarray(
+            _to_vector_major32(exc_p).reshape(-1, 1024)[
+                jnp.asarray(exc_vec)])
+        for r, v in enumerate(exc_vec):
+            pos = np.nonzero(exc_rows[r])[0].astype(np.uint16)
+            exc_positions[v] = pos
+            exc_values[v] = vectors[v][pos]
+
+    return ct.CompressedColumn(
+        dtype=np.dtype(np.float32), n_values=n_values, n_vectors=n_vec,
+        rg_scheme=rg_scheme,
+        rd_dict=np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16),
+        rd_dict_size=np.zeros(n_rg, np.uint8),
+        rd_left_bw=np.zeros(n_rg, np.uint8),
+        rd_right_bw=np.zeros(n_rg, np.uint8),
+        fac=fac_v.astype(np.uint8), exp=exp_v.astype(np.uint8),
+        bit_width=bw_all, base=base_all,
+        exc_count=n_exc_np, packed=packed,
+        left_packed=[np.empty(0, np.uint16)] * n_vec,
+        exc_values=exc_values, exc_positions=exc_positions)

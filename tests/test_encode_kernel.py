@@ -214,3 +214,19 @@ def test_encode_f32_kernel_vs_ops():
     # analyze on kernel-patched planes should match ops analyze of the
     # patched ints (patch host-side here for the comparison)
     bw, base = analyze_planes_f32(n_p)
+
+
+def test_compress_device_f32_bit_identical():
+    from alp_tpu import container
+    from alp_tpu.device_compress import compress_device
+    rng = np.random.default_rng(19)
+    cases = [
+        np.round(rng.uniform(-900, 900, 3000), 2).astype(np.float32),
+        np.round(rng.uniform(0, 10, 2048), 1).astype(np.float32),
+        np.array([1.5, -0.0, np.nan, np.inf, 2.25] * 300, np.float32),
+        np.full(1500, np.float32(7.5)),
+    ]
+    for data in cases:
+        dev = compress_device(data)
+        host = container.compress(data)
+        assert dev.to_bytes() == host.to_bytes()
