@@ -313,31 +313,37 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
     rd_states = {}
-    for rg in range(n_rg):
-        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
-        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
-        rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
-        if nat is not None:
-            scheme, cb, ks = nat.init_f64(rg_data, 0)
-            if scheme == C.SCHEME_ALP_RD:
+    if nat is not None:
+        # whole-column planning in one native call (OpenMP over rowgroups)
+        schemes, combos_rg, k_rg = nat.init_f64_multi(flat, n_rg)
+        for rg in range(n_rg):
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+            if schemes[rg] == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+                rd_states[rg] = ord_.rd_encoder_init(
+                    flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE], 0, tc)
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                ks = max(int(k_rg[rg]), 1)
+                combos[lo_v:hi_v, :ks] = combos_rg[rg, :ks][None, :, :]
+                k_count[lo_v:hi_v] = ks
+    else:
+        for rg in range(n_rg):
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+            rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
+            stt = ocore.encoder_init(rg_data, 0, tc)
+            if stt.scheme == C.SCHEME_ALP_RD:
                 rg_scheme[rg] = C.SCHEME_ALP_RD
                 rd_states[rg] = ord_.rd_encoder_init(rg_data, 0, tc)
             else:
                 rg_scheme[rg] = C.SCHEME_ALP
-                combos[lo_v:hi_v, :ks] = cb[None, :, :]
+                ks = len(stt.best_k_combinations)
+                for i, (e, f) in enumerate(stt.best_k_combinations):
+                    combos[lo_v:hi_v, i, 0] = e
+                    combos[lo_v:hi_v, i, 1] = f
                 k_count[lo_v:hi_v] = ks
-            continue
-        stt = ocore.encoder_init(rg_data, 0, tc)
-        if stt.scheme == C.SCHEME_ALP_RD:
-            rg_scheme[rg] = C.SCHEME_ALP_RD
-            rd_states[rg] = ord_.rd_encoder_init(rg_data, 0, tc)
-        else:
-            rg_scheme[rg] = C.SCHEME_ALP
-            ks = len(stt.best_k_combinations)
-            for i, (e, f) in enumerate(stt.best_k_combinations):
-                combos[lo_v:hi_v, i, 0] = e
-                combos[lo_v:hi_v, i, 1] = f
-            k_count[lo_v:hi_v] = ks
 
     # --- throughput: batched encode -------------------------------------
     fac = np.zeros(n_vec, np.uint8)
@@ -364,31 +370,30 @@ def _compress(data: np.ndarray) -> CompressedColumn:
             use_native = False
 
     if alp_idx.size and use_native:
-        # Native C++ encode engine, one call per rowgroup (vectors share
-        # the rowgroup's top-k candidates).  ALP rowgroups are contiguous
-        # vector ranges, so results land via slice assignment.
+        # Native C++ encode engine: ONE call over the whole column (one
+        # OpenMP region across every vector; per-rowgroup candidate sets
+        # resolved inside, container.py round-2 rework).
         from . import native as nat
-        encoded = np.empty((n_vec, C.VECTOR_SIZE), np.int64)
+        combos_rg = combos[::C.N_VECTORS_PER_ROWGROUP].astype(np.int32)
+        k_rg = np.maximum(k_count[::C.N_VECTORS_PER_ROWGROUP], 1).astype(
+            np.int32)
+        res = nat.encode_f64_multi(vectors, combos_rg, k_rg,
+                                   C.N_VECTORS_PER_ROWGROUP)
+        encoded = res["encoded"]
+        fac[alp_idx] = res["fac"][alp_idx]
+        exp[alp_idx] = res["exp"][alp_idx]
+        bit_width[alp_idx] = res["bit_width"][alp_idx]
+        base[alp_idx] = res["base"][alp_idx]
+        exc_count[alp_idx] = res["exc_count"][alp_idx]
         empty_u16 = np.empty(0, np.uint16)
         empty_val = np.empty(0, data.dtype)
-        for rg in np.nonzero(rg_scheme == C.SCHEME_ALP)[0]:
-            lo = rg * C.N_VECTORS_PER_ROWGROUP
-            hi = min(n_vec, lo + C.N_VECTORS_PER_ROWGROUP)
-            k = int(k_count[lo])
-            cb = combos[lo, :max(k, 1)].astype(np.int32)
-            res = nat.encode_f64(vectors[lo:hi], cb)
-            encoded[lo:hi] = res["encoded"]
-            fac[lo:hi] = res["fac"]
-            exp[lo:hi] = res["exp"]
-            bit_width[lo:hi] = res["bit_width"]
-            base[lo:hi] = res["base"]
-            exc_count[lo:hi] = res["exc_count"]
-            exc_positions[lo:hi] = [empty_u16] * (hi - lo)
-            exc_values[lo:hi] = [empty_val] * (hi - lo)
-            for r in np.nonzero(res["exc_count"])[0]:
-                cnt = int(res["exc_count"][r])
-                exc_positions[lo + r] = res["exc_positions"][r, :cnt].copy()
-                exc_values[lo + r] = res["exc_values"][r, :cnt].copy()
+        for v in alp_idx:
+            exc_positions[v] = empty_u16
+            exc_values[v] = empty_val
+        for v in alp_idx[np.nonzero(res["exc_count"][alp_idx])[0]]:
+            cnt = int(res["exc_count"][v])
+            exc_positions[v] = res["exc_positions"][v, :cnt].copy()
+            exc_values[v] = res["exc_values"][v, :cnt].copy()
         bws_all = bit_width[alp_idx]
         for bw in np.unique(bws_all):
             sel = alp_idx[bws_all == bw]

@@ -48,7 +48,7 @@ def _build_lib(src: pathlib.Path, name: str) -> pathlib.Path:
         return lib_file
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tmp = lib_file.with_suffix(".so.tmp")
-    cmd = ["g++", "-O3", "-ffp-contract=off", "-shared",
+    cmd = ["g++", "-O3", "-ffp-contract=off", "-fopenmp", "-shared",
            "-fPIC", "-o", str(tmp), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -233,3 +233,60 @@ def competitor_decode(name: str, stream: np.ndarray, n: int,
     fn(_ptr(np.ascontiguousarray(stream), ctypes.c_uint64),
        ctypes.c_long(n), _ptr(out, ctypes.c_uint64))
     return out.view(np.float64)
+
+
+def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
+                     k_rg: np.ndarray,
+                     vectors_per_rg: int = 100):
+    """Whole-column ALP encode: one native call, one OpenMP region.
+
+    vectors: [n, 1024] f64; combos_rg: [n_rg, max_k, 2] int32 (e, f)
+    padded; k_rg: [n_rg] int32.  Same outputs as :func:`encode_f64`.
+    """
+    from . import constants as C
+    tc = C.DOUBLE
+    n = vectors.shape[0]
+    max_k = combos_rg.shape[1]
+    fac = np.empty(n, np.uint8)
+    exp = np.empty(n, np.uint8)
+    bw = np.empty(n, np.uint8)
+    base = np.empty(n, np.int64)
+    encoded = np.empty((n, 1024), np.int64)
+    exc_values = np.empty((n, 1024), np.float64)
+    exc_positions = np.empty((n, 1024), np.uint16)
+    exc_count = np.empty(n, np.uint16)
+    lib().alp_encode_f64_multi(
+        _ptr(np.ascontiguousarray(vectors), ctypes.c_double),
+        ctypes.c_long(n),
+        _ptr(np.ascontiguousarray(combos_rg, ), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(k_rg, ), ctypes.c_int32),
+        int(max_k), int(vectors_per_rg),
+        _ptr(tc.exp_arr, ctypes.c_double), _ptr(tc.frac_arr, ctypes.c_double),
+        _ptr(tc.fact_arr, ctypes.c_int64), ctypes.c_double(tc.magic_number),
+        _ptr(fac, ctypes.c_uint8), _ptr(exp, ctypes.c_uint8),
+        _ptr(bw, ctypes.c_uint8), _ptr(base, ctypes.c_int64),
+        _ptr(encoded, ctypes.c_int64), _ptr(exc_values, ctypes.c_double),
+        _ptr(exc_positions, ctypes.c_uint16),
+        _ptr(exc_count, ctypes.c_uint16))
+    return {"fac": fac, "exp": exp, "bit_width": bw, "base": base,
+            "encoded": encoded, "exc_values": exc_values,
+            "exc_positions": exc_positions, "exc_count": exc_count}
+
+
+def init_f64_multi(data: np.ndarray, n_rg: int):
+    """Whole-column rowgroup planning in one native call (one OpenMP
+    region).  Returns (schemes [n_rg], combos [n_rg, 5, 2], k [n_rg])."""
+    from . import constants as C
+    tc = C.DOUBLE
+    schemes = np.empty(n_rg, np.int32)
+    combos = np.zeros((n_rg, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k = np.zeros(n_rg, np.int32)
+    lib().alp_init_f64_multi(
+        _ptr(np.ascontiguousarray(data), ctypes.c_double),
+        ctypes.c_long(len(data)), ctypes.c_long(n_rg),
+        _ptr(tc.exp_arr, ctypes.c_double), _ptr(tc.frac_arr, ctypes.c_double),
+        _ptr(tc.fact_arr, ctypes.c_int64), ctypes.c_double(tc.magic_number),
+        int(tc.max_exponent), ctypes.c_long(int(tc.rd_size_threshold_limit)),
+        _ptr(schemes, ctypes.c_int32), _ptr(combos, ctypes.c_int32),
+        _ptr(k, ctypes.c_int32))
+    return schemes, combos, k

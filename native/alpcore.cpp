@@ -80,42 +80,49 @@ extern "C" {
 // Batched entry points: n vectors, contiguous buffers.
 void alp_ffor_u64(const uint64_t* in, uint64_t* out, int bw, uint64_t base,
                   int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     ffor_vec<uint64_t>(in + size_t(i) * kVec, out + size_t(i) * bw * 16,
                        uint8_t(bw), base);
 }
 void alp_unffor_u64(const uint64_t* in, uint64_t* out, int bw, uint64_t base,
                     int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     unffor_vec<uint64_t>(in + size_t(i) * bw * 16, out + size_t(i) * kVec,
                          uint8_t(bw), base);
 }
 void alp_ffor_u64_pv(const uint64_t* in, uint64_t* out, int bw,
                      const uint64_t* bases, int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     ffor_vec<uint64_t>(in + size_t(i) * kVec, out + size_t(i) * bw * 16,
                        uint8_t(bw), bases[i]);
 }
 void alp_ffor_u32(const uint32_t* in, uint32_t* out, int bw, uint32_t base,
                   int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     ffor_vec<uint32_t>(in + size_t(i) * kVec, out + size_t(i) * bw * 32,
                        uint8_t(bw), base);
 }
 void alp_unffor_u32(const uint32_t* in, uint32_t* out, int bw, uint32_t base,
                     int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     unffor_vec<uint32_t>(in + size_t(i) * bw * 32, out + size_t(i) * kVec,
                          uint8_t(bw), base);
 }
 void alp_ffor_u16(const uint16_t* in, uint16_t* out, int bw, uint16_t base,
                   int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     ffor_vec<uint16_t>(in + size_t(i) * kVec, out + size_t(i) * bw * 64,
                        uint8_t(bw), base);
 }
 void alp_unffor_u16(const uint16_t* in, uint16_t* out, int bw, uint16_t base,
                     int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i)
     unffor_vec<uint16_t>(in + size_t(i) * bw * 64, out + size_t(i) * kVec,
                          uint8_t(bw), base);
@@ -128,6 +135,7 @@ void alp_falp_f64(const uint64_t* packed, const int32_t* packed_offsets,
                   const uint8_t* bws, const int64_t* bases,
                   const int64_t* facts, const double* fracs, double* out,
                   int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i) {
     const int bw = bws[i];
     const uint64_t* in = packed + packed_offsets[i];
@@ -148,6 +156,7 @@ void alp_falp_f32(const uint32_t* packed, const int32_t* packed_offsets,
                   const uint8_t* bws, const int32_t* bases,
                   const int32_t* facts, const float* fracs, float* out,
                   int n) {
+  #pragma omp parallel for schedule(static) if (n > 32)
   for (int i = 0; i < n; ++i) {
     const int bw = bws[i];
     const uint32_t* in = packed + packed_offsets[i];
@@ -218,23 +227,18 @@ inline bool is_special64(double v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Second-level sampling + encode + patch + analyze for a batch of
-// vectors sharing a rowgroup's top-k (e, f) candidates.
-// combos: [k, 2] (e, f) pairs; outputs per vector: fac/exp/bw/base,
-// patched encoded ints, exception values+positions (capacity 1024 each),
-// exc_count.
-void alp_encode_f64(const double* data, int n_vectors,
-                    const int32_t* combos, int k,
-                    const double* exp_arr, const double* frac_arr,
-                    const int64_t* fact_arr, double magic,
-                    uint8_t* out_fac, uint8_t* out_exp, uint8_t* out_bw,
-                    int64_t* out_base, int64_t* out_encoded,
-                    double* out_exc_values, uint16_t* out_exc_positions,
-                    uint16_t* out_exc_count) {
-  EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
-  for (int vi = 0; vi < n_vectors; ++vi) {
+// One vector: second-level (e, f) choice + encode_simdized + analyze
+// (encoder.hpp:241-418), shared by the batch entry points.
+inline void encode_vector64(const double* data, long vi,
+                            const int32_t* combos, int k,
+                            const EncCtx64& ctx,
+                            uint8_t* out_fac, uint8_t* out_exp,
+                            uint8_t* out_bw, int64_t* out_base,
+                            int64_t* out_encoded, double* out_exc_values,
+                            uint16_t* out_exc_positions,
+                            uint16_t* out_exc_count) {
     const double* vec = data + size_t(vi) * kVec;
     // --- second-level choice (encoder.hpp:241-305) -------------------
     int fe = combos[0], ff = combos[1];
@@ -251,7 +255,7 @@ void alp_encode_f64(const double* data, int n_vectors,
         for (int s = 0; s < kVec; s += 32) {
           const double v = vec[s];
           // encode_value<SAFE=true> (is_impossible_to_encode guard)
-          const double tmp = v * exp_arr[e] * frac_arr[f];
+          const double tmp = v * ctx.exp_arr[e] * ctx.frac_arr[f];
           int64_t n;
           if (!std::isfinite(tmp) || tmp > 9223372036854774784.0 ||
               tmp < -9223372036854774784.0 ||
@@ -321,6 +325,54 @@ void alp_encode_f64(const double* data, int n_vectors,
     while (delta) { ++bits; delta >>= 1; }
     out_bw[vi] = uint8_t(bits);
     out_base[vi] = mn;
+}
+
+}  // namespace
+
+extern "C" {
+
+// combos: [k, 2] (e, f) pairs; outputs per vector: fac/exp/bw/base,
+// patched encoded ints, exception values+positions (capacity 1024 each),
+// exc_count.
+void alp_encode_f64(const double* data, int n_vectors,
+                    const int32_t* combos, int k,
+                    const double* exp_arr, const double* frac_arr,
+                    const int64_t* fact_arr, double magic,
+                    uint8_t* out_fac, uint8_t* out_exp, uint8_t* out_bw,
+                    int64_t* out_base, int64_t* out_encoded,
+                    double* out_exc_values, uint16_t* out_exc_positions,
+                    uint16_t* out_exc_count) {
+  EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
+  #pragma omp parallel for schedule(static) if (n_vectors > 8)
+  for (int vi = 0; vi < n_vectors; ++vi) {
+    encode_vector64(data, vi, combos, k, ctx, out_fac, out_exp, out_bw,
+                    out_base, out_encoded, out_exc_values,
+                    out_exc_positions, out_exc_count);
+  }
+}
+
+// Whole-column encode: per-rowgroup candidate sets, one call, one OMP
+// region over every vector (the container's throughput entry point —
+// avoids 1 call + output churn per rowgroup).
+// combos_all: [n_rg, max_k, 2] int32 padded; k_all: [n_rg].
+void alp_encode_f64_multi(const double* data, long n_vectors,
+                          const int32_t* combos_all, const int32_t* k_all,
+                          int max_k, int vectors_per_rg,
+                          const double* exp_arr, const double* frac_arr,
+                          const int64_t* fact_arr, double magic,
+                          uint8_t* out_fac, uint8_t* out_exp,
+                          uint8_t* out_bw, int64_t* out_base,
+                          int64_t* out_encoded, double* out_exc_values,
+                          uint16_t* out_exc_positions,
+                          uint16_t* out_exc_count) {
+  EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
+  #pragma omp parallel for schedule(dynamic, 16) if (n_vectors > 8)
+  for (long vi = 0; vi < n_vectors; ++vi) {
+    const long rg = vi / vectors_per_rg;
+    encode_vector64(data, vi, combos_all + rg * 2 * max_k,
+                    k_all[rg], ctx, out_fac, out_exp, out_bw, out_base,
+                    out_encoded, out_exc_values, out_exc_positions,
+                    out_exc_count);
   }
 }
 
@@ -374,7 +426,7 @@ int alp_init_f64(const double* data, long data_size, long offset,
         int non_exc = 0;
         for (int s = 0; s < cn; ++s) {
           const double v = chunk[s];
-          const double tmp = v * exp_arr[e] * frac_arr[f];
+          const double tmp = v * ctx.exp_arr[e] * ctx.frac_arr[f];
           int64_t n;
           if (!std::isfinite(tmp) || tmp > 9223372036854774784.0 ||
               tmp < -9223372036854774784.0 ||
@@ -420,6 +472,25 @@ int alp_init_f64(const double* data, long data_size, long offset,
   if (k == 0) { out_combos[0] = 0; out_combos[1] = 0; k = 1; }
   *out_k = k;
   return 2;  // SCHEME_ALP
+}
+
+
+// Whole-column planning: one OpenMP region over every rowgroup
+// (each rowgroup's sampling + top-k search is independent).
+void alp_init_f64_multi(const double* data, long data_size, long n_rg,
+                        const double* exp_arr, const double* frac_arr,
+                        const int64_t* fact_arr, double magic,
+                        int max_exponent, long rd_threshold,
+                        int32_t* out_schemes /*[n_rg]*/,
+                        int32_t* out_combos /*[n_rg][5][2]*/,
+                        int32_t* out_k /*[n_rg]*/) {
+  #pragma omp parallel for schedule(dynamic) if (n_rg > 2)
+  for (long rg = 0; rg < n_rg; ++rg) {
+    out_schemes[rg] = alp_init_f64(
+        data, data_size, rg * 100L * kVec, exp_arr, frac_arr, fact_arr,
+        magic, max_exponent, rd_threshold, out_combos + rg * 10,
+        out_k + rg);
+  }
 }
 
 }  // extern "C"
