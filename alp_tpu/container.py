@@ -33,7 +33,7 @@ import struct
 import numpy as np
 
 from . import constants as C
-from .constants import TypeConstants, constants_for
+from .constants import constants_for
 from .oracle import core as ocore
 from .oracle import rd as ord_
 from .oracle import fastlanes as ofl

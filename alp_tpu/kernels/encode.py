@@ -21,7 +21,6 @@ FACT.  Outputs: encoded int64 (hi, lo) planes, exception mask, rare mask.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

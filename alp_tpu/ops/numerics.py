@@ -12,7 +12,6 @@ Requires jax_enable_x64 (set by ``import alp_tpu``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants as C
 
 
 @partial(jax.jit, static_argnames=("element_bits",))

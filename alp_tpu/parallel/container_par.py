@@ -27,7 +27,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..constants import constants_for
-from ..ops import alp as oalp
 from ..ops import fastlanes as jfl
 from ..ops.numerics import numerics_for
 from .sharded import sharded_encode_decode_step
@@ -67,23 +66,32 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
     except Exception:
         nat = None
     from ..oracle import core as ocore
-    for rg in range(n_rg):
-        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
-        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
-        rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
-        if nat is not None and data.dtype == np.float64:
-            scheme, cb, ks = nat.init_f64(rg_data, 0)
-        else:
+    if nat is not None and data.dtype == np.float64:
+        schemes, combos_rg, k_rg = nat.init_f64_multi(flat, n_rg)
+        for rg in range(n_rg):
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+            if schemes[rg] == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                ks = max(int(k_rg[rg]), 1)
+                combos[lo_v:hi_v, :ks] = combos_rg[rg, :ks][None, :, :]
+                k_count[lo_v:hi_v] = ks
+    else:
+        for rg in range(n_rg):
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+            rg_data = flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE]
             stt = ocore.encoder_init(rg_data, 0, tc)
-            scheme = stt.scheme
-            cb = np.array(stt.best_k_combinations or [(0, 0)], np.int32)
-            ks = len(stt.best_k_combinations)
-        if scheme == C.SCHEME_ALP_RD:
-            rg_scheme[rg] = C.SCHEME_ALP_RD
-        else:
-            rg_scheme[rg] = C.SCHEME_ALP
-            combos[lo_v:hi_v, :ks] = cb[None, :ks, :]
-            k_count[lo_v:hi_v] = ks
+            if stt.scheme == C.SCHEME_ALP_RD:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                ks = len(stt.best_k_combinations)
+                cb = np.array(stt.best_k_combinations or [(0, 0)], np.int32)
+                combos[lo_v:hi_v, :ks] = cb[None, :ks, :]
+                k_count[lo_v:hi_v] = ks
 
     if (rg_scheme == C.SCHEME_ALP_RD).any():
         return ct.compress(data)

@@ -11,7 +11,6 @@ over ICI) aggregate global metrics such as bits/value.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

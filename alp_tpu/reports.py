@@ -15,8 +15,6 @@ Mirrors the reference's result formats so downstream tooling ports over:
 from __future__ import annotations
 
 import datetime
-import math
-import os
 import platform
 
 import numpy as np

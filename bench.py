@@ -18,7 +18,6 @@ unreliable through the axon tunnel).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,7 +56,6 @@ def tile_column(cc, reps):
 
 def bench_dataset(path):
     import jax
-    import jax.numpy as jnp
     from alp_tpu import container
     from alp_tpu.kernels import decode as kdecode
     from alp_tpu.benchlib import loop_bench

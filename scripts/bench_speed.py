@@ -7,7 +7,6 @@ Run on the TPU terminal: python scripts/bench_speed.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

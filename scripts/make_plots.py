@@ -8,7 +8,6 @@ Outputs PNGs under results/plots/.
 
 import csv
 import os
-import sys
 
 import matplotlib
 

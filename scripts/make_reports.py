@@ -17,7 +17,7 @@ import numpy as np
 
 from alp_tpu import container
 from alp_tpu.competitors import ALL_CODECS
-from alp_tpu.reports import RATIO_HEADER, _write_metadata
+from alp_tpu.reports import _write_metadata
 from alp_tpu.utils import datasets, io
 from alp_tpu.utils.published import published
 

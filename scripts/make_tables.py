@@ -13,7 +13,6 @@ Run: python scripts/make_tables.py   (pure CSV -> markdown, no compute)
 
 import csv
 import os
-import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(ROOT, "results")
