@@ -124,6 +124,11 @@ def make_sum_step(plan):
                     part[0, 0], jnp.uint32)
                 i += 6
                 continue
+            elif g.variant == "mid64":
+                tiles, blo, bhi, c1, c0, fb2 = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_mid64(
+                    tiles, blo ^ carry, bhi, c1, c0, fb2, bw=g.bw)
+                i += 6
             else:
                 tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(

@@ -86,6 +86,10 @@ class DecodePlan:
                     g.tiles, base, c2, c1, c0, fb2, bw=g.bw,
                     c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
                     cheap_msb=bool(g.flags & 4))
+            elif g.variant == "mid64":
+                blo, bhi, c1, c0, fb2 = g.meta
+                out = kfalp.falp_decode_f64_mid64(
+                    g.tiles, blo, bhi, c1, c0, fb2, bw=g.bw)
             elif self.dtype == np.float64:
                 blo, bhi, flo, fhi, frlo, frhi = g.meta
                 out = kfalp.falp_decode_f64(
@@ -209,6 +213,34 @@ def build_plan(col) -> DecodePlan:
             return mid, small
 
         mid_v, small_v = eligible(maxn)
+
+        # mid64: bit widths beyond int32 whose odd part still fits 2^53
+        # AND whose constant 5^fac * fsig fits 64 bits (fac <= 4-ish)
+        fit64_cache = {}
+
+        def c_fits64(fac, exp):
+            key = (int(fac), int(exp))
+            if key not in fit64_cache:
+                frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+                fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+                fit64_cache[key] = ((5 ** int(fac)) * fsig).bit_length() <= 64
+            return fit64_cache[key]
+
+        fits64_v = np.array([c_fits64(col.fac[v], col.exp[v])
+                             for v in alp_idx], bool)
+        cand64 = ((bws_v > 32) & (bws_v <= 52)
+                  & (base_v > -(2**53)) & (base_v < 2**53))
+        span64 = np.where(cand64, (np.int64(1)
+                                   << np.minimum(bws_v, 52)) - 1, 0)
+        n_hi64 = np.where(cand64, base_v + span64, 0)
+        maxn64 = np.maximum(
+            np.maximum(np.abs(base_v), np.abs(n_hi64)), 1)
+
+        def eligible64(mx):
+            return (cand64 & fits64_v & (five_v <= (2**53 - 1) // mx)
+                    & (fact_v <= (2**63 - 1) // mx))
+
+        mid64_v = eligible64(maxn64)
         # Bound refinement: bw only gives max(n) <= base + 2^bw - 1, but
         # the true max can be half that (bw covers [2^(bw-1), 2^bw)).
         # Where the conservative bound fails but the best-case bound
@@ -221,16 +253,25 @@ def build_plan(col) -> DecodePlan:
         maxn_best = np.maximum(
             np.maximum(np.abs(base_v), np.abs(lo_hi)), 1)
         mid_best, small_best = eligible(maxn_best)
-        border = np.nonzero((mid_best | small_best)
-                            & ~(mid_v | small_v))[0]
+        lo_hi64 = np.where(cand64, base_v + (span64 >> 1), n_hi64)
+        maxn64_best = np.maximum(
+            np.maximum(np.abs(base_v), np.abs(lo_hi64)), 1)
+        mid64_best = eligible64(maxn64_best)
+        border = np.nonzero((mid_best | small_best | mid64_best)
+                            & ~(mid_v | small_v | mid64_v))[0]
         if border.size:
             true_max = _true_max_encoded(col, alp_idx[border],
                                          bws_v[border], base_v[border])
-            mx = maxn.copy()
-            mx[border] = np.maximum(
+            tm = np.maximum(
                 np.maximum(np.abs(base_v[border]), np.abs(true_max)), 1)
+            mx = maxn.copy()
+            mx[border] = tm
             mid_v, small_v = eligible(mx)
             maxn = mx
+            mx64 = maxn64.copy()
+            mx64[border] = tm
+            mid64_v = eligible64(mx64)
+        var_v[mid64_v] = "mid64"
         var_v[mid_v] = "mid"
         var_v[small_v] = "small"
         # static work-pruning flags, uniform per bucket (mid kernel)
@@ -286,6 +327,27 @@ def build_plan(col) -> DecodePlan:
                      + col.fac[sel].astype(np.uint64)).astype(np.uint32)
             meta = tuple(expand(x) for x in (base32, factu, fsig_hi,
                                              fsig_lo, fbias))
+        elif col.dtype == np.float64 and vr == "mid64":
+            base_u = col.base[sel].astype(np.int64).view(np.uint64)
+            blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            bhi = (base_u >> np.uint64(32)).astype(np.uint32)
+            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
+            f_biased = ((frac_u >> np.uint64(52))
+                        & np.uint64(0x7FF)).astype(np.int64)
+            fsig = ((frac_u & np.uint64((1 << 52) - 1))
+                    | np.uint64(1 << 52)).astype(np.int64)
+            facs = col.fac[sel].astype(np.int64)
+            c1 = np.empty(len(sel), np.uint32)
+            c0 = np.empty(len(sel), np.uint32)
+            fb2 = np.empty(len(sel), np.uint32)
+            for r in range(len(sel)):
+                cc = (5 ** int(facs[r])) * int(fsig[r])
+                s_c = 63 - (cc.bit_length() - 1)
+                cc <<= s_c
+                c0[r] = cc & 0xFFFFFFFF
+                c1[r] = cc >> 32
+                fb2[r] = int(f_biased[r]) + 74 + int(facs[r]) - s_c
+            meta = tuple(expand(x) for x in (blo, bhi, c1, c0, fb2))
         elif col.dtype == np.float64 and vr == "mid":
             base32 = col.base[sel].astype(np.int64).astype(
                 np.int32).view(np.uint32)

@@ -251,6 +251,59 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
     return out[0][:G], out[1][:G]
 
 
+def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
+                           out_hi, out_lo, *, bw: int):
+    # mid64 fast path (bw 33..52): |n * 5^fac| < 2^53 and the constant
+    # 5^fac * fsig fits 64 bits, so double(m) is exact and one 64x64
+    # product with a single rounding replaces the generic pipeline.
+    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    if bw == 0:
+        shape = out_hi.shape
+        n = U64(jnp.broadcast_to(base.hi, shape),
+                jnp.broadcast_to(base.lo, shape))
+    else:
+        n = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
+    r = sf.i64c64_to_f64(n, c1[:][:, None, :], c0[:][:, None, :],
+                         fb2[:][:, None, :])
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
+                          bw: int):
+    """Fused falp decode, mid64 variant (bit widths beyond int32 whose
+    odd part still fits 2^53 with a 64-bit plan-time constant).
+
+    Metadata planes: ``base_lo``/``base_hi`` (int64 FOR base limbs),
+    ``c1``/``c0`` (5^fac * fsig top-aligned to bit 63), ``fb2``
+    (combined biased exponent term).  See softfloat.i64c64_to_f64.
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base_lo, base_hi, c1, c0, fb2 = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base_lo, base_hi, c1, c0, fb2))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_mid64_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base_lo, base_hi, c1, c0, fb2)
+    return out[0][:G], out[1][:G]
+
+
 def _f64_bits_to_f32(hi, lo):
     """Truncating f64-bits -> f32 value (checksum-grade convert for the
     fused SUM reduction; ~8 integer ops, no rounding of the mantissa)."""

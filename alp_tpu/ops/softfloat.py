@@ -683,6 +683,17 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
         x2 = s2 + ca
         cb = cb | (x2 < ca).astype(_U32)
     x3 = p2.hi + cb
+    packed = _p126_round_pack(x3, x2, x1, x0, fb2, k, sign)
+    zero = mag == 0
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
+def _p126_round_pack(x3, x2, x1, x0, fb2, k, sign) -> U64:
+    """Round-and-pack the exact product p in [2^126, 2^128) (four u32
+    limbs, x0 may be None when provably zero) into an f64; shared by the
+    mid/mid64 single-rounding decode paths.  biased(result) =
+    fb2 + bit127(p) - k."""
     t = x3 >> 31                                   # leading bit 127 vs 126
     up = t == 1
     lo = jnp.where(up, (x2 >> 11) | (x3 << 21), (x2 >> 10) | (x3 << 22))
@@ -694,9 +705,75 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
     sticky = low != 0
     round_up = (guard == 1) & (sticky | ((lo & _u32(1)) == 1))
     biased_out = fb2 + t - k
-    packed = _pack_with_carry(sign, biased_out - _u32(1), U64(hi, lo),
-                              round_up)
-    zero = mag == 0
+    return _pack_with_carry(sign, biased_out - _u32(1), U64(hi, lo),
+                            round_up)
+
+
+def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
+                  fb2: jnp.ndarray) -> U64:
+    """``RN(int64(n) * C * 2^E)`` for |n| < 2^53 beyond int32 range and a
+    per-vector constant ``C' = 5^fac * fsig(FRAC)`` that fits 64 bits
+    (fac <= 4), top-aligned into [2^63, 2^64) as limbs (c1, c0).
+
+    The mid64 falp decode fast path (bit widths 33..52): double(m) is
+    exact because the odd part |n * 5^fac| < 2^53, so one 64x64 product
+    with a single rounding replaces the generic two-rounding pipeline.
+    ``fb2`` carries ``f_biased + 74 + fac - shiftC`` (same form as
+    :func:`i32c96_to_f64`).
+    """
+    smask = (n.hi.astype(_I32) >> 31).astype(_U32)
+    sign = smask & _u32(1)
+    negd = neg64(n)
+    mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
+              jnp.where(smask != 0, negd.lo, n.lo))
+    # normalize |n| into [2^63, 2^64): two-case shift via fast msb
+    hi_z = mag.hi == 0
+    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)),
+                       _msb32(mag.hi | _u32(1)))
+    k = (_I32(31) - msb_in).astype(_U32)
+    kc = _u32(32) - k
+    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
+    top_a = jnp.where(k == 0, mag.hi, top_a)
+    M = U64(jnp.where(hi_z, mag.lo << k, top_a),
+            jnp.where(hi_z, jnp.zeros_like(mag.lo), mag.lo << k))
+    k64 = jnp.where(hi_z, k + _u32(32), k)
+    # exact 64x64 product p = M * C' in [2^126, 2^128); shared splits
+    al = M.lo & _u32(0xFFFF)
+    ah = M.lo >> 16
+    bl = M.hi & _u32(0xFFFF)
+    bh = M.hi >> 16
+
+    def mul_c(a_lo16, a_hi16, c):
+        cl = c & _u32(0xFFFF)
+        ch = c >> 16
+        ll = a_lo16 * cl
+        lh = a_lo16 * ch
+        hl = a_hi16 * cl
+        hh = a_hi16 * ch
+        mid = lh + hl
+        midc = (mid < lh).astype(_U32)
+        lo = ll + (mid << 16)
+        loc = (lo < ll).astype(_U32)
+        return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
+
+    p00 = mul_c(al, ah, c0)          # M.lo * c0
+    p01 = mul_c(al, ah, c1)          # M.lo * c1
+    p10 = mul_c(bl, bh, c0)          # M.hi * c0
+    p11 = mul_c(bl, bh, c1)          # M.hi * c1
+    x0 = p00.lo
+    s1 = p00.hi + p01.lo
+    c1_ = (s1 < p01.lo).astype(_U32)
+    x1 = s1 + p10.lo
+    c1_ = c1_ + (x1 < s1).astype(_U32)
+    s2 = p01.hi + p10.hi
+    c2_ = (s2 < p01.hi).astype(_U32)
+    s2b = s2 + p11.lo
+    c2_ = c2_ + (s2b < s2).astype(_U32)
+    x2 = s2b + c1_
+    c2_ = c2_ + (x2 < s2b).astype(_U32)
+    x3 = p11.hi + c2_
+    packed = _p126_round_pack(x3, x2, x1, x0, fb2, k64, sign)
+    zero = is_zero64(mag)
     return U64(jnp.where(zero, _u32(0), packed.hi),
                jnp.where(zero, _u32(0), packed.lo))
 

@@ -100,6 +100,11 @@ def bench_dataset(path):
                     c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
                     cheap_msb=bool(g.flags & 4))
                 i += 6
+            elif g.variant == "mid64":
+                tiles, blo, bhi, c1, c0, fb2 = metas[i:i + 6]
+                hi, lo = kfalp.falp_decode_f64_mid64(
+                    tiles, blo ^ carry, bhi, c1, c0, fb2, bw=g.bw)
+                i += 6
             else:
                 (tiles, blo, bhi, flo, fhi, frlo, frhi) = metas[i:i + 7]
                 hi, lo = kfalp.falp_decode_f64(

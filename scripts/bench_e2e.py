@@ -83,7 +83,9 @@ def main():
     # ---- COMPRESSION query (steady state: second full run timed) ------
     engine.query_compression(data)
     _, stats = engine.query_compression(data)
-    rows.append(("COMPRESSION", "ALP host engine", "1 core",
+    import multiprocessing
+    rows.append(("COMPRESSION", "ALP host engine (OpenMP)",
+                 f"{multiprocessing.cpu_count()} cores",
                  round(stats["throughput_gbps"], 2), ""))
     print(rows[-1], flush=True)
     if on_tpu:

@@ -197,3 +197,35 @@ def test_falp_f64_small_vs_oracle(bw, fac, exp):
                                 np.float64, n)
     np.testing.assert_array_equal(got.view(np.uint64),
                                   expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("bw,fac,exp", [(38, 1, 14), (42, 4, 14),
+                                        (48, 0, 10), (52, 0, 0)])
+def test_falp_f64_mid64_vs_oracle(bw, fac, exp):
+    """mid64 kernel parity on its domain (|n*5^fac| < 2^53, 64-bit C')."""
+    n = 16
+    tc = C.DOUBLE
+    lim_n = min((2**53 - 1) // 5**fac, (2**63 - 1) // 10**fac)
+    base = np.int64(max(-(lim_n // 2), -(1 << 50)))
+    hi_n = min(lim_n, int(base) + (1 << bw) - 1)
+    ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                        dtype=np.int64)
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+    fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+    cc = (5 ** fac) * fsig
+    assert cc.bit_length() <= 64
+    s_c = 63 - (cc.bit_length() - 1)
+    cc <<= s_c
+    base_u = int(np.int64(base).view(np.uint64))
+    mk = lambda v: np.repeat(np.full(n, v & 0xFFFFFFFF,
+                                     np.uint32).reshape(-1, 8), 16, axis=1)
+    hi, lo = falp.falp_decode_f64_mid64(
+        tile, mk(base_u), mk(base_u >> 32), mk(cc >> 32), mk(cc),
+        mk(((frac_u >> 52) & 0x7FF) + 74 + fac - s_c), bw=bw)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
