@@ -53,7 +53,7 @@ def speed_figure():
     # Headline kernel numbers recorded in round-2 benchmarks
     # (results/speed_tpu.csv, e2e_queries.csv); refreshed as benches rerun.
     data = {
-        "falp decode f64 (suite avg)": 108.2,
+        "falp decode f64 (suite avg)": 114.1,
         "falp decode f64 bw16 (mid)": 106.9,
         "fused decode+SUM f64": 99.7,
         "ALP_RD decode f64": 106.0,
@@ -61,7 +61,7 @@ def speed_figure():
         "encode f64 (exact kernel)": 14.4,
         "encode f32 kernel": 50.3,
         "falp decode f32": 126.7,
-        "e2e SUM query (400 MiB)": 82.6,
+        "e2e SUM query (400 MiB)": 91.4,
     }
     fig, ax = plt.subplots(figsize=(8, 4))
     ax.barh(list(data)[::-1], list(data.values())[::-1])
