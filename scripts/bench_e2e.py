@@ -130,9 +130,11 @@ def main():
         assert abs(ccd.bits_per_value() - bwd) < 2.0
 
     # ---- functional mesh scaling (virtual devices on CPU are a
-    # correctness demonstration, not a perf claim) ----------------------
+    # correctness demonstration, not a perf claim); separate CSV so a
+    # CPU run never clobbers the TPU query table --------------------------
     if not on_tpu and len(jax.devices()) >= 8:
         from alp_tpu.parallel import make_mesh
+        mesh_rows = []
         d = np.tile(base, 32)
         blob = container.compress(d).to_bytes()
         for nd in (1, 2, 4, 8):
@@ -141,9 +143,15 @@ def main():
             cc2 = container.compress(d, mesh=mesh)
             t1 = time.perf_counter()
             assert cc2.to_bytes() == blob
-            rows.append(("COMPRESSION", "ALP sharded", f"{nd} dev",
-                         round(d.nbytes / (t1 - t0) / 1e9, 2), ""))
-            print(rows[-1], flush=True)
+            mesh_rows.append(("COMPRESSION", "ALP sharded (byte-identical)",
+                              f"{nd} dev",
+                              round(d.nbytes / (t1 - t0) / 1e9, 4), ""))
+            print(mesh_rows[-1], flush=True)
+        speed_report(mesh_rows,
+                     os.path.join(ROOT, "results", "e2e_mesh_scaling.csv"),
+                     header=("query", "scheme", "parallelism", "gbps",
+                             "alp_speedup"))
+        return
 
     speed_report(rows, os.path.join(ROOT, "results", "e2e_queries.csv"),
                  header=("query", "scheme", "parallelism", "gbps",
