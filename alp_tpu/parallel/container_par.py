@@ -208,6 +208,12 @@ def decompress_sharded(col, mesh: Mesh) -> np.ndarray:
                     t, base, c2, c1, c0, fb2, bw=bw,
                     c0zero=bool(fl & 1), nonneg=bool(fl & 2),
                     cheap_msb=bool(fl & 4))
+        elif g.variant == "mid64":
+            args = tuple(padded(a) for a in (g.tiles,) + g.meta)
+
+            def local(t, blo, bhi, c1, c0, fb2, bw=g.bw):
+                return kfalp.falp_decode_f64_mid64(t, blo, bhi, c1, c0,
+                                                   fb2, bw=bw)
         else:
             args = tuple(padded(a) for a in (g.tiles,) + g.meta)
 

@@ -120,3 +120,17 @@ def test_container_sharded_rd_decompress():
     out = container.decompress(cc, mesh=make_mesh(8))
     np.testing.assert_array_equal(out.view(np.uint64),
                                   data.view(np.uint64))
+
+
+def test_container_sharded_decompress_mid64():
+    """A mid64-routed column (bw > 32) through the mesh decode path."""
+    from alp_tpu import container
+    from alp_tpu.kernels import decode as kdecode
+    data = np.fromfile(
+        "/root/reference/data/1_rg_data_sample/nyc29_tw.bin", np.float64)
+    cc = container.compress(data)
+    plan = kdecode.build_plan(cc)
+    assert any(g.variant == "mid64" for g in plan.groups)
+    out = container.decompress(cc, mesh=make_mesh(8))
+    np.testing.assert_array_equal(out.view(np.uint64),
+                                  data.view(np.uint64))
