@@ -75,7 +75,9 @@ class DecodePlan:
                         g.tiles, g.meta[0], g.meta[2:10],
                         rbw=g.bw, lbw=g.meta[1])
                 else:
-                    out = kfalp.rd_decode_f32(g.tiles, g.meta[0], rbw=g.bw)
+                    out = kfalp.rd_decode_dict_f32(
+                        g.tiles, g.meta[0], g.meta[2:10],
+                        rbw=g.bw, lbw=g.meta[1])
             elif g.variant == "small":
                 base, fact, fsh, fsl, fb = g.meta
                 out = kfalp.falp_decode_f64_small(
@@ -461,22 +463,27 @@ def build_plan(col) -> DecodePlan:
                 _stage_rd_exceptions(grp, col, sel, packed, int(rbw), eb)
                 groups.append(grp)
             else:
-                dsz = np.maximum(
-                    col.rd_dict_size[rgs].astype(np.int64) - 1, 0)
-                safe = np.minimum(idx.astype(np.int64), dsz[:, None])
-                resolved = np.take_along_axis(
-                    col.rd_dict[rgs], safe, axis=1).astype(np.uint32)
-                for r, v in enumerate(sel):
-                    pos = col.exc_positions[v]
-                    if len(pos):
-                        resolved[r, pos] = col.exc_values[v].astype(
-                            np.uint32)
-                left = np.zeros((n_pad, C.VECTOR_SIZE), np.uint32)
-                left[:n] = resolved
-                left_tiles = jnp.asarray(layout.plane_to_tile(left, eb))
-                groups.append(_Group(int(rbw), n, sel, tiles,
-                                     (left_tiles,),
-                                     scheme=C.SCHEME_ALP_RD))
+                # device-side dictionary, float geometry: indexes packed
+                # at lbw bits in u32-lane layout + 8 lane-expanded dict
+                # planes; exceptions patched by the output scatter
+                idx32 = np.zeros((n_pad, C.VECTOR_SIZE), np.int32)
+                idx32[:n] = idx
+                with jax.default_device(jax.devices("cpu")[0]):
+                    lp = np.asarray(jfl.ffor_pack(
+                        idx32, np.zeros(n_pad, np.int32), bw=lbw))
+                left_tiles = jnp.asarray(
+                    layout.ref_to_tile(lp.view(np.uint32), lbw, eb))
+                dict_rows = col.rd_dict[rgs]
+                planes = []
+                for k in range(C.MAX_RD_DICTIONARY_SIZE):
+                    full = np.zeros(n_pad, np.uint32)
+                    full[:n] = dict_rows[:, k].astype(np.uint32)
+                    planes.append(jnp.asarray(layout.lane_expand(full, eb)))
+                grp = _Group(int(rbw), n, sel, tiles,
+                             (left_tiles, int(lbw), *planes),
+                             scheme=C.SCHEME_ALP_RD)
+                _stage_rd_exceptions(grp, col, sel, packed, int(rbw), eb)
+                groups.append(grp)
 
     return DecodePlan(np.dtype(col.dtype), col.n_vectors, groups,
                       decoded_bytes=sum(g.n_vectors for g in groups)

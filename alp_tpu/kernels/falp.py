@@ -578,6 +578,78 @@ def rd_decode_dict_f64(right_packed, left_packed, dict_planes, *,
     return out[0][:G], out[1][:G]
 
 
+def _rd_dict_f32_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5, d6,
+                        d7, out, *, rbw: int, lbw: int):
+    # float variant of _rd_dict_f64_kernel: indexes packed at lbw bits in
+    # u32-lane geometry, 8 lane-expanded dictionary planes, 3-level
+    # select tree; exception positions decode garbage and are patched by
+    # the caller's output scatter (rd.hpp:152-178 with the dictionary
+    # resolved on device).
+    right = _unpack_all(right_ref, rbw, 32, 1).lo if rbw else None
+    idx = _unpack_all(left_ref, lbw, 32, 1).lo if lbw else None
+    planes = [d[:][:, None, :] for d in (d0, d1, d2, d3, d4, d5, d6, d7)]
+    if lbw == 0:
+        left = planes[0]
+    else:
+        b0 = (idx & _U32(1)) == 1
+        s01 = jnp.where(b0, planes[1], planes[0])
+        if lbw == 1:
+            left = s01
+        else:
+            b1 = (idx & _U32(2)) != 0
+            s23 = jnp.where(b0, planes[3], planes[2])
+            s0123 = jnp.where(b1, s23, s01)
+            if lbw == 2:
+                left = s0123
+            else:
+                s45 = jnp.where(b0, planes[5], planes[4])
+                s67 = jnp.where(b0, planes[7], planes[6])
+                s4567 = jnp.where(b1, s67, s45)
+                left = jnp.where((idx & _U32(4)) != 0, s4567, s0123)
+    if rbw == 0:
+        out[:] = jnp.broadcast_to(left, out.shape)
+    else:
+        out[:] = right | (left << _U32(rbw))
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
+def rd_decode_dict_f32(right_packed, left_packed, dict_planes, *,
+                       rbw: int, lbw: int):
+    """Fused ALP_RD float decode with on-device dictionary lookup.
+
+    right_packed: [G, rbw, 128]; left_packed: [G, lbw, 128] (indexes at
+    lbw bits, u32-lane geometry); dict_planes: 8 x [G, 128] u32 planes.
+    Returns [G, 32, 128] f32 bit planes.
+    """
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f32_kernel, rbw=rbw, lbw=lbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 8,
+        out_specs=pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[:G]
+
+
 def _rd_f32_kernel(right_ref, left_ref, out, *, rbw: int):
     left = left_ref[:]
     if rbw == 0:

@@ -131,3 +131,23 @@ def test_bits_per_value_mixed_scheme_overhead():
     # halves (same data, same per-rowgroup planning)
     expect = (alp_only.bits_per_value() + rd_only.bits_per_value()) / 2
     assert abs(cc.bits_per_value() - expect) < 1e-9
+
+
+def test_f32_rd_device_decode_with_dictionary():
+    """f32 ALP_RD via the on-device dictionary kernel: full bit-exact
+    decode incl. left-part exceptions (rd_decode_dict_f32)."""
+    rng = np.random.default_rng(33)
+    # high-entropy f32 -> ALP_RD; a dominant scale plus rare outliers
+    # across many scales forces left parts beyond the 8-entry dictionary
+    n = 4096 + 333
+    data = rng.standard_normal(n).astype(np.float32)
+    out_idx = rng.choice(n, 60, replace=False)
+    data[out_idx] = (rng.standard_normal(60) *
+                     np.float32(10.0) ** rng.integers(-30, 30, 60)
+                     ).astype(np.float32)
+    cc = container.compress(data)
+    assert (cc.rg_scheme == C.SCHEME_ALP_RD).any()
+    assert sum(len(p) for p in cc.exc_positions) > 0
+    dev = kdecode.decompress_device(cc).reshape(-1)[:len(data)]
+    np.testing.assert_array_equal(dev.view(np.uint32),
+                                  data.view(np.uint32))
