@@ -51,33 +51,121 @@ def _last_group_mask(g, slots: int, lanes_per_vec: int, per_group: int,
 
 
 def query_sum(col) -> float:
-    """SUM(column) with on-device fused decode (exceptions patched)."""
+    """SUM(column), EXACT: the correctly-rounded sum of the column's
+    doubles (bit-identical to ``math.fsum``), computed on device.
+
+    XLA's float64 on TPU is emulated (double-f32, ~49-bit adds), so
+    floating accumulation is neither exact nor deterministic across
+    reduction orders.  Instead each value's bit pattern is decomposed
+    with exact integer ops (emulated u64 integers ARE exact) into
+    signed 32-bit digits of ``mantissa << (exponent mod 32)`` within
+    one of 64 exponent windows; a segment-sum produces [64, 3] i64
+    partial sums (|digit| < 2^32, so n < 2^31 values cannot overflow
+    i64).  The host combines the 192 partials with Python bignums and
+    rounds ONCE to float — a fixed-point superaccumulator with the
+    window residency resolved host-side.
+    """
     plan = kdecode.build_plan(col)
     outs = plan.run(patch=True)
+    digit_sums = []
+    specials = []
+    for bits, last in _masked_bits(col, plan, outs):
+        # zero out pad slots in the last group (+0.0 contributes nothing)
+        zero = jnp.zeros((), bits.dtype)
+        bits = jnp.concatenate(
+            [bits[:-1].reshape(-1), jnp.where(last, bits[-1], zero).reshape(-1)])
+        d, sp = _exact_sum_partials(bits, col.dtype)
+        digit_sums.append(d)
+        specials.append(sp)
+    nan_c = pinf = ninf = 0
+    total_int = 0
     if col.dtype == np.float64:
-        slots, L, per_group = 64, 16, 8
+        w_shift, scale_pow = 5, 1075
     else:
-        slots, L, per_group = 32, 32, 4
-    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
-    v_last = col.n_vectors - 1
-    total = jnp.zeros((), jnp.float64)
-    for g, out in zip(plan.groups, outs):
-        if col.dtype == np.float64:
-            hi, lo = out
-            u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
-                jnp.uint64)
-            vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
-        else:
-            vals = jax.lax.bitcast_convert_type(out, jnp.float32)
-        has_partial = (n_valid_last < C.VECTOR_SIZE
-                       and v_last in g.vec_indices)
-        mask = _last_group_mask(g, slots, L, per_group, n_valid_last,
-                                has_partial)
-        s = vals[:-1].astype(jnp.float64).sum() if vals.shape[0] > 1 \
-            else jnp.zeros((), jnp.float64)
-        s = s + jnp.where(mask, vals[-1], 0).astype(jnp.float64).sum()
-        total = total + s
-    return float(total)
+        w_shift, scale_pow = 5, 150
+    for d, sp in zip(digit_sums, specials):
+        dn = np.asarray(d)
+        spn = np.asarray(sp)
+        nan_c += int(spn[0]); pinf += int(spn[1]); ninf += int(spn[2])
+        for j in range(dn.shape[0]):
+            for k in range(dn.shape[1]):
+                v = int(dn[j, k])
+                if v:
+                    total_int += v << (32 * j + 32 * k)
+    if nan_c or (pinf and ninf):
+        return float("nan")
+    if pinf:
+        return float("inf")
+    if ninf:
+        return float("-inf")
+    if total_int == 0:
+        return 0.0
+    from fractions import Fraction
+    return float(Fraction(total_int, 1 << scale_pow))
+
+
+def _exact_sum_partials(bits, dtype):
+    """Device kernel of the exact SUM: [N] bit patterns -> ([W, D] i64
+    signed digit partial sums, [3] i64 special counts (nan, +inf, -inf)).
+
+    f64: value = m' * 2^(e_eff - 1075), m' = mantissa (+2^52 implicit
+    for normals), e_eff = max(exponent, 1) in [1, 2046]; window
+    j = e_eff >> 5, shift = e_eff & 31; c = m' << shift (<= 84 bits) is
+    emitted as three 32-bit digits.  All arithmetic is exact emulated
+    integer math.  f32 analogously with bias 150 and two digits.
+    """
+    return _exact_partials_jit[np.dtype(dtype).itemsize](bits)
+
+
+@jax.jit
+def _exact_partials_f64(bits):
+    e = ((bits >> jnp.uint64(52)) & jnp.uint64(0x7FF)).astype(jnp.int32)
+    m = bits & jnp.uint64((1 << 52) - 1)
+    sign = (bits >> jnp.uint64(63)) != 0
+    is_special = e == 2047
+    nan_c = (is_special & (m != 0)).sum()
+    pinf = (is_special & (m == 0) & ~sign).sum()
+    ninf = (is_special & (m == 0) & sign).sum()
+    mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
+    mp = jnp.where(is_special, jnp.uint64(0), mp)
+    e_eff = jnp.maximum(e, 1)
+    j = (e_eff >> 5).astype(jnp.int32)                      # [0, 63]
+    sh = (e_eff & 31).astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    d0 = (mp << sh) & m32
+    d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+    d2 = (mp >> jnp.uint64(33)) >> (jnp.uint64(31) - sh)    # < 2^20
+    digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
+    digs = jnp.where(sign[:, None], -digs, digs)
+    sums = jax.ops.segment_sum(digs, j, num_segments=64)
+    return sums, jnp.stack([nan_c, pinf, ninf]).astype(jnp.int64)
+
+
+@jax.jit
+def _exact_partials_f32(bits):
+    e = ((bits >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    m = (bits & jnp.uint32((1 << 23) - 1)).astype(jnp.uint64)
+    sign = (bits >> jnp.uint32(31)) != 0
+    is_special = e == 255
+    nan_c = (is_special & (m != 0)).sum()
+    pinf = (is_special & (m == 0) & ~sign).sum()
+    ninf = (is_special & (m == 0) & sign).sum()
+    mp = jnp.where(e > 0, m | jnp.uint64(1 << 23), m)
+    mp = jnp.where(is_special, jnp.uint64(0), mp)
+    e_eff = jnp.maximum(e, 1)                               # [1, 254]
+    j = (e_eff >> 5).astype(jnp.int32)                      # [0, 7]
+    sh = (e_eff & 31).astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    d0 = (mp << sh) & m32
+    d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+    d2 = jnp.zeros_like(d0)     # m' < 2^24, c < 2^55: two digits suffice
+    digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
+    digs = jnp.where(sign[:, None], -digs, digs)
+    sums = jax.ops.segment_sum(digs, j, num_segments=8)
+    return sums, jnp.stack([nan_c, pinf, ninf]).astype(jnp.int64)
+
+
+_exact_partials_jit = {8: _exact_partials_f64, 4: _exact_partials_f32}
 
 
 def make_sum_step(plan):
@@ -162,10 +250,16 @@ def _masked_keys(col, plan, outs):
     """
     for vals_bits, last_mask in _masked_bits(col, plan, outs):
         if col.dtype == np.float64:
+            # canonicalize -0.0 to +0.0 so the total order agrees with
+            # IEEE compare (-0.0 == 0.0), not strictly-below
+            vals_bits = jnp.where(vals_bits == jnp.uint64(1 << 63),
+                                  jnp.uint64(0), vals_bits)
             sign = (vals_bits >> jnp.uint64(63)) != 0
             key = jnp.where(sign, ~vals_bits,
                             vals_bits | jnp.uint64(1 << 63))
         else:
+            vals_bits = jnp.where(vals_bits == jnp.uint32(1 << 31),
+                                  jnp.uint32(0), vals_bits)
             sign = (vals_bits >> jnp.uint32(31)) != 0
             key = jnp.where(sign, ~vals_bits,
                             vals_bits | jnp.uint32(1 << 31))
@@ -225,11 +319,18 @@ def query_max(col) -> float:
 
 
 def _float_key(v: float, dtype) -> int:
-    """Host-side total-order key of a float (inverse of _key_float)."""
+    """Host-side total-order key of a float (inverse of _key_float).
+
+    -0.0 maps to +0.0's key (matching the device-side canonicalization
+    in _masked_keys), so bounds behave like IEEE compares at zero."""
     if np.dtype(dtype) == np.float64:
         b = int(np.float64(v).view(np.uint64))
+        if b == 1 << 63:
+            b = 0
         return (~b) & ((1 << 64) - 1) if b >> 63 else b | (1 << 63)
     b = int(np.float32(v).view(np.uint32))
+    if b == 1 << 31:
+        b = 0
     return (~b) & ((1 << 32) - 1) if b >> 31 else b | (1 << 31)
 
 
@@ -243,7 +344,11 @@ def _key_float(k: int, dtype) -> float:
 
 def query_filter_count(col, lo: float, hi: float) -> int:
     """SELECT COUNT(*) WHERE lo <= v <= hi — predicated SCAN, fully on
-    device (decode + exact total-order key compare + popcount)."""
+    device (decode + exact total-order key compare + popcount).
+
+    Bound semantics: ``lo``/``hi`` are rounded to the column dtype
+    before comparing (an f32 column compares against ``f32(lo)``), and
+    ±0.0 compare equal (keys canonicalize -0.0 to +0.0)."""
     plan = kdecode.build_plan(col)
     outs = plan.run(patch=True)
     kt = np.uint64 if col.dtype == np.float64 else np.uint32

@@ -32,7 +32,8 @@ _lib = None
 _clib = None
 
 
-def _build_lib(src: pathlib.Path, name: str) -> pathlib.Path:
+def _build_lib(src: pathlib.Path, name: str,
+               force: bool = False) -> pathlib.Path:
     """Build ``src`` into a cache path keyed on its content hash: a
     fresh checkout (git does not preserve mtimes) or an edited source
     always rebuilds, and stale binaries are never loaded.
@@ -44,7 +45,7 @@ def _build_lib(src: pathlib.Path, name: str) -> pathlib.Path:
     """
     digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
     lib_file = _CACHE_DIR / f"lib{name}-{digest}.so"
-    if lib_file.exists():
+    if lib_file.exists() and not force:
         return lib_file
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tmp = lib_file.with_suffix(".so.tmp")
@@ -59,7 +60,11 @@ def _build_lib(src: pathlib.Path, name: str) -> pathlib.Path:
 
 
 def build(force: bool = False) -> pathlib.Path:
-    return _build_lib(_SRC, "alpcore")
+    """Build (or fetch the content-hash-cached) alpcore library.
+
+    ``force=True`` recompiles even when a cached artifact for the
+    current source hash exists (e.g. after a compiler upgrade)."""
+    return _build_lib(_SRC, "alpcore", force=force)
 
 
 def lib() -> ctypes.CDLL:
@@ -284,6 +289,7 @@ def init_f64_multi(data: np.ndarray, n_rg: int):
     lib().alp_init_f64_multi(
         _ptr(np.ascontiguousarray(data), ctypes.c_double),
         ctypes.c_long(len(data)), ctypes.c_long(n_rg),
+        int(C.N_VECTORS_PER_ROWGROUP), int(C.MAX_K_COMBINATIONS),
         _ptr(tc.exp_arr, ctypes.c_double), _ptr(tc.frac_arr, ctypes.c_double),
         _ptr(tc.fact_arr, ctypes.c_int64), ctypes.c_double(tc.magic_number),
         int(tc.max_exponent), ctypes.c_long(int(tc.rd_size_threshold_limit)),

@@ -478,18 +478,26 @@ int alp_init_f64(const double* data, long data_size, long offset,
 // Whole-column planning: one OpenMP region over every rowgroup
 // (each rowgroup's sampling + top-k search is independent).
 void alp_init_f64_multi(const double* data, long data_size, long n_rg,
+                        int vectors_per_rg, int max_k,
                         const double* exp_arr, const double* frac_arr,
                         const int64_t* fact_arr, double magic,
                         int max_exponent, long rd_threshold,
                         int32_t* out_schemes /*[n_rg]*/,
-                        int32_t* out_combos /*[n_rg][5][2]*/,
+                        int32_t* out_combos /*[n_rg][max_k][2]*/,
                         int32_t* out_k /*[n_rg]*/) {
   #pragma omp parallel for schedule(dynamic) if (n_rg > 2)
   for (long rg = 0; rg < n_rg; ++rg) {
+    // alp_init_f64 writes up to 5 (e,f) ranks (MAX_K_COMBINATIONS);
+    // stage through a local buffer so a caller-provided max_k < 5
+    // cannot overflow its per-rowgroup slice.
+    int32_t combos[10] = {};
+    int32_t k = 0;
     out_schemes[rg] = alp_init_f64(
-        data, data_size, rg * 100L * kVec, exp_arr, frac_arr, fact_arr,
-        magic, max_exponent, rd_threshold, out_combos + rg * 10,
-        out_k + rg);
+        data, data_size, rg * long(vectors_per_rg) * kVec, exp_arr,
+        frac_arr, fact_arr, magic, max_exponent, rd_threshold, combos, &k);
+    if (k > max_k) k = max_k;
+    out_k[rg] = k;
+    for (int i = 0; i < 2 * k; ++i) out_combos[rg * 2L * max_k + i] = combos[i];
   }
 }
 

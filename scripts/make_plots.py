@@ -26,12 +26,14 @@ def ratio_figure():
     with open(path) as f:
         rows = list(csv.DictReader(f))
     names = [r["column"] for r in rows]
+    gp = "zstd" if "zstd" in rows[0] else "zlib"
     series = {
         "ALP (this work)": [float(r["alp_bits_per_value"]) for r in rows],
         "Chimp128": [float(r["chimp128"]) for r in rows],
         "Patas": [float(r["patas"]) for r in rows],
         "Gorillas": [float(r["gorillas"]) for r in rows],
-        "zlib": [float(r["zlib"]) for r in rows],
+        ("Zstd" if gp == "zstd" else "zlib"):
+            [float(r[gp]) for r in rows],
     }
     x = range(len(names))
     fig, ax = plt.subplots(figsize=(16, 5))

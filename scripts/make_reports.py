@@ -34,29 +34,31 @@ def suite(columns, dtype, name):
             data = io.read_column(col, prefer_binary=True)
         except FileNotFoundError:
             continue
+        source = "full" if col.binary_path is not None else "sample"
         cc = container.compress(data)
         out = container.decompress(cc)
         ut = np.uint64 if data.dtype == np.float64 else np.uint32
         assert (out.view(ut) == data.view(ut)).all(), col.name
         comp = {n: fn(data) / data.size for n, fn in ALL_CODECS.items()}
         rows.append((i, col.name, cc.bits_per_value(), cc.n_rowgroups,
-                     cc.n_vectors, comp))
-        print(f"{col.name}: alp={cc.bits_per_value():.2f} "
+                     cc.n_vectors, source, comp))
+        print(f"{col.name} [{source}]: alp={cc.bits_per_value():.2f} "
               + " ".join(f"{n}={v:.2f}" for n, v in comp.items()),
               flush=True)
     with open(path, "w") as f:
-        # measured columns are sample-level unless the full corpus is
-        # mounted; the *_published columns carry the reference paper's
-        # full-data numbers (table_4.md) for codecs not in this image
-        # (real Zstd, Elf) and for ALP itself as the parity target
-        f.write("idx,column,alp_bits_per_value,rowgroups,vectors,"
+        # per-row `source` flags whether the measurement used the full
+        # corpus (binary mounted) or the shipped 1024-value sample; the
+        # *_published columns carry the reference paper's full-data
+        # numbers (table_4.md) for Elf (no code counterpart) and for
+        # Zstd/ALP as parity targets
+        f.write("idx,column,alp_bits_per_value,rowgroups,vectors,source,"
                 + ",".join(ALL_CODECS)
                 + ",zstd_published,elf_published,alp_published\n")
-        for i, nm, alp, nrg, nv, comp in rows:
+        for i, nm, alp, nrg, nv, source, comp in rows:
             pz, pe, pa = published(nm)
             pub = ",".join("" if x is None else f"{x:.2f}"
                            for x in (pz, pe, pa))
-            f.write(f"{i},{nm},{alp:.2f},{nrg},{nv},"
+            f.write(f"{i},{nm},{alp:.2f},{nrg},{nv},{source},"
                     + ",".join(f"{comp[n]:.2f}" for n in ALL_CODECS)
                     + f",{pub}\n")
     _write_metadata(path + ".metadata")

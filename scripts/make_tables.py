@@ -38,29 +38,40 @@ def table_4():
     rows = read_csv("compression_ratio_double.csv")
     if not rows:
         return
-    cols = ["gorillas", "chimp", "chimp128", "patas", "zlib"]
+    # measured codec columns (dynamic: "zstd" when libzstd was bound,
+    # "zlib" stand-in otherwise)
+    gp = "zstd" if "zstd" in rows[0] else "zlib"
+    cols = ["gorillas", "chimp", "chimp128", "patas", gp]
+    heads = ["Gor", "Ch", "Ch128", "Patas",
+             "Zstd" if gp == "zstd" else "zlib"]
     lines = [
         "# Table 4 analog — compression ratio, 30-double suite "
         "(bits/value)",
         "",
-        "Measured columns use the shipped 1024-value samples unless the "
-        "full corpus is mounted (`ALP_DATASET_DIR_PATH`); `*_pub` "
-        "columns are the reference paper's full-data results "
-        "(table_4.md) for codecs not available in this image.",
+        "Cells marked `*` were measured on the shipped 1024-value "
+        "sample, not the full corpus (mount `ALP_DATASET_DIR_PATH` for "
+        "full-data runs) — sample rows are NOT comparable to the "
+        "published full-data columns.  `*_pub` columns are the "
+        "reference paper's full-data results (table_4.md); Elf has no "
+        "code counterpart in this image, Zstd_pub/ALP_pub are parity "
+        "targets for the measured Zstd/ALP columns.",
         "",
-        "| Dataset | Gor | Ch | Ch128 | Patas | zlib | Zstd_pub | "
+        "| Dataset | " + " | ".join(heads) + " | Zstd_pub | "
         "Elf_pub | ALP (ours) | ALP_pub |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|" + "---|" * (len(cols) + 4),
     ]
     sums = {c: 0.0 for c in cols + ["alp", "zstd_p", "elf_p", "alp_p"]}
     n = 0
+    n_sample = 0
     for r in rows:
+        flag = "*" if r.get("source", "sample") == "sample" else ""
+        n_sample += bool(flag)
         lines.append(
             f"| {r['column']} | " +
-            " | ".join(r[c] for c in cols) +
+            " | ".join(r[c] + flag for c in cols) +
             f" | {r.get('zstd_published', '')} "
             f"| {r.get('elf_published', '')} "
-            f"| {r['alp_bits_per_value']} "
+            f"| {r['alp_bits_per_value']}{flag} "
             f"| {r.get('alp_published', '')} |")
         n += 1
         for c in cols:
@@ -72,11 +83,17 @@ def table_4():
             v = r.get(f_, "")
             sums[k] += float(v) if v else 0.0
     if n:
+        aflag = "*" if n_sample else ""
         lines.append(
             "| **AVG** | " +
-            " | ".join(f"{sums[c]/n:.2f}" for c in cols) +
+            " | ".join(f"{sums[c]/n:.2f}{aflag}" for c in cols) +
             f" | {sums['zstd_p']/n:.2f} | {sums['elf_p']/n:.2f} "
-            f"| {sums['alp']/n:.2f} | {sums['alp_p']/n:.2f} |")
+            f"| {sums['alp']/n:.2f}{aflag} | {sums['alp_p']/n:.2f} |")
+        if n_sample:
+            lines += ["",
+                      f"`*` = sample-level measurement ({n_sample}/{n} "
+                      "rows); the AVG over sample rows is a sample "
+                      "artifact, not a full-data result."]
     write_md("table_4.md", lines)
 
 
@@ -118,12 +135,16 @@ def table_7():
         if not rows:
             continue
         wrote_any = True
+        gp = "zstd" if "zstd" in rows[0] else "zlib"
         lines += [f"## {label}", "",
-                  "| Dataset | ALP (ours) | Ch128 | Patas | zlib |",
+                  f"| Dataset | ALP (ours) | Ch128 | Patas | {gp} |",
                   "|---|---|---|---|---|"]
         for r in rows:
-            lines.append(f"| {r['column']} | {r['alp_bits_per_value']} | "
-                         f"{r['chimp128']} | {r['patas']} | {r['zlib']} |")
+            flag = "*" if r.get("source", "sample") == "sample" else ""
+            lines.append(f"| {r['column']} | "
+                         f"{r['alp_bits_per_value']}{flag} | "
+                         f"{r['chimp128']}{flag} | {r['patas']}{flag} | "
+                         f"{r[gp]}{flag} |")
         lines.append("")
     if not wrote_any:
         lines.append("(no float suite results present; SP / "

@@ -133,3 +133,69 @@ def test_make_sum_step_runs():
     step, metas = engine.make_sum_step(plan)
     out = step(jnp.uint32(0), *metas)
     assert np.asarray(out).dtype == np.uint32
+
+
+def test_zero_sign_semantics():
+    """±0.0 compare equal in filters/aggregates (keys canonicalize
+    -0.0 to +0.0), matching IEEE compare semantics."""
+    data = np.array([-1.5, -0.0, 0.0, 2.5] * 256)
+    cc = container.compress(data)
+    # COUNT(*) WHERE 0.0 <= v: IEEE says -0.0 == 0.0, so both zeros count
+    assert engine.query_filter_count(cc, 0.0, 10.0) == 768
+    # bounds given as -0.0 behave identically
+    assert engine.query_filter_count(cc, -0.0, 10.0) == 768
+    assert engine.query_max(cc) == 2.5
+    assert engine.query_min(cc) == -1.5
+    # all-zero column: MIN/MAX return a zero (sign unspecified, == 0.0)
+    zeros = np.array([-0.0, 0.0] * 512)
+    cz = container.compress(zeros)
+    assert engine.query_min(cz) == 0.0
+    assert engine.query_max(cz) == 0.0
+
+
+def test_sum_exact_matches_fsum():
+    """query_sum is the correctly-rounded SUM: bit-identical to
+    math.fsum, including catastrophic-cancellation cases where naive
+    f64 accumulation loses everything."""
+    import math
+    col = [c for c in datasets.ALP_DATASET if c.name == "Food-prices"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    assert engine.query_sum(cc) == math.fsum(data)
+
+    # adversarial: huge + tiny + cancellation (all become exceptions)
+    adv = np.zeros(2048)
+    adv[0] = 1e300
+    adv[1] = -1e300
+    adv[2] = 1.0
+    adv[3] = 2.0 ** -1000
+    adv[4] = 1e16
+    adv[5] = 1.0
+    adv[6] = -1e16
+    cc = container.compress(adv)
+    got = engine.query_sum(cc)
+    expect = math.fsum(adv)
+    assert got == expect, (got, expect)
+
+    # subnormals
+    sub = np.full(1024, 5e-324)
+    cc = container.compress(sub)
+    assert engine.query_sum(cc) == math.fsum(sub)
+
+    # f32 column summed exactly as doubles
+    rng = np.random.default_rng(11)
+    f32 = (rng.standard_normal(3000) * 1e8).astype(np.float32)
+    cc = container.compress(f32)
+    assert engine.query_sum(cc) == math.fsum(f32.astype(np.float64))
+
+
+def test_sum_exact_specials():
+    inf = np.zeros(1024)
+    inf[7] = np.inf
+    assert engine.query_sum(container.compress(inf)) == np.inf
+    both = np.zeros(1024)
+    both[1], both[2] = np.inf, -np.inf
+    assert np.isnan(engine.query_sum(container.compress(both)))
+    nn = np.zeros(1024)
+    nn[3] = np.nan
+    assert np.isnan(engine.query_sum(container.compress(nn)))
