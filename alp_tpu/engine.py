@@ -182,46 +182,32 @@ def make_sum_step(plan):
     analog (bench_end_to_end q1.cpp:64-88)."""
     from .kernels import falp as kfalp
     groups = plan.groups
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts = [len(a) for a in arg_tuples]
 
     def step(carry, *metas):
         total = jnp.zeros((), jnp.float32)
         acc = carry
         i = 0
-        for g in groups:
-            if g.scheme == C.SCHEME_ALP_RD:
-                right, left = metas[i], metas[i + 1]
-                dicts = metas[i + 2:i + 10]
-                hi, lo = kfalp.rd_decode_dict_f64(
-                    right, left ^ carry, dicts, rbw=g.bw, lbw=g.meta[1])
-                i += 10
-            elif g.variant == "small":
-                tiles, base, fact, fsh, fsl, fb = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_small(
-                    tiles, base ^ carry, fact, fsh, fsl, fb, bw=g.bw)
-                i += 6
-            elif g.variant == "mid":
+        for g, n in zip(groups, counts):
+            args = list(metas[i:i + n])
+            i += n
+            # XOR the carry into the first metadata plane: a real data
+            # dependence between iterations, data-independent cost
+            args[1] = args[1] ^ carry
+            if g.scheme != C.SCHEME_ALP_RD and g.variant == "mid":
                 # fully fused decode + reduction: partial sums are the
                 # only kernel output (no decoded-plane traffic)
-                tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
+                tiles, base, c2, c1, c0, fb2 = args
                 part = kfalp.falp_decode_f64_mid_sum(
-                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw,
+                    tiles, base, c2, c1, c0, fb2, bw=g.bw,
                     c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                    cheap_msb=bool(g.flags & 4))
+                    cheap_msb=bool(g.flags & 4), nozero=bool(g.flags & 8))
                 total = total + part.sum()
                 acc = acc ^ jax.lax.bitcast_convert_type(
                     part[0, 0], jnp.uint32)
-                i += 6
                 continue
-            elif g.variant == "mid64":
-                tiles, blo, bhi, c1, c0, fb2 = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_mid64(
-                    tiles, blo ^ carry, bhi, c1, c0, fb2, bw=g.bw)
-                i += 6
-            else:
-                tiles, blo, bhi, flo, fhi, frlo, frhi = metas[i:i + 7]
-                hi, lo = kfalp.falp_decode_f64(
-                    tiles, blo ^ carry, bhi, flo, fhi, frlo, frhi, bw=g.bw)
-                i += 7
+            hi, lo = kdecode.group_decode(g, np.float64)(*args)
             u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
                 jnp.uint64)
             vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
@@ -229,12 +215,7 @@ def make_sum_step(plan):
             acc = acc ^ hi[0, 0, 0]
         return acc ^ total.view(jnp.uint32).astype(jnp.uint32)
 
-    metas = []
-    for g in groups:
-        if g.scheme == C.SCHEME_ALP_RD:
-            metas += [g.tiles, g.meta[0], *g.meta[2:10]]
-        else:
-            metas += [g.tiles, *g.meta]
+    metas = [a for args in arg_tuples for a in args]
     return step, tuple(metas)
 
 

@@ -69,36 +69,7 @@ class DecodePlan:
         """
         outs = []
         for g in self.groups:
-            if g.scheme == C.SCHEME_ALP_RD:
-                if self.dtype == np.float64:
-                    out = kfalp.rd_decode_dict_f64(
-                        g.tiles, g.meta[0], g.meta[2:10],
-                        rbw=g.bw, lbw=g.meta[1])
-                else:
-                    out = kfalp.rd_decode_dict_f32(
-                        g.tiles, g.meta[0], g.meta[2:10],
-                        rbw=g.bw, lbw=g.meta[1])
-            elif g.variant == "small":
-                base, fact, fsh, fsl, fb = g.meta
-                out = kfalp.falp_decode_f64_small(
-                    g.tiles, base, fact, fsh, fsl, fb, bw=g.bw)
-            elif g.variant == "mid":
-                base, c2, c1, c0, fb2 = g.meta
-                out = kfalp.falp_decode_f64_mid(
-                    g.tiles, base, c2, c1, c0, fb2, bw=g.bw,
-                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                    cheap_msb=bool(g.flags & 4))
-            elif g.variant == "mid64":
-                blo, bhi, c1, c0, fb2 = g.meta
-                out = kfalp.falp_decode_f64_mid64(
-                    g.tiles, blo, bhi, c1, c0, fb2, bw=g.bw)
-            elif self.dtype == np.float64:
-                blo, bhi, flo, fhi, frlo, frhi = g.meta
-                out = kfalp.falp_decode_f64(
-                    g.tiles, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw)
-            else:
-                b, fa, fr = g.meta
-                out = kfalp.falp_decode_f32(g.tiles, b, fa, fr, bw=g.bw)
+            out = group_decode(g, self.dtype)(*group_arrays(g))
             if patch and g.exc_g is not None and g.exc_g.shape[0]:
                 idx = (g.exc_g, g.exc_slot, g.exc_lane)
                 if self.dtype == np.float64:
@@ -108,6 +79,58 @@ class DecodePlan:
                     out = out.at[idx].set(g.exc_lo)
             outs.append(out)
         return outs
+
+
+def group_arrays(g) -> tuple:
+    """Canonical device-array argument tuple for a group's decode kernel
+    (tiles first when the variant consumes packed tiles, then the array
+    metadata planes).  Single source of truth for DecodePlan.run, the
+    mesh decode path, and the benches."""
+    if g.scheme == C.SCHEME_ALP_RD:
+        return (g.tiles, g.meta[0]) + tuple(g.meta[2:10])
+    if g.variant == "const":
+        return tuple(g.meta)
+    return (g.tiles,) + tuple(g.meta)
+
+
+def group_decode(g, dtype):
+    """Kernel dispatch for a group: returns a callable over
+    ``group_arrays(g)`` producing (hi, lo) planes for f64 / one plane
+    for f32.  Closes over only static configuration (safe to use inside
+    jit/shard_map).  Mirrors the reference's per-bit-width kernel
+    dispatch switch (src/falp.cpp), hoisted out of the hot path."""
+    bw, fl, variant = g.bw, g.flags, g.variant
+    if g.scheme == C.SCHEME_ALP_RD:
+        lbw = g.meta[1]
+        if np.dtype(dtype) == np.float64:
+            return lambda t, l, *d: kfalp.rd_decode_dict_f64(
+                t, l, d, rbw=bw, lbw=lbw)
+        return lambda t, l, *d: kfalp.rd_decode_dict_f32(
+            t, l, d, rbw=bw, lbw=lbw)
+    if variant == "const":
+        return kfalp.falp_decode_f64_const
+    if variant == "small":
+        return lambda t, b, fa, fsh, fsl, fb: kfalp.falp_decode_f64_small(
+            t, b, fa, fsh, fsl, fb, bw=bw)
+    if variant == "mid":
+        return lambda t, b, c2, c1, c0, fb2: kfalp.falp_decode_f64_mid(
+            t, b, c2, c1, c0, fb2, bw=bw, c0zero=bool(fl & 1),
+            nonneg=bool(fl & 2), cheap_msb=bool(fl & 4),
+            nozero=bool(fl & 8))
+    if variant == "mid64":
+        return lambda t, bl, bh, c1, c0, fb2: kfalp.falp_decode_f64_mid64(
+            t, bl, bh, c1, c0, fb2, bw=bw, nonneg=bool(fl & 2),
+            nozero=bool(fl & 8))
+    if variant == "midc96":
+        return (lambda t, bl, bh, c2, c1, c0, fb2:
+                kfalp.falp_decode_f64_midc96(
+                    t, bl, bh, c2, c1, c0, fb2, bw=bw,
+                    nonneg=bool(fl & 2), nozero=bool(fl & 8)))
+    if np.dtype(dtype) == np.float64:
+        return (lambda t, bl, bh, flo, fhi, frl, frh:
+                kfalp.falp_decode_f64(t, bl, bh, flo, fhi, frl, frh,
+                                      bw=bw, fact1=bool(fl & 16)))
+    return lambda t, b, fa, fr: kfalp.falp_decode_f32(t, b, fa, fr, bw=bw)
 
 
 def _stage_rd_exceptions(grp, col, sel, packed, rbw: int, eb: int):
@@ -216,20 +239,24 @@ def build_plan(col) -> DecodePlan:
 
         mid_v, small_v = eligible(maxn)
 
-        # mid64: bit widths beyond int32 whose odd part still fits 2^53
-        # AND whose constant 5^fac * fsig fits 64 bits (fac <= 4-ish)
-        fit64_cache = {}
+        # mid64 / midc96: bit widths beyond int32 whose odd part still
+        # fits 2^53; mid64 when the constant 5^fac * fsig fits 64 bits
+        # (fac <= 4), midc96 when it needs 65..80 bits (fac 5..9 — the
+        # 80-bit cap keeps c0's low 16 bits zero, the i64c96_to_f64
+        # contract; fac <= 11 in practice, but the odd-part bound
+        # excludes bw > 32 there anyway)
+        cbits_cache = {}
 
-        def c_fits64(fac, exp):
+        def c_bitlen(fac, exp):
             key = (int(fac), int(exp))
-            if key not in fit64_cache:
+            if key not in cbits_cache:
                 frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
                 fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
-                fit64_cache[key] = ((5 ** int(fac)) * fsig).bit_length() <= 64
-            return fit64_cache[key]
+                cbits_cache[key] = ((5 ** int(fac)) * fsig).bit_length()
+            return cbits_cache[key]
 
-        fits64_v = np.array([c_fits64(col.fac[v], col.exp[v])
-                             for v in alp_idx], bool)
+        cbits_v = np.array([c_bitlen(col.fac[v], col.exp[v])
+                            for v in alp_idx], np.int64)
         cand64 = ((bws_v > 32) & (bws_v <= 52)
                   & (base_v > -(2**53)) & (base_v < 2**53))
         span64 = np.where(cand64, (np.int64(1)
@@ -239,10 +266,12 @@ def build_plan(col) -> DecodePlan:
             np.maximum(np.abs(base_v), np.abs(n_hi64)), 1)
 
         def eligible64(mx):
-            return (cand64 & fits64_v & (five_v <= (2**53 - 1) // mx)
-                    & (fact_v <= (2**63 - 1) // mx))
+            wide_ok = (cand64 & (five_v <= (2**53 - 1) // mx)
+                       & (fact_v <= (2**63 - 1) // mx))
+            return wide_ok & (cbits_v <= 64), wide_ok & (cbits_v > 64) & (
+                cbits_v <= 80)
 
-        mid64_v = eligible64(maxn64)
+        mid64_v, c96_v = eligible64(maxn64)
         # Bound refinement: bw only gives max(n) <= base + 2^bw - 1, but
         # the true max can be half that (bw covers [2^(bw-1), 2^bw)).
         # Where the conservative bound fails but the best-case bound
@@ -258,9 +287,9 @@ def build_plan(col) -> DecodePlan:
         lo_hi64 = np.where(cand64, base_v + (span64 >> 1), n_hi64)
         maxn64_best = np.maximum(
             np.maximum(np.abs(base_v), np.abs(lo_hi64)), 1)
-        mid64_best = eligible64(maxn64_best)
-        border = np.nonzero((mid_best | small_best | mid64_best)
-                            & ~(mid_v | small_v | mid64_v))[0]
+        mid64_best, c96_best = eligible64(maxn64_best)
+        border = np.nonzero((mid_best | small_best | mid64_best | c96_best)
+                            & ~(mid_v | small_v | mid64_v | c96_v))[0]
         if border.size:
             true_max = _true_max_encoded(col, alp_idx[border],
                                          bws_v[border], base_v[border])
@@ -272,10 +301,23 @@ def build_plan(col) -> DecodePlan:
             maxn = mx
             mx64 = maxn64.copy()
             mx64[border] = tm
-            mid64_v = eligible64(mx64)
+            mid64_v, c96_v = eligible64(mx64)
+        var_v[c96_v] = "midc96"
         var_v[mid64_v] = "mid64"
         var_v[mid_v] = "mid"
         var_v[small_v] = "small"
+        # bw == 0: every slot decodes to the per-vector constant — route
+        # to the broadcast kernel regardless of other eligibility
+        var_v[bws_v == 0] = "const"
+        # static work-pruning flags for the wide variants: FOR bounds
+        # prove the whole bucket's n-sign structure (n = base + u, u >= 0)
+        wide = mid64_v | c96_v
+        flags_v[wide & (base_v >= 0)] |= 2            # nonneg
+        flags_v[wide & (base_v > 0)] |= 8             # nozero
+        # generic buckets where every vector has fac == 0 skip the FACT
+        # multiply (FACT = 1)
+        gen_sel = var_v == "gen"
+        flags_v[gen_sel & (col.fac[alp_idx] == 0)] |= 16
         # static work-pruning flags, uniform per bucket (mid kernel)
         c0z_cache = {}
 
@@ -289,7 +331,7 @@ def build_plan(col) -> DecodePlan:
                 c0z_cache[key] = (cc & 0xFFFFFFFF) == 0
             return c0z_cache[key]
 
-        mi = np.nonzero(mid_v)[0]
+        mi = np.nonzero(var_v == "mid")[0]
         for j in mi:
             f = 1 if c0_is_zero(col.fac[alp_idx[j]],
                                 col.exp[alp_idx[j]]) else 0
@@ -297,6 +339,8 @@ def build_plan(col) -> DecodePlan:
                 f |= 2
             if maxn[j] < 2**24:
                 f |= 4
+            if base_v[j] > 0:
+                f |= 8
             flags_v[j] = f
 
     for bw, vr, fl in sorted({(int(b), str(v), int(f))
@@ -314,7 +358,44 @@ def build_plan(col) -> DecodePlan:
             full[:n] = per_vec
             return jnp.asarray(layout.lane_expand(full, eb))
 
-        if col.dtype == np.float64 and vr == "small":
+        if col.dtype == np.float64 and vr == "const":
+            # exact host decode of the per-vector constant: both
+            # roundings (int64 -> double convert, FRAC multiply) are
+            # native f64 ops here, bit-identical to the device generic
+            # path on bw-0 vectors (reference src/falp.cpp bw-0 kernels)
+            with np.errstate(over="ignore"):
+                bf = (col.base[sel].astype(np.int64)
+                      * tc.fact_arr[col.fac[sel]])
+            vals = bf.astype(np.float64) * tc.frac_arr[col.exp[sel]]
+            bits = vals.view(np.uint64)
+            meta = (expand((bits >> np.uint64(32)).astype(np.uint32)),
+                    expand((bits & np.uint64(0xFFFFFFFF)).astype(
+                        np.uint32)))
+        elif col.dtype == np.float64 and vr == "midc96":
+            base_u = col.base[sel].astype(np.int64).view(np.uint64)
+            blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            bhi = (base_u >> np.uint64(32)).astype(np.uint32)
+            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
+            f_biased = ((frac_u >> np.uint64(52))
+                        & np.uint64(0x7FF)).astype(np.int64)
+            fsig = ((frac_u & np.uint64((1 << 52) - 1))
+                    | np.uint64(1 << 52)).astype(np.int64)
+            facs = col.fac[sel].astype(np.int64)
+            c2 = np.empty(len(sel), np.uint32)
+            c1 = np.empty(len(sel), np.uint32)
+            c0 = np.empty(len(sel), np.uint32)
+            fb2 = np.empty(len(sel), np.uint32)
+            for r in range(len(sel)):
+                cc = (5 ** int(facs[r])) * int(fsig[r])
+                s_c = 95 - (cc.bit_length() - 1)
+                cc <<= s_c
+                assert cc & 0xFFFF == 0, "i64c96 c0 contract"
+                c0[r] = cc & 0xFFFFFFFF
+                c1[r] = (cc >> 32) & 0xFFFFFFFF
+                c2[r] = cc >> 64
+                fb2[r] = int(f_biased[r]) + 106 + int(facs[r]) - s_c
+            meta = tuple(expand(x) for x in (blo, bhi, c2, c1, c0, fb2))
+        elif col.dtype == np.float64 and vr == "small":
             base32 = col.base[sel].astype(np.int64).astype(
                 np.int32).view(np.uint32)
             fives = np.power(np.int64(5), col.fac[sel].astype(np.int64))

@@ -95,7 +95,8 @@ def _unpack_all(packed_ref, bw: int, slots: int, lpb: int) -> U64:
 
 
 def _falp_f64_kernel(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
-                     frac_lo, frac_hi, out_hi, out_lo, *, bw: int):
+                     frac_lo, frac_hi, out_hi, out_lo, *, bw: int,
+                     fact1: bool):
     # One softfloat graph over [gb, 64, 128]: unpack is 64 small static-shift
     # expressions; the FACT multiply / i64->f64 / FRAC multiply are single
     # whole-block vector ops (VPU-shaped, fast to trace and compile).
@@ -118,7 +119,10 @@ def _falp_f64_kernel(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
                 jnp.broadcast_to(basefact.lo, shape))
     else:
         u = _unpack_all(packed_ref, bw, 64, 2)
-        if bw <= 32:
+        if fact1:
+            # FACT = 10^0 = 1 for the whole bucket: m = u + base directly
+            prod = u
+        elif bw <= 32:
             p = sf.umul32_wide(u.lo, fact.lo)
             prod = U64(p.hi + u.lo * fact.hi, p.lo)
         else:
@@ -129,14 +133,16 @@ def _falp_f64_kernel(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
     out_lo[:] = r.lo
 
 
-@functools.partial(jax.jit, static_argnames=("bw",))
+@functools.partial(jax.jit, static_argnames=("bw", "fact1"))
 def falp_decode_f64(packed, bf_lo, bf_hi, fact_lo, fact_hi,
-                    frac_lo, frac_hi, *, bw: int):
+                    frac_lo, frac_hi, *, bw: int, fact1: bool = False):
     """Fused unFFOR + *FACT + i64->f64 + *FRAC on [G, 2*bw, 128] tiles.
 
     ``bf`` planes carry the per-vector constant ``base * FACT[fac]``
     (wrapping int64 product, precomputed at plan build) — the FOR base
-    folds into the decode multiply by distributivity.
+    folds into the decode multiply by distributivity.  ``fact1`` is a
+    static bucket flag: every vector has fac == 0 (FACT = 1), so the
+    64-bit FACT multiply is skipped entirely.
 
     Returns (hi, lo) u32 planes of f64 bit patterns, [G, 64, 128] each, in
     tile value order.  Exceptions are patched by the caller (scatter), as
@@ -154,7 +160,7 @@ def falp_decode_f64(packed, bf_lo, bf_hi, fact_lo, fact_hi,
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_falp_f64_kernel, bw=bw),
+        functools.partial(_falp_f64_kernel, bw=bw, fact1=fact1),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128), lambda i: (i, i * 0, i * 0),
                                memory_space=pltpu.VMEM)] + [meta_spec] * 6,
@@ -189,7 +195,7 @@ def _falp_f64_small_kernel(packed_ref, base, fact, fsig_hi, fsig_lo,
 
 def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
                          out_hi, out_lo, *, bw: int, c0zero: bool,
-                         nonneg: bool, cheap_msb: bool):
+                         nonneg: bool, cheap_msb: bool, nozero: bool):
     # Mid-magnitude fast path: |n| <= 2^31 and |n * 5^fac| < 2^53, so
     # double(m) is exact and one 32x96 product with a single rounding
     # replaces the generic convert-then-multiply softfloat pipeline.
@@ -200,16 +206,18 @@ def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
         n = _unpack_all(packed_ref, bw, 64, 2).lo + b
     r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
                          c0[:][:, None, :], fb2[:][:, None, :],
-                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb)
+                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
+                         nozero=nozero)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
-                                             "cheap_msb", "block_groups"))
+                                             "cheap_msb", "nozero",
+                                             "block_groups"))
 def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
                         c0zero: bool = False, nonneg: bool = False,
-                        cheap_msb: bool = False,
+                        cheap_msb: bool = False, nozero: bool = False,
                         block_groups: int | None = None):
     """Fused falp decode, mid-magnitude variant (bw <= 32, odd part of
     m = n * FACT below 2^53: double(m) exact, single rounding).
@@ -220,7 +228,8 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
     exponent term).  Static bucket flags prune work the plan proved
     impossible: ``c0zero`` (low constant limb zero for every vector —
     fac <= 4), ``nonneg`` (no negative encodings), ``cheap_msb``
-    (|n| < 2^24).  See softfloat.i32c96_to_f64.
+    (|n| < 2^24), ``nozero`` (no zero encodings — FOR base > 0).
+    See softfloat.i32c96_to_f64.
     """
     G = packed.shape[0]
     gb = min(block_groups or _BLOCK_GROUPS, max(G, 1))
@@ -234,7 +243,8 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_mid_kernel, bw=bw, c0zero=c0zero,
-                          nonneg=nonneg, cheap_msb=cheap_msb),
+                          nonneg=nonneg, cheap_msb=cheap_msb,
+                          nozero=nozero),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -252,7 +262,8 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
 
 
 def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
-                           out_hi, out_lo, *, bw: int):
+                           out_hi, out_lo, *, bw: int, nonneg: bool,
+                           nozero: bool):
     # mid64 fast path (bw 33..52): |n * 5^fac| < 2^53 and the constant
     # 5^fac * fsig fits 64 bits, so double(m) is exact and one 64x64
     # product with a single rounding replaces the generic pipeline.
@@ -264,20 +275,23 @@ def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
     else:
         n = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
     r = sf.i64c64_to_f64(n, c1[:][:, None, :], c0[:][:, None, :],
-                         fb2[:][:, None, :])
+                         fb2[:][:, None, :], nonneg=nonneg, nozero=nozero)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
-@functools.partial(jax.jit, static_argnames=("bw",))
+@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero"))
 def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
-                          bw: int):
+                          bw: int, nonneg: bool = False,
+                          nozero: bool = False):
     """Fused falp decode, mid64 variant (bit widths beyond int32 whose
     odd part still fits 2^53 with a 64-bit plan-time constant).
 
     Metadata planes: ``base_lo``/``base_hi`` (int64 FOR base limbs),
     ``c1``/``c0`` (5^fac * fsig top-aligned to bit 63), ``fb2``
-    (combined biased exponent term).  See softfloat.i64c64_to_f64.
+    (combined biased exponent term).  Static bucket flags: ``nonneg``
+    (FOR base >= 0, so no encoding is negative), ``nozero`` (base > 0).
+    See softfloat.i64c64_to_f64.
     """
     G = packed.shape[0]
     gb = min(_BLOCK_GROUPS, max(G, 1))
@@ -290,7 +304,8 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_falp_f64_mid64_kernel, bw=bw),
+        functools.partial(_falp_f64_mid64_kernel, bw=bw, nonneg=nonneg,
+                          nozero=nozero),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -301,6 +316,109 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
         interpret=_interpret(),
     )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       base_lo, base_hi, c1, c0, fb2)
+    return out[0][:G], out[1][:G]
+
+
+def _falp_f64_midc96_kernel(packed_ref, base_lo, base_hi, c2, c1, c0,
+                            fb2, out_hi, out_lo, *, bw: int, nonneg: bool,
+                            nozero: bool):
+    # mid64c96 fast path: like mid64 but the plan-time constant
+    # 5^fac * fsig needs 65..96 bits (fac 5..9), so the single-rounding
+    # product is 64x96 (softfloat.i64c96_to_f64).
+    base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+    if bw == 0:
+        shape = out_hi.shape
+        n = U64(jnp.broadcast_to(base.hi, shape),
+                jnp.broadcast_to(base.lo, shape))
+    else:
+        n = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
+    r = sf.i64c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
+                         c0[:][:, None, :], fb2[:][:, None, :],
+                         nonneg=nonneg, nozero=nozero)
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero"))
+def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
+                           bw: int, nonneg: bool = False,
+                           nozero: bool = False):
+    """Fused falp decode, mid64c96 variant: bit widths beyond int32 whose
+    odd part fits 2^53 but whose constant 5^fac * fsig needs more than
+    64 bits (fac 5..9 — e.g. CMS/1 at fac 5 / bw 41, Medicare/1 at
+    fac 5 / bw 38; reference src/falp.cpp high-bw kernels).
+
+    Metadata planes: int64 base limbs, ``c2``/``c1``/``c0`` (the 96-bit
+    constant top-aligned to bit 95; c0's low 16 bits provably zero) and
+    ``fb2`` = f_biased + 106 + fac - shiftC.  See softfloat.i64c96_to_f64.
+    """
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        packed, base_lo, base_hi, c2, c1, c0, fb2 = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, base_lo, base_hi, c2, c1, c0, fb2))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_midc96_kernel, bw=bw, nonneg=nonneg,
+                          nozero=nozero),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 6,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base_lo, base_hi, c2, c1, c0, fb2)
+    return out[0][:G], out[1][:G]
+
+
+def _falp_f64_const_kernel(hi_plane, lo_plane, out_hi, out_lo):
+    out_hi[:] = jnp.broadcast_to(hi_plane[:][:, None, :], out_hi.shape)
+    out_lo[:] = jnp.broadcast_to(lo_plane[:][:, None, :], out_lo.shape)
+
+
+@jax.jit
+def falp_decode_f64_const(hi_plane, lo_plane):
+    """Fused falp decode, constant variant (bw == 0): every slot of a
+    vector decodes to the same double ``RN(RN(double(base * FACT))
+    * FRAC)``, which the plan builder computes exactly on the host
+    (both roundings are native f64 ops there), so the kernel is a pure
+    broadcast write — output-bandwidth-bound instead of softfloat-bound
+    (the reference runs its full per-value decode even at bw 0,
+    src/falp.cpp bw-0 kernels).
+
+    ``hi_plane``/``lo_plane``: [G, 128] lane-expanded f64 bit limbs of
+    the per-vector constant.  Returns [G, 64, 128] (hi, lo) planes.
+    """
+    G = hi_plane.shape[0]
+    gb = min(2 * _BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        hi_plane, lo_plane = (jnp.pad(a, ((0, pad), (0, 0)))
+                              for a in (hi_plane, lo_plane))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _falp_f64_const_kernel,
+        grid=(Gp // gb,),
+        in_specs=[meta_spec, meta_spec],
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(hi_plane, lo_plane)
     return out[0][:G], out[1][:G]
 
 
@@ -317,7 +435,7 @@ def _f64_bits_to_f32(hi, lo):
 
 def _falp_f64_mid_sum_kernel(packed_ref, base, c2, c1, c0, fb2, out_sum,
                              *, bw: int, c0zero: bool, nonneg: bool,
-                             cheap_msb: bool):
+                             cheap_msb: bool, nozero: bool):
     # fused decode + per-lane partial SUM: the 8-byte/value output
     # planes never leave the kernel (the reference's q1 fuses decode
     # into the aggregation the same way); output is [gb, 128] f32.
@@ -328,16 +446,17 @@ def _falp_f64_mid_sum_kernel(packed_ref, base, c2, c1, c0, fb2, out_sum,
         n = _unpack_all(packed_ref, bw, 64, 2).lo + b
     r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
                          c0[:][:, None, :], fb2[:][:, None, :],
-                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb)
+                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
+                         nozero=nozero)
     vals = _f64_bits_to_f32(r.hi, r.lo)
     out_sum[:] = vals.sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
-                                             "cheap_msb"))
+                                             "cheap_msb", "nozero"))
 def falp_decode_f64_mid_sum(packed, base, c2, c1, c0, fb2, *, bw: int,
                             c0zero: bool = False, nonneg: bool = False,
-                            cheap_msb: bool = False):
+                            cheap_msb: bool = False, nozero: bool = False):
     """Fused mid-variant decode + SUM: one [G, 128] f32 partial-sum
     plane out (per tile lane), no decoded-plane writes.  This is the
     SUM-query throughput shape; exact aggregates use engine.query_sum
@@ -354,7 +473,8 @@ def falp_decode_f64_mid_sum(packed, base, c2, c1, c0, fb2, *, bw: int,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_mid_sum_kernel, bw=bw, c0zero=c0zero,
-                          nonneg=nonneg, cheap_msb=cheap_msb),
+                          nonneg=nonneg, cheap_msb=cheap_msb,
+                          nozero=nozero),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),

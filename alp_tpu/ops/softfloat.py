@@ -613,7 +613,7 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
 def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
                   c0: jnp.ndarray, fb2: jnp.ndarray, *,
                   c0zero: bool = False, nonneg: bool = False,
-                  cheap_msb: bool = False) -> U64:
+                  cheap_msb: bool = False, nozero: bool = False) -> U64:
     """``RN(n * C * 2^E)`` for int32 ``n`` and a per-vector positive
     constant ``C'`` top-aligned into [2^95, 2^96) as three u32 limbs.
 
@@ -628,6 +628,7 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
 
     Exact on the domain |n| <= 2^31, |n * 5^f| < 2^53 (plan-build
     bounds check); ~2/3 the work of :func:`i64_to_f64_times_normal`.
+    ``nozero`` additionally skips the n == 0 select (FOR base > 0).
     """
     if nonneg:
         sign = jnp.zeros_like(n)
@@ -684,6 +685,8 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
         cb = cb | (x2 < ca).astype(_U32)
     x3 = p2.hi + cb
     packed = _p126_round_pack(x3, x2, x1, x0, fb2, k, sign)
+    if nozero:
+        return packed
     zero = mag == 0
     return U64(jnp.where(zero, _u32(0), packed.hi),
                jnp.where(zero, _u32(0), packed.lo))
@@ -710,7 +713,8 @@ def _p126_round_pack(x3, x2, x1, x0, fb2, k, sign) -> U64:
 
 
 def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
-                  fb2: jnp.ndarray) -> U64:
+                  fb2: jnp.ndarray, *, nonneg: bool = False,
+                  nozero: bool = False) -> U64:
     """``RN(int64(n) * C * 2^E)`` for |n| < 2^53 beyond int32 range and a
     per-vector constant ``C' = 5^fac * fsig(FRAC)`` that fits 64 bits
     (fac <= 4), top-aligned into [2^63, 2^64) as limbs (c1, c0).
@@ -719,13 +723,19 @@ def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
     exact because the odd part |n * 5^fac| < 2^53, so one 64x64 product
     with a single rounding replaces the generic two-rounding pipeline.
     ``fb2`` carries ``f_biased + 74 + fac - shiftC`` (same form as
-    :func:`i32c96_to_f64`).
+    :func:`i32c96_to_f64`).  Static flags prune work the caller proved
+    impossible for the whole block: ``nonneg`` (no negative n — FOR base
+    >= 0), ``nozero`` (no zero n — FOR base > 0).
     """
-    smask = (n.hi.astype(_I32) >> 31).astype(_U32)
-    sign = smask & _u32(1)
-    negd = neg64(n)
-    mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
-              jnp.where(smask != 0, negd.lo, n.lo))
+    if nonneg:
+        sign = jnp.zeros_like(n.hi)
+        mag = n
+    else:
+        smask = (n.hi.astype(_I32) >> 31).astype(_U32)
+        sign = smask & _u32(1)
+        negd = neg64(n)
+        mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
+                  jnp.where(smask != 0, negd.lo, n.lo))
     # normalize |n| into [2^63, 2^64): two-case shift via fast msb
     hi_z = mag.hi == 0
     msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)),
@@ -773,6 +783,108 @@ def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
     c2_ = c2_ + (x2 < s2b).astype(_U32)
     x3 = p11.hi + c2_
     packed = _p126_round_pack(x3, x2, x1, x0, fb2, k64, sign)
+    if nozero:
+        return packed
+    zero = is_zero64(mag)
+    return U64(jnp.where(zero, _u32(0), packed.hi),
+               jnp.where(zero, _u32(0), packed.lo))
+
+
+def i64c96_to_f64(n: U64, c2: jnp.ndarray, c1: jnp.ndarray,
+                  c0: jnp.ndarray, fb2: jnp.ndarray, *,
+                  nonneg: bool = False, nozero: bool = False) -> U64:
+    """``RN(int64(n) * C * 2^E)`` for |n| < 2^53 beyond int32 range and a
+    per-vector constant ``C' = 5^fac * fsig(FRAC)`` wider than 64 bits
+    (fac 5..9), top-aligned into [2^95, 2^96) as limbs (c2, c1, c0).
+
+    Covers the falp fast-path gap between mid64 (C fits 64 bits) and the
+    generic two-rounding pipeline: e.g. CMS/1 (fac 5, bw 41) and
+    Medicare/1 (fac 5, bw 38).  double(m) is exact because the odd part
+    |n * 5^fac| < 2^53, so one 64x96 product with a single rounding is
+    the correctly rounded result.  ``fb2`` carries
+    ``f_biased + 106 + fac - shiftC``.
+
+    CONTRACT: c0's low 16 bits must be zero for every element (true for
+    fac <= 11: shiftC = 95 - bitlen(C) + 1 >= 16); the two c0 partial
+    products use a halved schoolbook multiply that relies on it.
+    """
+    if nonneg:
+        sign = jnp.zeros_like(n.hi)
+        mag = n
+    else:
+        smask = (n.hi.astype(_I32) >> 31).astype(_U32)
+        sign = smask & _u32(1)
+        negd = neg64(n)
+        mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
+                  jnp.where(smask != 0, negd.lo, n.lo))
+    # normalize |n| into [2^63, 2^64): two-case shift via fast msb
+    hi_z = mag.hi == 0
+    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)),
+                       _msb32(mag.hi | _u32(1)))
+    k = (_I32(31) - msb_in).astype(_U32)
+    kc = _u32(32) - k
+    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
+    top_a = jnp.where(k == 0, mag.hi, top_a)
+    M = U64(jnp.where(hi_z, mag.lo << k, top_a),
+            jnp.where(hi_z, jnp.zeros_like(mag.lo), mag.lo << k))
+    k64 = jnp.where(hi_z, k + _u32(32), k)
+    # exact 64x96 product p = M * C' in [2^158, 2^160), five u32 limbs
+    al = M.lo & _u32(0xFFFF)
+    ah = M.lo >> 16
+    bl = M.hi & _u32(0xFFFF)
+    bh = M.hi >> 16
+
+    def mul_c(a_lo16, a_hi16, c):
+        cl = c & _u32(0xFFFF)
+        ch = c >> 16
+        ll = a_lo16 * cl
+        lh = a_lo16 * ch
+        hl = a_hi16 * cl
+        hh = a_hi16 * ch
+        mid = lh + hl
+        midc = (mid < lh).astype(_U32)
+        lo = ll + (mid << 16)
+        loc = (lo < ll).astype(_U32)
+        return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
+
+    def mul_c_h(a_lo16, a_hi16, c):
+        # c's low 16 bits are zero (contract): two muls, no carries
+        ch = c >> 16
+        lh = a_lo16 * ch
+        hh = a_hi16 * ch
+        return U64(hh + (lh >> 16), lh << 16)
+
+    p00 = mul_c_h(al, ah, c0)        # M.lo * c0
+    p01 = mul_c(al, ah, c1)          # M.lo * c1
+    p02 = mul_c(al, ah, c2)          # M.lo * c2
+    p10 = mul_c_h(bl, bh, c0)        # M.hi * c0
+    p11 = mul_c(bl, bh, c1)          # M.hi * c1
+    p12 = mul_c(bl, bh, c2)          # M.hi * c2
+    y0 = p00.lo
+    s1 = p00.hi + p01.lo
+    c1a = (s1 < p01.lo).astype(_U32)
+    y1 = s1 + p10.lo
+    carry1 = c1a + (y1 < s1).astype(_U32)
+    s2 = p01.hi + p02.lo
+    c2a = (s2 < p02.lo).astype(_U32)
+    s2b = s2 + p10.hi
+    c2b = c2a + (s2b < s2).astype(_U32)
+    s2c = s2b + p11.lo
+    c2c = c2b + (s2c < s2b).astype(_U32)
+    y2 = s2c + carry1
+    carry2 = c2c + (y2 < s2c).astype(_U32)
+    s3 = p02.hi + p11.hi
+    c3a = (s3 < p11.hi).astype(_U32)
+    s3b = s3 + p12.lo
+    c3b = c3a + (s3b < s3).astype(_U32)
+    y3 = s3b + carry2
+    carry3 = c3b + (y3 < s3b).astype(_U32)
+    y4 = p12.hi + carry3
+    # round/pack: window+guard live in (y4, y3); y2/y1/y0 are pure
+    # sticky, so fold them into _p126_round_pack's sticky-only slots
+    packed = _p126_round_pack(y4, y3, y2 | y1, y0, fb2, k64, sign)
+    if nozero:
+        return packed
     zero = is_zero64(mag)
     return U64(jnp.where(zero, _u32(0), packed.hi),
                jnp.where(zero, _u32(0), packed.lo))

@@ -163,7 +163,6 @@ def decompress_sharded(col, mesh: Mesh) -> np.ndarray:
     mesh (SPMD Pallas launches, no data-path collectives), exceptions
     patched on the gathered planes; bit-exact vs container.decompress."""
     from ..kernels import decode as kdecode
-    from ..kernels import falp as kfalp
     from ..kernels import layout
     from jax.experimental.shard_map import shard_map
 
@@ -185,42 +184,8 @@ def decompress_sharded(col, mesh: Mesh) -> np.ndarray:
                 a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
             return jax.device_put(a, NamedSharding(mesh, P("rg")))
 
-        if g.scheme == C.SCHEME_ALP_RD:
-            args = (padded(g.tiles), padded(g.meta[0]),
-                    *[padded(d) for d in g.meta[2:10]])
-            lbw = g.meta[1]
-
-            def local(t, l, *dicts, rbw=g.bw, lbw=lbw):
-                return kfalp.rd_decode_dict_f64(t, l, dicts, rbw=rbw,
-                                                lbw=lbw)
-        elif g.variant == "small":
-            args = tuple(padded(a) for a in (g.tiles,) + g.meta)
-
-            def local(t, base, fact, fsh, fsl, fb, bw=g.bw):
-                return kfalp.falp_decode_f64_small(t, base, fact, fsh,
-                                                   fsl, fb, bw=bw)
-        elif g.variant == "mid":
-            args = tuple(padded(a) for a in (g.tiles,) + g.meta)
-            fl = g.flags
-
-            def local(t, base, c2, c1, c0, fb2, bw=g.bw, fl=fl):
-                return kfalp.falp_decode_f64_mid(
-                    t, base, c2, c1, c0, fb2, bw=bw,
-                    c0zero=bool(fl & 1), nonneg=bool(fl & 2),
-                    cheap_msb=bool(fl & 4))
-        elif g.variant == "mid64":
-            args = tuple(padded(a) for a in (g.tiles,) + g.meta)
-
-            def local(t, blo, bhi, c1, c0, fb2, bw=g.bw):
-                return kfalp.falp_decode_f64_mid64(t, blo, bhi, c1, c0,
-                                                   fb2, bw=bw)
-        else:
-            args = tuple(padded(a) for a in (g.tiles,) + g.meta)
-
-            def local(t, blo, bhi, flo, fhi, frlo, frhi, bw=g.bw):
-                return kfalp.falp_decode_f64(t, blo, bhi, flo, fhi,
-                                             frlo, frhi, bw=bw)
-
+        args = tuple(padded(a) for a in kdecode.group_arrays(g))
+        local = kdecode.group_decode(g, np.float64)
         nargs = len(args)
         fn = jax.jit(shard_map(
             local, mesh=mesh, in_specs=(P("rg"),) * nargs,

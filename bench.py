@@ -68,58 +68,28 @@ def bench_dataset(path):
     # One fused launch per bucket inside the timed loop; carry perturbs
     # the first metadata plane to enforce the data dependence.
     groups = plan.groups
-
-    from alp_tpu import constants as C
-    from alp_tpu.kernels import falp as kfalp
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts = [len(a) for a in arg_tuples]
 
     def step(carry, *metas):
         # ``carry`` XORs into one metadata plane per bucket: a real data
         # dependence between iterations (prevents dispatch elision); the
         # decode cost is data-independent, so timing is unaffected.
-        # Dispatch mirrors DecodePlan.run (kernels/decode.py): buckets
-        # route to the small/mid single-rounding kernels when the plan's
-        # FFOR bounds proved the domain, generic softfloat otherwise.
+        # Dispatch IS DecodePlan.run's (kernels/decode.py group_decode):
+        # buckets route to the const/small/mid/mid64/midc96 fast kernels
+        # when the plan's FFOR bounds proved the domain, generic
+        # softfloat otherwise.
         acc = carry
         i = 0
-        for g in groups:
-            if g.scheme == C.SCHEME_ALP_RD:
-                right, left = metas[i], metas[i + 1]
-                dicts = metas[i + 2:i + 10]
-                hi, lo = kfalp.rd_decode_dict_f64(
-                    right, left ^ carry, dicts, rbw=g.bw, lbw=g.meta[1])
-                i += 10
-            elif g.variant == "small":
-                tiles, base, fact, fsh, fsl, fb = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_small(
-                    tiles, base ^ carry, fact, fsh, fsl, fb, bw=g.bw)
-                i += 6
-            elif g.variant == "mid":
-                tiles, base, c2, c1, c0, fb2 = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_mid(
-                    tiles, base ^ carry, c2, c1, c0, fb2, bw=g.bw,
-                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                    cheap_msb=bool(g.flags & 4))
-                i += 6
-            elif g.variant == "mid64":
-                tiles, blo, bhi, c1, c0, fb2 = metas[i:i + 6]
-                hi, lo = kfalp.falp_decode_f64_mid64(
-                    tiles, blo ^ carry, bhi, c1, c0, fb2, bw=g.bw)
-                i += 6
-            else:
-                (tiles, blo, bhi, flo, fhi, frlo, frhi) = metas[i:i + 7]
-                hi, lo = kfalp.falp_decode_f64(
-                    tiles, blo ^ carry, bhi, flo, fhi,
-                    frlo, frhi, bw=g.bw)
-                i += 7
+        for g, n in zip(groups, counts):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            hi, lo = kdecode.group_decode(g, np.float64)(*args)
             acc = acc ^ hi[0, 0, 0] ^ lo[0, 0, 0]
         return acc
 
-    metas = []
-    for g in groups:
-        if g.scheme == C.SCHEME_ALP_RD:
-            metas += [g.tiles, g.meta[0], *g.meta[2:10]]
-        else:
-            metas += [g.tiles, *g.meta]
+    metas = [a for t in arg_tuples for a in t]
     dt = loop_bench(step, tuple(metas), ITERS)
     return plan.decoded_bytes / dt / 1e9
 

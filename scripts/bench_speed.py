@@ -59,28 +59,82 @@ def main():
         return (mk(cc >> 64), mk(cc >> 32), mk(cc),
                 mk(fb + 74 + fac - s_c))
 
+    def mid64_planes(fac, exp):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        assert cc.bit_length() <= 64
+        s_c = 63 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        mk = lambda v: jnp.full((G, 128), np.uint32(v & 0xFFFFFFFF),
+                                jnp.uint32)
+        return mk(cc >> 32), mk(cc), mk(fb + 74 + fac - s_c)
+
+    def c96_planes(fac, exp):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        assert 64 < cc.bit_length() <= 80
+        s_c = 95 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        mk = lambda v: jnp.full((G, 128), np.uint32(v & 0xFFFFFFFF),
+                                jnp.uint32)
+        return mk(cc >> 64), mk(cc >> 32), mk(cc), mk(fb + 106 + fac - s_c)
+
     c2p, c1p, c0p, fb2p = mid_planes(0, 9)
+    c1p64, c0p64, fb2p64 = mid64_planes(0, 9)
     for bw in (8, 16, 24, 32, 42, 52, 64):
         packed = devbits((G, 2 * bw, 128), seed=bw)
-        if bw <= 31:   # bw 32 cannot prove n in int32 -> generic
+        if bw <= 31:   # bw 32 cannot prove n in int32 -> mid64 instead
             def step_falp(carry, packed, bw=bw):
                 hi, lo = kf.falp_decode_f64_mid(
                     packed, zero + carry, c2p, c1p, c0p, fb2p, bw=bw,
                     c0zero=True, nonneg=True, cheap_msb=bw <= 24)
                 return hi[0, 0, 0] ^ lo[0, 0, 0]
             dt = loop_bench(step_falp, (packed,), ITERS)
+        elif bw <= 52:
+            # production routing (build_plan): fac = 0 profiles at bw
+            # 33..52 prove |n * 5^0| < 2^53 with a 64-bit constant ->
+            # the mid64 single-rounding kernel (nonneg: base 0)
+            def step_falp(carry, packed, bw=bw):
+                hi, lo = kf.falp_decode_f64_mid64(
+                    packed, zero + carry, zero, c1p64, c0p64, fb2p64,
+                    bw=bw, nonneg=True)
+                return hi[0, 0, 0] ^ lo[0, 0, 0]
+            dt = loop_bench(step_falp, (packed,), ITERS)
         else:
+            # bw > 52 cannot prove the odd-part bound: generic
+            # two-rounding softfloat, with the fac-0 FACT multiply
+            # statically skipped (fact1), as build_plan routes it
             def step_falp(carry, packed, frlo, frhi, bw=bw):
                 hi, lo = kf.falp_decode_f64(packed, zero + carry, zero,
-                                            onem, zero, frlo, frhi, bw=bw)
+                                            onem, zero, frlo, frhi, bw=bw,
+                                            fact1=True)
                 return hi[0, 0, 0] ^ lo[0, 0, 0]
             dt = loop_bench(step_falp, (packed, frlo, frhi), ITERS)
         results.append((f"falp_f64_bw{bw}", ITERS, out_gb / dt, "GB/s"))
         print(results[-1], flush=True)
 
+    # midc96 row: the 64x96 single-rounding variant on the CMS/1-style
+    # profile (fac 5, bw 41) that routes here in production
+    packed41 = devbits((G, 82, 128), seed=41)
+    c2q, c1q, c0q, fb2q = c96_planes(5, 14)
+
+    def step_c96(carry, packed):
+        hi, lo = kf.falp_decode_f64_midc96(
+            packed, zero + carry, zero, c2q, c1q, c0q, fb2q, bw=41,
+            nonneg=True)
+        return hi[0, 0, 0] ^ lo[0, 0, 0]
+
+    dt = loop_bench(step_c96, (packed41,), ITERS)
+    results.append(("falp_f64_midc96_bw41", ITERS, out_gb / dt, "GB/s"))
+    print(results[-1], flush=True)
+
     # generic-kernel reference rows (the softfloat two-rounding path the
     # plan uses when the FFOR bounds cannot prove a fast domain)
-    for bw in (11, 16):
+    for bw in (11, 16, 42, 52):
         packed = devbits((G, 2 * bw, 128), seed=bw)
 
         def step_gen(carry, packed, frlo, frhi, bw=bw):
@@ -92,6 +146,19 @@ def main():
         results.append((f"falp_f64_generic_bw{bw}", ITERS, out_gb / dt,
                         "GB/s"))
         print(results[-1], flush=True)
+
+    # const (bw 0) broadcast row: gov-style constant columns decode as a
+    # pure output-bandwidth write
+    hi_c = devbits((G, 128), seed=100)
+    lo_c = devbits((G, 128), seed=101)
+
+    def step_const(carry, hi_p, lo_p):
+        hi, lo = kf.falp_decode_f64_const(hi_p ^ carry, lo_p)
+        return hi[0, 0, 0] ^ lo[0, 0, 0]
+
+    dt = loop_bench(step_const, (hi_c, lo_c), ITERS)
+    results.append(("falp_f64_const_bw0", ITERS, out_gb / dt, "GB/s"))
+    print(results[-1], flush=True)
 
     for bw in (16, 52):
         packed = devbits((G, 2 * bw, 128), seed=bw)

@@ -229,3 +229,126 @@ def test_falp_f64_mid64_vs_oracle(bw, fac, exp):
                                 np.float64, n)
     np.testing.assert_array_equal(got.view(np.uint64),
                                   expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("bw,fac,exp,flags", [
+    (38, 5, 14, 0), (36, 6, 14, 0), (34, 8, 16, 0),
+    (38, 5, 14, 2), (38, 5, 14, 10), (33, 9, 18, 10)])
+def test_falp_f64_midc96_vs_oracle(bw, fac, exp, flags):
+    """mid64c96 kernel parity on its domain: |n*5^fac| < 2^53 with a
+    65..80-bit constant 5^fac * fsig (fac 5..9 — the reference's hard
+    high-precision columns, e.g. CMS/1 and Medicare/1)."""
+    n = 16
+    tc = C.DOUBLE
+    lim_n = min((2**53 - 1) // 5**fac, (2**63 - 1) // 10**fac)
+    if flags & 8:
+        base = np.int64(1)              # nozero: every n > 0
+    elif flags & 2:
+        base = np.int64(0)              # nonneg (n == 0 still possible)
+    else:
+        base = np.int64(max(-(lim_n // 2), -(1 << 50)))
+    hi_n = min(lim_n, int(base) + (1 << bw) - 1)
+    ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                        dtype=np.int64)
+    ints[0, :7] = base                  # FOR minimum hit, incl. n=0/1
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+    fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+    cc = (5 ** fac) * fsig
+    assert 64 < cc.bit_length() <= 80
+    s_c = 95 - (cc.bit_length() - 1)
+    cc <<= s_c
+    assert cc & 0xFFFF == 0
+    base_u = int(np.int64(base).view(np.uint64))
+    mk = lambda v: np.repeat(np.full(n, v & 0xFFFFFFFF,
+                                     np.uint32).reshape(-1, 8), 16, axis=1)
+    hi, lo = falp.falp_decode_f64_midc96(
+        tile, mk(base_u), mk(base_u >> 32), mk(cc >> 64), mk(cc >> 32),
+        mk(cc), mk(((frac_u >> 52) & 0x7FF) + 106 + fac - s_c), bw=bw,
+        nonneg=bool(flags & 2), nozero=bool(flags & 8))
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("flags", [0, 2, 10])
+def test_falp_f64_mid64_flags_vs_oracle(flags):
+    """mid64 nonneg/nozero static flags: identical output to the
+    unflagged kernel on a domain where the flags' proofs hold."""
+    n, bw, fac, exp = 16, 42, 1, 14
+    tc = C.DOUBLE
+    base = np.int64(1 if flags & 8 else 0)
+    hi_n = min((2**53 - 1) // 5, int(base) + (1 << bw) - 1)
+    ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                        dtype=np.int64)
+    ints[0, 0] = base
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+    fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+    cc = (5 ** fac) * fsig
+    s_c = 63 - (cc.bit_length() - 1)
+    cc <<= s_c
+    base_u = int(np.int64(base).view(np.uint64))
+    mk = lambda v: np.repeat(np.full(n, v & 0xFFFFFFFF,
+                                     np.uint32).reshape(-1, 8), 16, axis=1)
+    hi, lo = falp.falp_decode_f64_mid64(
+        tile, mk(base_u), mk(base_u >> 32), mk(cc >> 32), mk(cc),
+        mk(((frac_u >> 52) & 0x7FF) + 74 + fac - s_c), bw=bw,
+        nonneg=bool(flags & 2), nozero=bool(flags & 8))
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+
+
+@pytest.mark.parametrize("bw", [53, 60, 64])
+def test_falp_f64_generic_fact1(bw):
+    """fact1 static flag (fac == 0 bucket-wide: FACT multiply skipped)
+    matches both the oracle and the unflagged generic kernel."""
+    n, exp = 8, 7
+    tc = C.DOUBLE
+    base = np.int64(-(1 << 40))
+    hi_n = (2**63 - 1) if bw >= 63 else int(base) + (1 << bw) - 1
+    ints = rng.integers(int(base), hi_n, size=(n, 1024), dtype=np.int64)
+    expect = ocore.decode_value(ints, 0, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    bf = np.full(n, base, np.int64)
+    blo, bhi = _u64_planes(bf.view(np.uint64), 64)
+    flo, fhi = _u64_planes(np.full(n, 1, np.int64).view(np.uint64), 64)
+    frlo, frhi = _u64_planes(
+        np.full(n, tc.frac_arr[exp], np.float64).view(np.uint64), 64)
+    hi1, lo1 = falp.falp_decode_f64(tile, blo, bhi, flo, fhi, frlo, frhi,
+                                    bw=bw, fact1=True)
+    hi0, lo0 = falp.falp_decode_f64(tile, blo, bhi, flo, fhi, frlo, frhi,
+                                    bw=bw, fact1=False)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi1, lo1), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+    assert (np.asarray(hi1) == np.asarray(hi0)).all()
+    assert (np.asarray(lo1) == np.asarray(lo0)).all()
+
+
+def test_falp_f64_const_kernel():
+    """const (bw == 0) broadcast kernel: every slot of a vector gets the
+    per-vector constant bits."""
+    n = 24
+    import jax.numpy as jnp
+    hi_c = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    lo_c = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    mk = lambda v: jnp.asarray(
+        np.repeat(v.reshape(-1, 8), 16, axis=1))
+    hi, lo = falp.falp_decode_f64_const(mk(hi_c), mk(lo_c))
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    assert hi.shape == (n // 8, 64, 128)
+    expect_hi = np.repeat(hi_c.reshape(-1, 8), 16, axis=1)
+    for g in range(n // 8):
+        assert (hi[g] == expect_hi[g][None, :]).all()
+        assert (lo[g] == np.repeat(lo_c.reshape(-1, 8), 16,
+                                   axis=1)[g][None, :]).all()
