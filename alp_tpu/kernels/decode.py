@@ -120,12 +120,13 @@ def group_decode(g, dtype):
     if variant == "mid64":
         return lambda t, bl, bh, c1, c0, fb2: kfalp.falp_decode_f64_mid64(
             t, bl, bh, c1, c0, fb2, bw=bw, nonneg=bool(fl & 2),
-            nozero=bool(fl & 8))
+            nozero=bool(fl & 8), allneg=bool(fl & 32), maghi=bool(fl & 64))
     if variant == "midc96":
         return (lambda t, bl, bh, c2, c1, c0, fb2:
                 kfalp.falp_decode_f64_midc96(
                     t, bl, bh, c2, c1, c0, fb2, bw=bw,
-                    nonneg=bool(fl & 2), nozero=bool(fl & 8)))
+                    nonneg=bool(fl & 2), nozero=bool(fl & 8),
+                    allneg=bool(fl & 32), maghi=bool(fl & 64)))
     if np.dtype(dtype) == np.float64:
         return (lambda t, bl, bh, flo, fhi, frl, frh:
                 kfalp.falp_decode_f64(t, bl, bh, flo, fhi, frl, frh,
@@ -314,6 +315,14 @@ def build_plan(col) -> DecodePlan:
         wide = mid64_v | c96_v
         flags_v[wide & (base_v >= 0)] |= 2            # nonneg
         flags_v[wide & (base_v > 0)] |= 8             # nozero
+        # allneg: even the conservative max n = base + 2^bw - 1 is
+        # negative, so |n| = (-base) - u (one subtract, constant sign);
+        # maghi: min |n| >= 2^32 kills the normalize two-case select
+        allneg_v = wide & (n_hi64 < 0)
+        flags_v[allneg_v] |= 32
+        min_abs = np.where(allneg_v, -n_hi64,
+                           np.where(base_v >= 0, base_v, 0))
+        flags_v[wide & (min_abs >= 2**32)] |= 64      # maghi
         # generic buckets where every vector has fac == 0 skip the FACT
         # multiply (FACT = 1)
         gen_sel = var_v == "gen"
@@ -372,7 +381,10 @@ def build_plan(col) -> DecodePlan:
                     expand((bits & np.uint64(0xFFFFFFFF)).astype(
                         np.uint32)))
         elif col.dtype == np.float64 and vr == "midc96":
-            base_u = col.base[sel].astype(np.int64).view(np.uint64)
+            # allneg buckets stage -base: the kernel computes the
+            # magnitude directly as |n| = (-base) - u (see falp.py)
+            base_i = col.base[sel].astype(np.int64)
+            base_u = (-base_i if fl & 32 else base_i).view(np.uint64)
             blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             bhi = (base_u >> np.uint64(32)).astype(np.uint32)
             frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
@@ -411,7 +423,9 @@ def build_plan(col) -> DecodePlan:
             meta = tuple(expand(x) for x in (base32, factu, fsig_hi,
                                              fsig_lo, fbias))
         elif col.dtype == np.float64 and vr == "mid64":
-            base_u = col.base[sel].astype(np.int64).view(np.uint64)
+            # allneg buckets stage -base (magnitude path, see falp.py)
+            base_i = col.base[sel].astype(np.int64)
+            base_u = (-base_i if fl & 32 else base_i).view(np.uint64)
             blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             bhi = (base_u >> np.uint64(32)).astype(np.uint32)
             frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)

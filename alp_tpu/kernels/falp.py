@@ -261,37 +261,60 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
     return out[0][:G], out[1][:G]
 
 
+def _wide_n_or_mag(packed_ref, base, bw: int, shape, allneg: bool):
+    """n = u + base, or |n| = (-base) - u when the bucket is all-negative
+    (the staged base planes then carry -base): one subtract replaces the
+    add + absolute-value block."""
+    if bw == 0:
+        return U64(jnp.broadcast_to(base.hi, shape),
+                   jnp.broadcast_to(base.lo, shape))
+    u = _unpack_all(packed_ref, bw, 64, 2)
+    if allneg:
+        return _u64_sub(base, u)
+    return _u64_add(u, base)
+
+
 def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
                            out_hi, out_lo, *, bw: int, nonneg: bool,
-                           nozero: bool):
+                           nozero: bool, allneg: bool, maghi: bool):
     # mid64 fast path (bw 33..52): |n * 5^fac| < 2^53 and the constant
     # 5^fac * fsig fits 64 bits, so double(m) is exact and one 64x64
     # product with a single rounding replaces the generic pipeline.
     base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
-    if bw == 0:
-        shape = out_hi.shape
-        n = U64(jnp.broadcast_to(base.hi, shape),
-                jnp.broadcast_to(base.lo, shape))
+    n = _wide_n_or_mag(packed_ref, base, bw, out_hi.shape, allneg)
+    cc1 = c1[:][:, None, :]
+    cc0 = c0[:][:, None, :]
+    fb = fb2[:][:, None, :]
+    if allneg:
+        r = sf.u64mag_c64_to_f64(n, 1, cc1, cc0, fb, maghi=maghi,
+                                 nozero=True)
+    elif nonneg:
+        r = sf.u64mag_c64_to_f64(n, 0, cc1, cc0, fb, maghi=maghi,
+                                 nozero=nozero)
     else:
-        n = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
-    r = sf.i64c64_to_f64(n, c1[:][:, None, :], c0[:][:, None, :],
-                         fb2[:][:, None, :], nonneg=nonneg, nozero=nozero)
+        r = sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=nozero)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero"))
+@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero",
+                                             "allneg", "maghi"))
 def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
                           bw: int, nonneg: bool = False,
-                          nozero: bool = False):
+                          nozero: bool = False, allneg: bool = False,
+                          maghi: bool = False):
     """Fused falp decode, mid64 variant (bit widths beyond int32 whose
     odd part still fits 2^53 with a 64-bit plan-time constant).
 
-    Metadata planes: ``base_lo``/``base_hi`` (int64 FOR base limbs),
-    ``c1``/``c0`` (5^fac * fsig top-aligned to bit 63), ``fb2``
-    (combined biased exponent term).  Static bucket flags: ``nonneg``
-    (FOR base >= 0, so no encoding is negative), ``nozero`` (base > 0).
-    See softfloat.i64c64_to_f64.
+    Metadata planes: ``base_lo``/``base_hi`` (int64 FOR base limbs;
+    ``-base`` limbs when ``allneg``), ``c1``/``c0`` (5^fac * fsig
+    top-aligned to bit 63), ``fb2`` (combined biased exponent term).
+    Static bucket flags from the plan's FOR-bound proofs: ``nonneg``
+    (base >= 0: no negative encoding), ``nozero`` (base > 0),
+    ``allneg`` (base + 2^bw - 1 < 0: every encoding negative — the
+    magnitude comes from one subtract against -base, sign is constant),
+    ``maghi`` (min |n| >= 2^32: one-case normalize).
+    See softfloat.i64c64_to_f64 / u64mag_c64_to_f64.
     """
     G = packed.shape[0]
     gb = min(_BLOCK_GROUPS, max(G, 1))
@@ -305,7 +328,7 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_mid64_kernel, bw=bw, nonneg=nonneg,
-                          nozero=nozero),
+                          nozero=nozero, allneg=allneg, maghi=maghi),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -321,28 +344,34 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
 
 def _falp_f64_midc96_kernel(packed_ref, base_lo, base_hi, c2, c1, c0,
                             fb2, out_hi, out_lo, *, bw: int, nonneg: bool,
-                            nozero: bool):
+                            nozero: bool, allneg: bool, maghi: bool):
     # mid64c96 fast path: like mid64 but the plan-time constant
     # 5^fac * fsig needs 65..96 bits (fac 5..9), so the single-rounding
     # product is 64x96 (softfloat.i64c96_to_f64).
     base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
-    if bw == 0:
-        shape = out_hi.shape
-        n = U64(jnp.broadcast_to(base.hi, shape),
-                jnp.broadcast_to(base.lo, shape))
+    n = _wide_n_or_mag(packed_ref, base, bw, out_hi.shape, allneg)
+    cc2 = c2[:][:, None, :]
+    cc1 = c1[:][:, None, :]
+    cc0 = c0[:][:, None, :]
+    fb = fb2[:][:, None, :]
+    if allneg:
+        r = sf.u64mag_c96_to_f64(n, 1, cc2, cc1, cc0, fb, maghi=maghi,
+                                 nozero=True)
+    elif nonneg:
+        r = sf.u64mag_c96_to_f64(n, 0, cc2, cc1, cc0, fb, maghi=maghi,
+                                 nozero=nozero)
     else:
-        n = _u64_add(_unpack_all(packed_ref, bw, 64, 2), base)
-    r = sf.i64c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
-                         c0[:][:, None, :], fb2[:][:, None, :],
-                         nonneg=nonneg, nozero=nozero)
+        r = sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=nozero)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero"))
+@functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero",
+                                             "allneg", "maghi"))
 def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
                            bw: int, nonneg: bool = False,
-                           nozero: bool = False):
+                           nozero: bool = False, allneg: bool = False,
+                           maghi: bool = False):
     """Fused falp decode, mid64c96 variant: bit widths beyond int32 whose
     odd part fits 2^53 but whose constant 5^fac * fsig needs more than
     64 bits (fac 5..9 — e.g. CMS/1 at fac 5 / bw 41, Medicare/1 at
@@ -364,7 +393,7 @@ def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_midc96_kernel, bw=bw, nonneg=nonneg,
-                          nozero=nozero),
+                          nozero=nozero, allneg=allneg, maghi=maghi),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),

@@ -316,13 +316,18 @@ def f64_is_finite(a: U64) -> jnp.ndarray:
     return f64_biased_exp(a) != 0x7FF
 
 
-def _pack_with_carry(sign: jnp.ndarray, biased_exp: jnp.ndarray,
+def _pack_with_carry(sign, biased_exp: jnp.ndarray,
                      mant: U64, round_up: jnp.ndarray) -> U64:
     """(exp << 52) + mant + round_up; the add lets rounding carry ripple
     from the mantissa into the exponent (2^53 overflow and subnormal ->
-    normal promotion both come out right)."""
+    normal promotion both come out right).  ``sign`` may be a static
+    Python int (0/1) when the caller proved the whole block's sign."""
     base = U64((biased_exp.astype(_U32) << 20) + mant.hi, mant.lo)
     out = add64(base, U64(_u32(0), round_up.astype(_U32)))
+    if isinstance(sign, int):
+        if sign:
+            return U64(out.hi | _u32(0x80000000), out.lo)
+        return out
     return U64(out.hi | (sign.astype(_U32) << 31), out.lo)
 
 
@@ -564,7 +569,7 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
               jnp.where(sign == 1, neg.lo, m.lo))
     # --- normalize so MSB lands at bit 63: 2-case shift via fast msb ----
     hi_z = mag.hi == 0
-    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)), _msb32(mag.hi | _u32(1)))
+    msb_in = _msb32(jnp.where(hi_z, mag.lo, mag.hi) | _u32(1))
     k = (_I32(31) - msb_in).astype(_U32)          # shift within the limb
     kc = _u32(32) - k                              # complement, in [1, 32]
     # hi != 0: S = (hi<<k | lo>>(32-k), lo<<k); 32-k==32 only when k==0
@@ -712,6 +717,27 @@ def _p126_round_pack(x3, x2, x1, x0, fb2, k, sign) -> U64:
                             round_up)
 
 
+def _normalize_mag53(mag: U64, maghi: bool):
+    """Normalize a magnitude < 2^53 into M in [2^63, 2^64); returns
+    (M, k64).  ``maghi`` statically asserts mag >= 2^32 for the whole
+    block: mag.hi != 0 kills the two-case select, and mag.hi < 2^21
+    (|n| < 2^53) guarantees k in [11, 31] so no shift guard is needed."""
+    if maghi:
+        k = (_I32(31) - _msb32(mag.hi)).astype(_U32)
+        M = U64((mag.hi << k) | (mag.lo >> (_u32(32) - k)), mag.lo << k)
+        return M, k
+    hi_z = mag.hi == 0
+    msb_in = _msb32(jnp.where(hi_z, mag.lo, mag.hi) | _u32(1))
+    k = (_I32(31) - msb_in).astype(_U32)
+    kc = _u32(32) - k
+    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
+    top_a = jnp.where(k == 0, mag.hi, top_a)
+    M = U64(jnp.where(hi_z, mag.lo << k, top_a),
+            jnp.where(hi_z, jnp.zeros_like(mag.lo), mag.lo << k))
+    k64 = jnp.where(hi_z, k + _u32(32), k)
+    return M, k64
+
+
 def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
                   fb2: jnp.ndarray, *, nonneg: bool = False,
                   nozero: bool = False) -> U64:
@@ -725,28 +751,28 @@ def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
     ``fb2`` carries ``f_biased + 74 + fac - shiftC`` (same form as
     :func:`i32c96_to_f64`).  Static flags prune work the caller proved
     impossible for the whole block: ``nonneg`` (no negative n — FOR base
-    >= 0), ``nozero`` (no zero n — FOR base > 0).
+    >= 0), ``nozero`` (no zero n — FOR base > 0).  Callers that proved
+    an all-negative block feed |n| directly to
+    :func:`u64mag_c64_to_f64` with static sign 1.
     """
     if nonneg:
-        sign = jnp.zeros_like(n.hi)
-        mag = n
-    else:
-        smask = (n.hi.astype(_I32) >> 31).astype(_U32)
-        sign = smask & _u32(1)
-        negd = neg64(n)
-        mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
-                  jnp.where(smask != 0, negd.lo, n.lo))
-    # normalize |n| into [2^63, 2^64): two-case shift via fast msb
-    hi_z = mag.hi == 0
-    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)),
-                       _msb32(mag.hi | _u32(1)))
-    k = (_I32(31) - msb_in).astype(_U32)
-    kc = _u32(32) - k
-    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
-    top_a = jnp.where(k == 0, mag.hi, top_a)
-    M = U64(jnp.where(hi_z, mag.lo << k, top_a),
-            jnp.where(hi_z, jnp.zeros_like(mag.lo), mag.lo << k))
-    k64 = jnp.where(hi_z, k + _u32(32), k)
+        return u64mag_c64_to_f64(n, 0, c1, c0, fb2, nozero=nozero)
+    smask = (n.hi.astype(_I32) >> 31).astype(_U32)
+    sign = smask & _u32(1)
+    negd = neg64(n)
+    mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
+              jnp.where(smask != 0, negd.lo, n.lo))
+    return u64mag_c64_to_f64(mag, sign, c1, c0, fb2, nozero=nozero)
+
+
+def u64mag_c64_to_f64(mag: U64, sign, c1: jnp.ndarray, c0: jnp.ndarray,
+                      fb2: jnp.ndarray, *, maghi: bool = False,
+                      nozero: bool = False) -> U64:
+    """Magnitude-entry core of :func:`i64c64_to_f64`: ``sign`` is a 0/1
+    array or a static Python int (whole-block sign proof — the allneg
+    fast path computes |n| = (-base) - u with one subtract and passes
+    sign=1).  ``maghi``: every |n| >= 2^32 (see _normalize_mag53)."""
+    M, k64 = _normalize_mag53(mag, maghi)
     # exact 64x64 product p = M * C' in [2^126, 2^128); shared splits
     al = M.lo & _u32(0xFFFF)
     ah = M.lo >> 16
@@ -809,25 +835,21 @@ def i64c96_to_f64(n: U64, c2: jnp.ndarray, c1: jnp.ndarray,
     products use a halved schoolbook multiply that relies on it.
     """
     if nonneg:
-        sign = jnp.zeros_like(n.hi)
-        mag = n
-    else:
-        smask = (n.hi.astype(_I32) >> 31).astype(_U32)
-        sign = smask & _u32(1)
-        negd = neg64(n)
-        mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
-                  jnp.where(smask != 0, negd.lo, n.lo))
-    # normalize |n| into [2^63, 2^64): two-case shift via fast msb
-    hi_z = mag.hi == 0
-    msb_in = jnp.where(hi_z, _msb32(mag.lo | _u32(1)),
-                       _msb32(mag.hi | _u32(1)))
-    k = (_I32(31) - msb_in).astype(_U32)
-    kc = _u32(32) - k
-    top_a = (mag.hi << k) | jnp.where(k == 0, _u32(0), mag.lo >> kc)
-    top_a = jnp.where(k == 0, mag.hi, top_a)
-    M = U64(jnp.where(hi_z, mag.lo << k, top_a),
-            jnp.where(hi_z, jnp.zeros_like(mag.lo), mag.lo << k))
-    k64 = jnp.where(hi_z, k + _u32(32), k)
+        return u64mag_c96_to_f64(n, 0, c2, c1, c0, fb2, nozero=nozero)
+    smask = (n.hi.astype(_I32) >> 31).astype(_U32)
+    sign = smask & _u32(1)
+    negd = neg64(n)
+    mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
+              jnp.where(smask != 0, negd.lo, n.lo))
+    return u64mag_c96_to_f64(mag, sign, c2, c1, c0, fb2, nozero=nozero)
+
+
+def u64mag_c96_to_f64(mag: U64, sign, c2: jnp.ndarray, c1: jnp.ndarray,
+                      c0: jnp.ndarray, fb2: jnp.ndarray, *,
+                      maghi: bool = False, nozero: bool = False) -> U64:
+    """Magnitude-entry core of :func:`i64c96_to_f64` (see
+    :func:`u64mag_c64_to_f64` for the sign/maghi contracts)."""
+    M, k64 = _normalize_mag53(mag, maghi)
     # exact 64x96 product p = M * C' in [2^158, 2^160), five u32 limbs
     al = M.lo & _u32(0xFFFF)
     ah = M.lo >> 16

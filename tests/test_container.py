@@ -151,3 +151,16 @@ def test_f32_rd_device_decode_with_dictionary():
     dev = kdecode.decompress_device(cc).reshape(-1)[:len(data)]
     np.testing.assert_array_equal(dev.view(np.uint32),
                                   data.view(np.uint32))
+
+def test_device_decode_plan_allneg_maghi():
+    """An all-negative wide-bw column routes to mid64 with the
+    allneg+maghi flags and round-trips bit-exactly end to end."""
+    rng = np.random.default_rng(1)
+    n = -(2**40 + rng.integers(0, 2**35, size=4096))
+    data = n.astype(np.float64) / 100.0
+    cc = container.compress(data)
+    plan = kdecode.build_plan(cc)
+    assert any(g.variant in ("mid64", "midc96") and (g.flags & 32)
+               and (g.flags & 64) for g in plan.groups)
+    vals = kdecode.decompress_device(cc)
+    _assert_bitexact(vals.reshape(-1)[:cc.n_values], data)

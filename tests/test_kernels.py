@@ -306,6 +306,55 @@ def test_falp_f64_mid64_flags_vs_oracle(flags):
                                   expect.view(np.uint64))
 
 
+@pytest.mark.parametrize("variant,flags", [
+    ("mid64", 32), ("mid64", 96), ("midc96", 32), ("midc96", 96)])
+def test_falp_f64_wide_allneg_vs_oracle(variant, flags):
+    """allneg (every n < 0: magnitude = (-base) - u) and maghi
+    (min |n| >= 2^32: one-case normalize) static flags on the wide
+    variants match the oracle bit-exactly."""
+    n, bw = 16, 36
+    fac, exp = (1, 14) if variant == "mid64" else (6, 16)
+    tc = C.DOUBLE
+    # all-negative domain: n in [base, base + 2^bw - 1], base + span < 0;
+    # maghi additionally needs |n| >= 2^32 everywhere
+    lo_mag = 2**33 if flags & 64 else 1
+    base = np.int64(-(lo_mag + (1 << bw) - 1))
+    hi_n = int(base) + (1 << bw) - 1
+    assert hi_n < 0
+    ints = rng.integers(int(base), hi_n + 1, size=(n, 1024),
+                        dtype=np.int64)
+    ints[0, 0] = base                   # FOR minimum (largest magnitude)
+    ints[0, 1] = hi_n                   # smallest magnitude
+    expect = ocore.decode_value(ints, fac, exp, tc)
+    packed = np.stack([ofl.ffor_pack(v, bw, base) for v in ints])
+    tile = layout.ref_to_tile(packed, bw, 64)
+    frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
+    fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+    cc = (5 ** fac) * fsig
+    # allneg buckets stage -base (the kernel computes |n| = (-base) - u)
+    nbase_u = int(np.int64(-base).view(np.uint64))
+    mk = lambda v: np.repeat(np.full(n, v & 0xFFFFFFFF,
+                                     np.uint32).reshape(-1, 8), 16, axis=1)
+    kw = dict(bw=bw, allneg=True, maghi=bool(flags & 64))
+    if variant == "mid64":
+        s_c = 63 - (cc.bit_length() - 1)
+        cc <<= s_c
+        hi, lo = falp.falp_decode_f64_mid64(
+            tile, mk(nbase_u), mk(nbase_u >> 32), mk(cc >> 32), mk(cc),
+            mk(((frac_u >> 52) & 0x7FF) + 74 + fac - s_c), **kw)
+    else:
+        s_c = 95 - (cc.bit_length() - 1)
+        cc <<= s_c
+        hi, lo = falp.falp_decode_f64_midc96(
+            tile, mk(nbase_u), mk(nbase_u >> 32), mk(cc >> 64),
+            mk(cc >> 32), mk(cc),
+            mk(((frac_u >> 52) & 0x7FF) + 106 + fac - s_c), **kw)
+    got = layout.tile_to_values(_tile_out_to_vals64(hi, lo), 64,
+                                np.float64, n)
+    np.testing.assert_array_equal(got.view(np.uint64),
+                                  expect.view(np.uint64))
+
+
 @pytest.mark.parametrize("bw", [53, 60, 64])
 def test_falp_f64_generic_fact1(bw):
     """fact1 static flag (fac == 0 bucket-wide: FACT multiply skipped)
