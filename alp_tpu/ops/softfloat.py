@@ -592,18 +592,15 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
     # --- significand product: p in [2^104, 2^106) ------------------------
     p = umul64_wide(sig_m, fsig)
     bit105 = (p.x3 >> 9) & _u32(1)
-    # keep 53 bits below the leading bit: window start 52 (+1 if bit105)
-    lo52 = (p.x1 >> 20) | (p.x2 << 12)
-    hi52 = (p.x2 >> 20) | (p.x3 << 12)
-    lo53 = (p.x1 >> 21) | (p.x2 << 11)
-    hi53 = (p.x2 >> 21) | (p.x3 << 11)
-    hi_mask = _u32(0x1FFFFF)                      # 21 bits: total 53
-    up = bit105 == 1
-    kept2 = U64(jnp.where(up, hi53, hi52) & hi_mask,
-                jnp.where(up, lo53, lo52))
-    guard2 = jnp.where(up, (p.x1 >> 20) & _u32(1), (p.x1 >> 19) & _u32(1))
-    low_mask = jnp.where(up, _u32(0xFFFFF), _u32(0x7FFFF))
-    sticky2 = (p.x0 | (p.x1 & low_mask)) != 0
+    # keep 53 bits below the leading bit: variable window (sh = 20 +
+    # bit105) instead of two-case selects; p < 2^106 keeps x3 < 2^10 so
+    # the hi extraction needs no 21-bit mask in either case
+    sh2 = _u32(20) + bit105
+    shc2 = _u32(12) - bit105                       # 32 - sh2
+    kept2 = U64((p.x2 >> sh2) | (p.x3 << shc2),
+                (p.x1 >> sh2) | (p.x2 << shc2))
+    guard2 = (p.x1 >> (sh2 - _u32(1))) & _u32(1)
+    sticky2 = (p.x0 | (p.x1 << (shc2 + _u32(1)))) != 0
     round2 = (guard2 == 1) & (sticky2 | ((kept2.lo & _u32(1)) == 1))
 
     # biased(result) = e_m + e_f + bit105 + 1023 = e_m + f_biased + bit105
@@ -703,11 +700,16 @@ def _p126_round_pack(x3, x2, x1, x0, fb2, k, sign) -> U64:
     mid/mid64 single-rounding decode paths.  biased(result) =
     fb2 + bit127(p) - k."""
     t = x3 >> 31                                   # leading bit 127 vs 126
-    up = t == 1
-    lo = jnp.where(up, (x2 >> 11) | (x3 << 21), (x2 >> 10) | (x3 << 22))
-    hi = jnp.where(up, x3 >> 11, (x3 >> 10) & _u32(0x1FFFFF))
-    guard = jnp.where(up, (x2 >> 10) & _u32(1), (x2 >> 9) & _u32(1))
-    low = x1 | (x2 & jnp.where(up, _u32(0x3FF), _u32(0x1FF)))
+    # variable shifts cost the same as static ones on the VPU, so one
+    # data-dependent window (sh = 10 + t) replaces the two-case selects
+    # (~8 fewer ops/value).  t == 0 implies bit 127 clear, so the hi
+    # extraction needs no 21-bit mask in either case.
+    sh = _u32(10) + t
+    shc = _u32(22) - t                             # 32 - sh
+    lo = (x2 >> sh) | (x3 << shc)
+    hi = x3 >> sh
+    guard = (x2 >> (sh - _u32(1))) & _u32(1)
+    low = x1 | (x2 << (shc + _u32(1)))             # bits below guard
     if x0 is not None:
         low = low | x0
     sticky = low != 0
@@ -723,7 +725,11 @@ def _normalize_mag53(mag: U64, maghi: bool):
     block: mag.hi != 0 kills the two-case select, and mag.hi < 2^21
     (|n| < 2^53) guarantees k in [11, 31] so no shift guard is needed."""
     if maghi:
-        k = (_I32(31) - _msb32(mag.hi)).astype(_U32)
+        # mag.hi in [1, 2^21): the i32->f32 convert is exact (< 2^24),
+        # so the exponent field IS the msb — no round-up/top-bit guards
+        f = mag.hi.astype(_I32).astype(jnp.float32)
+        msb = ((f.view(_U32) >> 23) - _u32(127)).astype(_I32)
+        k = (_I32(31) - msb).astype(_U32)
         M = U64((mag.hi << k) | (mag.lo >> (_u32(32) - k)), mag.lo << k)
         return M, k
     hi_z = mag.hi == 0
@@ -985,16 +991,14 @@ def mul_by_normal_unpacked(sig_a: U64, e_a: jnp.ndarray,
     Correctly rounded (RNE).  Sign is handled by the caller."""
     p = umul64_wide(sig_a, csig)                  # [2^104, 2^106)
     bit105 = (p.x3 >> 9) & _u32(1)
-    lo52 = (p.x1 >> 20) | (p.x2 << 12)
-    hi52 = (p.x2 >> 20) | (p.x3 << 12)
-    lo53 = (p.x1 >> 21) | (p.x2 << 11)
-    hi53 = (p.x2 >> 21) | (p.x3 << 11)
-    up = bit105 == 1
-    kept = U64(jnp.where(up, hi53, hi52) & _u32(0x1FFFFF),
-               jnp.where(up, lo53, lo52))
-    guard = jnp.where(up, (p.x1 >> 20) & _u32(1), (p.x1 >> 19) & _u32(1))
-    low_mask = jnp.where(up, _u32(0xFFFFF), _u32(0x7FFFF))
-    sticky = (p.x0 | (p.x1 & low_mask)) != 0
+    # variable 53-bit window (see i64_to_f64_times_normal): p < 2^106
+    # keeps x3 < 2^10, so no hi mask is needed in either case
+    shw = _u32(20) + bit105
+    shwc = _u32(12) - bit105                      # 32 - shw
+    kept = U64((p.x2 >> shw) | (p.x3 << shwc),
+               (p.x1 >> shw) | (p.x2 << shwc))
+    guard = (p.x1 >> (shw - _u32(1))) & _u32(1)
+    sticky = (p.x0 | (p.x1 << (shwc + _u32(1)))) != 0
     round_up = (guard == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
     sig = add64(kept, U64(_u32(0) * kept.hi, round_up.astype(_U32)))
     carry = (sig.hi >> 21) & _u32(1)              # rounded to 2^53
