@@ -37,15 +37,16 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def compress_sharded(data: np.ndarray, mesh: Mesh):
-    """Whole-column ALP compress with the per-vector stages sharded.
+    """Whole-column adaptive compress with the per-vector stages sharded.
 
-    Planning (sampling + top-k (e, f)) runs host-side per rowgroup and is
-    replicated; encode/analyze run under shard_map over ``rg``; packing
-    runs on the sharded encoded array per bit-width bucket; packed words
-    are gathered to host in original vector order.  float64, ALP-scheme
-    rowgroups (columns with ALP_RD rowgroups fall back to the host path —
-    RD's right/left split shards the same way but is dictionary-bound,
-    not encode-bound).
+    Planning (sampling + top-k (e, f) / RD dictionary build) runs
+    host-side per rowgroup and is replicated; ALP encode/analyze and the
+    RD right/left split + dictionary lookup run under shard_map over
+    ``rg``; packing runs on sharded arrays per bit-width bucket; packed
+    words are gathered to host in original vector order.  Mixed ALP +
+    ALP_RD columns shard both scheme paths (the reference's thread pool
+    likewise covers RD columns, benchmarks/benchmark.cpp:221-252).
+    Output is bit-identical to :func:`container.compress`.
     """
     from .. import container as ct
 
@@ -60,12 +61,14 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
+    rd_states = {}
     try:
         from .. import native as nat
         nat.build()
     except Exception:
         nat = None
     from ..oracle import core as ocore
+    from ..oracle import rd as ord_
     if nat is not None and data.dtype == np.float64:
         schemes, combos_rg, k_rg = nat.init_f64_multi(flat, n_rg)
         for rg in range(n_rg):
@@ -73,6 +76,8 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
             hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
             if schemes[rg] == C.SCHEME_ALP_RD:
                 rg_scheme[rg] = C.SCHEME_ALP_RD
+                rd_states[rg] = ord_.rd_encoder_init(
+                    flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE], 0, tc)
             else:
                 rg_scheme[rg] = C.SCHEME_ALP
                 ks = max(int(k_rg[rg]), 1)
@@ -86,6 +91,7 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
             stt = ocore.encoder_init(rg_data, 0, tc)
             if stt.scheme == C.SCHEME_ALP_RD:
                 rg_scheme[rg] = C.SCHEME_ALP_RD
+                rd_states[rg] = ord_.rd_encoder_init(rg_data, 0, tc)
             else:
                 rg_scheme[rg] = C.SCHEME_ALP
                 ks = len(stt.best_k_combinations)
@@ -93,68 +99,146 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
                 combos[lo_v:hi_v, :ks] = cb[None, :ks, :]
                 k_count[lo_v:hi_v] = ks
 
-    if (rg_scheme == C.SCHEME_ALP_RD).any():
-        return ct.compress(data)
-
-    # --- sharded per-vector encode + analysis (shard_map over rg) -------
     n_dev = mesh.devices.size
-    n_pad = _pad_to(n_vec, n_dev)
-    vals = np.zeros((n_pad, C.VECTOR_SIZE), data.dtype)
-    vals[:n_vec] = vectors
-    cb_pad = np.zeros((n_pad, C.MAX_K_COMBINATIONS, 2), np.int32)
-    cb_pad[:n_vec] = combos
-    kc_pad = np.ones(n_pad, np.int32)
-    kc_pad[:n_vec] = k_count
-
-    step = sharded_encode_decode_step(mesh, data.dtype)
-    out = step(nm.values_from_np(vals), jnp.asarray(cb_pad),
-               jnp.asarray(kc_pad))
-    # ordered host gather of the sharded per-vector results
-    fac = np.asarray(out["fac"])[:n_vec].astype(np.uint8)
-    exp = np.asarray(out["exp"])[:n_vec].astype(np.uint8)
-    bws = np.asarray(out["bit_width"])[:n_vec]
-    bases = np.asarray(out["base"])[:n_vec].astype(tc.st)
-    exc_mask = np.asarray(out["exc_mask"])[:n_vec]
-    encoded_sh = out["encoded"]           # stays device-sharded for pack
-
-    # --- sharded FFOR pack per bit-width bucket -------------------------
     sh = NamedSharding(mesh, P("rg"))
+    vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+    alp_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP)[0]
+    rd_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP_RD)[0]
+
+    fac = np.zeros(n_vec, np.uint8)
+    exp = np.zeros(n_vec, np.uint8)
+    bit_width = np.zeros(n_vec, np.uint8)
+    base = np.zeros(n_vec, tc.st)
     packed = [None] * n_vec
-    for bw in np.unique(bws):
-        sel = np.nonzero(bws == bw)[0]
+    left_packed = [np.empty(0, np.uint16)] * n_vec
+    exc_positions = [None] * n_vec
+    exc_values = [None] * n_vec
+    exc_count = np.zeros(n_vec, np.uint16)
+
+    def _bucket_pack(rows_dev, bucket_base, bw, out_dtype):
+        """Sharded FFOR pack of one bit-width bucket; host-ordered rows."""
+        nb = bucket_base.shape[0]
+        nb_pad = _pad_to(nb, n_dev)
+        b = jax.device_put(jnp.asarray(np.concatenate(
+            [bucket_base,
+             np.zeros(nb_pad - nb, bucket_base.dtype)])), sh)
+        pk = jax.jit(lambda r, bb, bw=int(bw): jfl.ffor_pack(
+            r, bb, bw=bw))(rows_dev, b)
+        return np.asarray(pk, out_dtype)
+
+    def _gathered_rows(arr_sh, sel, n_cols_dtype):
+        """Bucket rows from a device-sharded array, resharded evenly."""
         nb_pad = _pad_to(len(sel), n_dev)
         sel_pad = np.zeros(nb_pad, np.int64)
         sel_pad[:len(sel)] = sel
-        # gather bucket rows from the sharded array, reshard evenly, pack
-        rows = jnp.take(encoded_sh, jnp.asarray(sel_pad), axis=0)
-        rows = jax.device_put(rows, sh)
-        b = jax.device_put(jnp.asarray(np.concatenate(
-            [bases[sel], np.zeros(nb_pad - len(sel), tc.st)])), sh)
-        pk = np.asarray(jax.jit(
-            lambda r, bb, bw=int(bw): jfl.ffor_pack(r, bb, bw=bw))(rows, b),
-            tc.ut)
-        for r, v in enumerate(sel):
-            packed[v] = pk[r]
+        rows = jnp.take(arr_sh, jnp.asarray(sel_pad), axis=0)
+        return jax.device_put(rows, sh)
 
-    exc_positions = []
-    exc_values = []
-    exc_count = np.zeros(n_vec, np.uint16)
-    for v in range(n_vec):
-        pos = np.nonzero(exc_mask[v])[0].astype(np.uint16)
-        exc_positions.append(pos)
-        exc_values.append(vectors[v][pos])
-        exc_count[v] = len(pos)
+    # --- ALP: sharded per-vector encode + analysis (shard_map over rg) --
+    if alp_idx.size:
+        na = len(alp_idx)
+        n_pad = _pad_to(na, n_dev)
+        vals = np.zeros((n_pad, C.VECTOR_SIZE), data.dtype)
+        vals[:na] = vectors[alp_idx]
+        cb_pad = np.zeros((n_pad, C.MAX_K_COMBINATIONS, 2), np.int32)
+        cb_pad[:na] = combos[alp_idx]
+        kc_pad = np.ones(n_pad, np.int32)
+        kc_pad[:na] = k_count[alp_idx]
+
+        step = sharded_encode_decode_step(mesh, data.dtype)
+        out = step(nm.values_from_np(vals), jnp.asarray(cb_pad),
+                   jnp.asarray(kc_pad))
+        # ordered host gather of the sharded per-vector results
+        fac[alp_idx] = np.asarray(out["fac"])[:na].astype(np.uint8)
+        exp[alp_idx] = np.asarray(out["exp"])[:na].astype(np.uint8)
+        bws = np.asarray(out["bit_width"])[:na]
+        bit_width[alp_idx] = bws.astype(np.uint8)
+        bases = np.asarray(out["base"])[:na].astype(tc.st)
+        base[alp_idx] = bases
+        exc_mask = np.asarray(out["exc_mask"])[:na]
+        encoded_sh = out["encoded"]       # stays device-sharded for pack
+
+        for bw in np.unique(bws):
+            sel = np.nonzero(bws == bw)[0]
+            rows = _gathered_rows(encoded_sh, sel, tc.ut)
+            pk = _bucket_pack(rows, bases[sel], bw, tc.ut)
+            for r, j in enumerate(sel):
+                packed[alp_idx[j]] = pk[r]
+
+        for j, v in enumerate(alp_idx):
+            pos = np.nonzero(exc_mask[j])[0].astype(np.uint16)
+            exc_positions[v] = pos
+            exc_values[v] = vectors[v][pos]
+            exc_count[v] = len(pos)
+
+    # --- ALP_RD: sharded right/left split + dict lookup ------------------
+    if rd_idx.size:
+        from ..ops import rd as ordops
+        nr = len(rd_idx)
+        nr_pad = _pad_to(nr, n_dev)
+        bits = np.zeros((nr_pad, C.VECTOR_SIZE), tc.ut)
+        bits[:nr] = vectors[rd_idx].view(tc.ut)
+        rbw_v = np.ones(nr_pad, np.int32)
+        lbw_v = np.ones(nr, np.int32)
+        dict_v = np.full((nr_pad, C.MAX_RD_DICTIONARY_SIZE), 0xFFFF,
+                         np.uint16)
+        ds_v = np.ones(nr_pad, np.int32)
+        for j, v in enumerate(rd_idx):
+            stt = rd_states[int(vec_rg[v])]
+            rbw_v[j] = stt.right_bit_width
+            lbw_v[j] = stt.left_bit_width
+            dict_v[j, :stt.actual_dictionary_size] = stt.left_parts_dict
+            ds_v[j] = stt.actual_dictionary_size
+
+        from jax.experimental.shard_map import shard_map
+        eb = tc.exact_type_bit_size
+        rd_step = jax.jit(shard_map(
+            lambda b, r, d, s: ordops.rd_encode_vectors(
+                b, r, d, s, element_bits=eb),
+            mesh=mesh, in_specs=(P("rg"),) * 4, out_specs=(P("rg"),) * 4,
+            check_rep=False))
+        right_sh, lidx_sh, excm, lraw = rd_step(
+            jnp.asarray(bits), jnp.asarray(rbw_v), jnp.asarray(dict_v),
+            jnp.asarray(ds_v))
+        excm = np.asarray(excm)[:nr]
+        lraw = np.asarray(lraw)[:nr]
+
+        for rbw in np.unique(rbw_v[:nr]):
+            sel = np.nonzero(rbw_v[:nr] == rbw)[0]
+            rows = _gathered_rows(right_sh, sel, tc.ut)
+            pk = _bucket_pack(rows, np.zeros(len(sel), tc.ut), rbw, tc.ut)
+            for r, j in enumerate(sel):
+                packed[rd_idx[j]] = pk[r]
+        for lbw in np.unique(lbw_v):
+            sel = np.nonzero(lbw_v == lbw)[0]
+            rows = _gathered_rows(lidx_sh, sel, np.uint16)
+            pk = _bucket_pack(rows, np.zeros(len(sel), np.uint16), lbw,
+                              np.uint16)
+            for r, j in enumerate(sel):
+                left_packed[rd_idx[j]] = pk[r]
+
+        for j, v in enumerate(rd_idx):
+            pos = np.nonzero(excm[j])[0].astype(np.uint16)
+            exc_positions[v] = pos
+            exc_values[v] = lraw[j][pos]
+            exc_count[v] = len(pos)
+
+    rd_dict = np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16)
+    rd_dict_size = np.zeros(n_rg, np.uint8)
+    rd_left_bw = np.zeros(n_rg, np.uint8)
+    rd_right_bw = np.zeros(n_rg, np.uint8)
+    for rg, stt in rd_states.items():
+        rd_dict[rg, :stt.actual_dictionary_size] = stt.left_parts_dict
+        rd_dict_size[rg] = stt.actual_dictionary_size
+        rd_left_bw[rg] = stt.left_bit_width
+        rd_right_bw[rg] = stt.right_bit_width
 
     return ct.CompressedColumn(
         dtype=np.dtype(data.dtype), n_values=len(data), n_vectors=n_vec,
-        rg_scheme=rg_scheme,
-        rd_dict=np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16),
-        rd_dict_size=np.zeros(n_rg, np.uint8),
-        rd_left_bw=np.zeros(n_rg, np.uint8),
-        rd_right_bw=np.zeros(n_rg, np.uint8),
-        fac=fac, exp=exp, bit_width=bws.astype(np.uint8), base=bases,
-        exc_count=exc_count, packed=packed,
-        left_packed=[np.empty(0, np.uint16)] * n_vec,
+        rg_scheme=rg_scheme, rd_dict=rd_dict, rd_dict_size=rd_dict_size,
+        rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
+        fac=fac, exp=exp, bit_width=bit_width, base=base,
+        exc_count=exc_count, packed=packed, left_packed=left_packed,
         exc_values=exc_values, exc_positions=exc_positions)
 
 

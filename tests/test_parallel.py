@@ -122,6 +122,26 @@ def test_container_sharded_rd_decompress():
                                   data.view(np.uint64))
 
 
+def test_container_sharded_mixed_rd_compress_bit_identical():
+    """Mixed ALP + ALP_RD column: compress(mesh=...) shards BOTH scheme
+    paths (no host fallback) and must stay byte-identical to the host
+    path; decompress(mesh=...) round-trips bit-exactly."""
+    from alp_tpu import container
+    rng = np.random.default_rng(21)
+    alp_rg = np.round(rng.uniform(-500, 500, C.ROWGROUP_SIZE), 2)
+    rd_rg = rng.standard_normal(C.ROWGROUP_SIZE // 2 + 311)
+    data = np.concatenate([alp_rg, rd_rg])
+    host = container.compress(data)
+    assert (host.rg_scheme == C.SCHEME_ALP).any()
+    assert (host.rg_scheme == C.SCHEME_ALP_RD).any()
+    for nd in (2, 8):
+        cc = container.compress(data, mesh=make_mesh(nd))
+        assert cc.to_bytes() == host.to_bytes(), f"mesh size {nd}"
+    out = container.decompress(cc, mesh=make_mesh(8))
+    np.testing.assert_array_equal(out.view(np.uint64),
+                                  data.view(np.uint64))
+
+
 def test_container_sharded_decompress_mid64():
     """A mid64-routed column (bw > 32) through the mesh decode path."""
     from alp_tpu import container
