@@ -43,7 +43,8 @@ from .ops import fastlanes as jfl
 from .ops.numerics import numerics_for
 
 _MAGIC = b"ALPT"
-_VERSION = 1
+_VERSION = 2
+_FLAG_ENC_MAX = 1
 
 
 def _host_cpu():
@@ -82,6 +83,13 @@ class CompressedColumn:
     left_packed: list              # RD only: u16 words ([] for ALP vectors)
     exc_values: list               # ALP: PT values; RD: u16 left parts
     exc_positions: list            # u16 positions
+    # acceleration metadata (format v2): exact per-vector max FFOR delta
+    # (max encoded n - base), so the decode-plan builder can prove
+    # fast-variant eligibility without re-unpacking borderline vectors
+    # (kernels/decode.py).  Derivable from the payload - a v1 blob loads
+    # with None and the planner falls back to on-demand refinement.  Not
+    # part of the reference cost model (bits_per_value is unaffected).
+    enc_max: np.ndarray | None = None   # u64[n_vec] (0 for RD vectors)
 
     @property
     def n_rowgroups(self) -> int:
@@ -124,7 +132,8 @@ class CompressedColumn:
 
     def to_bytes(self) -> bytes:
         dtype_tag = 0 if self.dtype == np.float64 else 1
-        head = struct.pack("<4sHBBQII", _MAGIC, _VERSION, dtype_tag, 0,
+        flags = _FLAG_ENC_MAX if self.enc_max is not None else 0
+        head = struct.pack("<4sHBBQII", _MAGIC, _VERSION, dtype_tag, flags,
                            self.n_values, self.n_vectors, self.n_rowgroups)
         tc = constants_for(self.dtype)
 
@@ -147,6 +156,8 @@ class CompressedColumn:
             self.bit_width.astype(np.uint8).tobytes(),
             self.base.tobytes(),
             self.exc_count.astype(np.uint16).tobytes(),
+            (self.enc_max.astype(np.uint64).tobytes()
+             if self.enc_max is not None else b""),
             ragged(self.packed, tc.ut),
             ragged(self.left_packed, np.uint16),
             b"".join(np.asarray(p).tobytes() for p in self.exc_values),
@@ -156,10 +167,10 @@ class CompressedColumn:
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CompressedColumn":
-        magic, ver, dtype_tag, _, n_values, n_vec, n_rg = struct.unpack_from(
-            "<4sHBBQII", buf, 0)
-        if magic != _MAGIC or ver != _VERSION:
-            raise ValueError("not an ALPT v1 buffer")
+        magic, ver, dtype_tag, flags, n_values, n_vec, n_rg = \
+            struct.unpack_from("<4sHBBQII", buf, 0)
+        if magic != _MAGIC or ver not in (1, 2):
+            raise ValueError("not an ALPT v1/v2 buffer")
         if dtype_tag not in (0, 1):
             raise ValueError(f"bad dtype tag {dtype_tag}")
         dtype = np.dtype(np.float64 if dtype_tag == 0 else np.float32)
@@ -198,6 +209,9 @@ class CompressedColumn:
         bit_width = take(np.uint8, n_vec)
         base = take(tc.st, n_vec)
         exc_count = take(np.uint16, n_vec)
+        enc_max = None
+        if ver >= 2 and (flags & _FLAG_ENC_MAX):
+            enc_max = take(np.uint64, n_vec)
 
         eb = tc.exact_type_bit_size
         if not np.all(np.isin(rg_scheme, (C.SCHEME_ALP, C.SCHEME_ALP_RD))):
@@ -219,6 +233,10 @@ class CompressedColumn:
         # zero-copy views of one frombuffer per section)
         vec_rg = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
         is_alp = rg_scheme[vec_rg] == C.SCHEME_ALP
+        if enc_max is not None:
+            chk = is_alp & (bit_width < eb)
+            if np.any(enc_max[chk] >> bit_width[chk].astype(np.uint64)):
+                raise ValueError("enc_max exceeds bit_width range")
 
         def split_section(sizes, dt):
             total = int(sizes.sum())
@@ -242,7 +260,8 @@ class CompressedColumn:
         exc_positions = split_section(exc_count.astype(np.int64), np.uint16)
         return cls(dtype, n_values, n_vec, rg_scheme, rd_dict, rd_dict_size,
                    rd_left_bw, rd_right_bw, fac, exp, bit_width, base,
-                   exc_count, packed, left_packed, exc_values, exc_positions)
+                   exc_count, packed, left_packed, exc_values, exc_positions,
+                   enc_max=enc_max)
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +369,7 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     exp = np.zeros(n_vec, np.uint8)
     bit_width = np.zeros(n_vec, np.uint8)
     base = np.zeros(n_vec, tc.st)
+    enc_max = np.zeros(n_vec, np.uint64)
     exc_count = np.zeros(n_vec, np.uint16)
     packed = [None] * n_vec
     left_packed = [np.empty(0, np.uint16)] * n_vec
@@ -394,6 +414,9 @@ def _compress(data: np.ndarray) -> CompressedColumn:
             cnt = int(res["exc_count"][v])
             exc_positions[v] = res["exc_positions"][v, :cnt].copy()
             exc_values[v] = res["exc_values"][v, :cnt].copy()
+        enc_max[alp_idx] = (
+            encoded[alp_idx].max(axis=1).astype(np.int64).view(np.uint64)
+            - base[alp_idx].astype(np.int64).view(np.uint64))
         bws_all = bit_width[alp_idx]
         for bw in np.unique(bws_all):
             sel = alp_idx[bws_all == bw]
@@ -412,6 +435,9 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         bit_width[alp_idx] = bws.astype(np.uint8)
         bases = np.asarray(res["base"], tc.st)
         base[alp_idx] = bases
+        enc_max[alp_idx] = (
+            encoded.max(axis=1).astype(np.int64).view(np.uint64)
+            - bases.astype(np.int64).view(np.uint64))
         positions = _compact_exceptions(exc_mask)
         for j, v in enumerate(alp_idx):
             exc_positions[v] = positions[j]
@@ -471,7 +497,8 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
         fac=fac, exp=exp, bit_width=bit_width, base=base,
         exc_count=exc_count, packed=packed, left_packed=left_packed,
-        exc_values=exc_values, exc_positions=exc_positions)
+        exc_values=exc_values, exc_positions=exc_positions,
+        enc_max=enc_max)
 
 
 # ---------------------------------------------------------------------------

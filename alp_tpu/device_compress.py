@@ -227,9 +227,11 @@ def compress_device(data=None, *, planes=None, n_values=None):
                                           flo, fhi, frlo, frhi)]
     nhi, nlo, exc, rare = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
     nhi, nlo, n_exc = _patch_and_count(nhi, nlo, exc)
-    bw_d, base_d = kencode.analyze_planes_f64(nhi, nlo)
+    bw_d, base_d, max_d = kencode.analyze_planes_f64(nhi, nlo)
     bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
     base_all = np.asarray(base_d)[:n_vec].astype(np.int64)
+    enc_max = (np.asarray(max_d)[:n_vec].view(np.uint64)
+               - base_all.view(np.uint64))
     n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
     rare_count = int(np.asarray(jnp.sum(rare)))
 
@@ -287,7 +289,8 @@ def compress_device(data=None, *, planes=None, n_values=None):
         bit_width=bw_all, base=base_all,
         exc_count=n_exc_np, packed=packed,
         left_packed=[np.empty(0, np.uint16)] * n_vec,
-        exc_values=exc_values, exc_positions=exc_positions)
+        exc_values=exc_values, exc_positions=exc_positions,
+        enc_max=enc_max)
 
     if rare_count:
         # subnormal inputs outside the device envelope: re-encode those
@@ -313,6 +316,10 @@ def _host_fixup(col, rows_by_vec, bad_vectors, fac_v, exp_v, tc):
         bw, base = ocore.analyze_ffor(enc.encoded, tc)
         col.bit_width[v] = bw
         col.base[v] = base
+        if col.enc_max is not None:
+            col.enc_max[v] = (
+                np.int64(enc.encoded.max()).view(np.uint64)
+                - np.int64(base).view(np.uint64))
         col.exc_count[v] = len(enc.exc_positions)
         col.exc_positions[v] = enc.exc_positions
         col.exc_values[v] = enc.exc_values
@@ -409,9 +416,11 @@ def _compress_device_f32(data: np.ndarray):
         expand32(tc.fact_arr[fac_v].astype(np.int32).view(np.uint32)),
         expand32(tc.frac_arr[exp_v].view(np.uint32)))
     n_p, n_exc = _patch_and_count32(n_p, exc_p)
-    bw_d, base_d = kencode.analyze_planes_f32(n_p)
+    bw_d, base_d, max_d = kencode.analyze_planes_f32(n_p)
     bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
     base_all = np.asarray(base_d)[:n_vec].astype(np.int32)
+    enc_max = (np.asarray(max_d)[:n_vec].view(np.uint32)
+               - base_all.view(np.uint32)).astype(np.uint64)
     n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
 
     packed = [None] * n_vec
@@ -460,4 +469,5 @@ def _compress_device_f32(data: np.ndarray):
         bit_width=bw_all, base=base_all,
         exc_count=n_exc_np, packed=packed,
         left_packed=[np.empty(0, np.uint16)] * n_vec,
-        exc_values=exc_values, exc_positions=exc_positions)
+        exc_values=exc_values, exc_positions=exc_positions,
+        enc_max=enc_max)

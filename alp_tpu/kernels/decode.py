@@ -225,84 +225,77 @@ def build_plan(col) -> DecodePlan:
         base_v = col.base[alp_idx].astype(np.int64)
         fact_v = tc.fact_arr[col.fac[alp_idx]]
         five_v = np.power(np.int64(5), col.fac[alp_idx].astype(np.int64))
-        span = np.where(bws_v <= 32,
-                        (np.int64(1) << np.minimum(bws_v, 32)) - 1, 0)
-        cand = (bws_v <= 32) & (base_v >= -(2**31)) & (base_v <= 2**31)
-        n_hi = np.where(cand, base_v + span, 0)
-        cand &= n_hi <= 2**31 - 1
-        maxn = np.maximum(np.maximum(np.abs(base_v), np.abs(n_hi)), 1)
+        # per-(fac, exp) 96-bit constant properties, vectorised over the
+        # handful of unique pairs (mid64/midc96 need the constant's bit
+        # length; mid needs whether its low limb is zero)
+        pairs, pair_inv = np.unique(
+            np.stack([col.fac[alp_idx], col.exp[alp_idx]]), axis=1,
+            return_inverse=True)
+        cb = np.empty(pairs.shape[1], np.int64)
+        c0z = np.empty(pairs.shape[1], bool)
+        for k in range(pairs.shape[1]):
+            frac_u = int(np.float64(
+                tc.frac_arr[pairs[1, k]]).view(np.uint64))
+            fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+            cc = (5 ** int(pairs[0, k])) * fsig
+            cb[k] = cc.bit_length()
+            c0z[k] = cb[k] <= 96 and (
+                (cc << (96 - int(cb[k]))) & 0xFFFFFFFF) == 0
+        cbits_v = cb[pair_inv]
+        c0zero_v = c0z[pair_inv]
 
-        def eligible(mx):
-            mid = (cand & (five_v <= (2**53 - 1) // mx)
-                   & (fact_v <= (2**63 - 1) // mx))
-            small = cand & (five_v <= (2**32 - 1) // mx)
-            return mid, small
+        # max FFOR delta u (n = base + u, u >= 0): exact when the column
+        # carries enc_max (format v2 acceleration metadata, written by
+        # every compress path); else the conservative 2^bw - 1 bound,
+        # refined for borderline vectors by unpacking them host-side.
+        # bw only gives max(n) <= base + 2^bw - 1, but the true max can
+        # be half that (bw covers [2^(bw-1), 2^bw)) — e.g. bitcoin
+        # (bw 30, fac 10) sits right at the |n * 5^fac| < 2^53 edge.
+        cons_umax = np.where(
+            bws_v >= 64, np.uint64(2**64 - 1),
+            (np.uint64(1) << np.minimum(bws_v, 63).astype(np.uint64))
+            - np.uint64(1))
+        if col.enc_max is not None:
+            umax_v = col.enc_max[alp_idx]
+        else:
+            umax_v = cons_umax
 
-        mid_v, small_v = eligible(maxn)
+        def eligibility(umax):
+            """(mid, small, mid64, c96) masks from a max-delta bound.
 
-        # mid64 / midc96: bit widths beyond int32 whose odd part still
-        # fits 2^53; mid64 when the constant 5^fac * fsig fits 64 bits
-        # (fac <= 4), midc96 when it needs 65..80 bits (fac 5..9 — the
-        # 80-bit cap keeps c0's low 16 bits zero, the i64c96_to_f64
-        # contract; fac <= 11 in practice, but the odd-part bound
-        # excludes bw > 32 there anyway)
-        cbits_cache = {}
+            max_n/maxn are garbage-safe for bw >= 53 (the cand gates
+            mask them before use)."""
+            max_n = (base_v.view(np.uint64) + umax).view(np.int64)
+            maxn = np.maximum(np.maximum(np.abs(base_v),
+                                         np.abs(max_n)), 1)
+            cand = ((bws_v <= 32) & (base_v >= -(2**31))
+                    & (max_n <= 2**31 - 1))
+            mid = (cand & (five_v <= (2**53 - 1) // maxn)
+                   & (fact_v <= (2**63 - 1) // maxn)
+                   & (cbits_v <= 96))   # 96-bit plan constant must fit
+            small = cand & (five_v <= (2**32 - 1) // maxn)
+            cand64 = ((bws_v > 32) & (bws_v <= 52)
+                      & (base_v > -(2**53)) & (max_n < 2**53))
+            wide_ok = (cand64 & (five_v <= (2**53 - 1) // maxn)
+                       & (fact_v <= (2**63 - 1) // maxn))
+            return (mid, small, wide_ok & (cbits_v <= 64),
+                    wide_ok & (cbits_v > 64) & (cbits_v <= 80))
 
-        def c_bitlen(fac, exp):
-            key = (int(fac), int(exp))
-            if key not in cbits_cache:
-                frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
-                fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
-                cbits_cache[key] = ((5 ** int(fac)) * fsig).bit_length()
-            return cbits_cache[key]
-
-        cbits_v = np.array([c_bitlen(col.fac[v], col.exp[v])
-                            for v in alp_idx], np.int64)
-        cand64 = ((bws_v > 32) & (bws_v <= 52)
-                  & (base_v > -(2**53)) & (base_v < 2**53))
-        span64 = np.where(cand64, (np.int64(1)
-                                   << np.minimum(bws_v, 52)) - 1, 0)
-        n_hi64 = np.where(cand64, base_v + span64, 0)
-        maxn64 = np.maximum(
-            np.maximum(np.abs(base_v), np.abs(n_hi64)), 1)
-
-        def eligible64(mx):
-            wide_ok = (cand64 & (five_v <= (2**53 - 1) // mx)
-                       & (fact_v <= (2**63 - 1) // mx))
-            return wide_ok & (cbits_v <= 64), wide_ok & (cbits_v > 64) & (
-                cbits_v <= 80)
-
-        mid64_v, c96_v = eligible64(maxn64)
-        # Bound refinement: bw only gives max(n) <= base + 2^bw - 1, but
-        # the true max can be half that (bw covers [2^(bw-1), 2^bw)).
-        # Where the conservative bound fails but the best-case bound
-        # would pass, unpack those vectors host-side (cheap, native) and
-        # re-test with the actual max — recovers columns sitting right
-        # at the |n * 5^fac| < 2^53 edge (e.g. bitcoin at bw 30).
-        lo_hi = np.where(cand & (bws_v > 0),
-                         base_v + (np.int64(1) << np.maximum(
-                             np.minimum(bws_v, 32) - 1, 0)), n_hi)
-        maxn_best = np.maximum(
-            np.maximum(np.abs(base_v), np.abs(lo_hi)), 1)
-        mid_best, small_best = eligible(maxn_best)
-        lo_hi64 = np.where(cand64, base_v + (span64 >> 1), n_hi64)
-        maxn64_best = np.maximum(
-            np.maximum(np.abs(base_v), np.abs(lo_hi64)), 1)
-        mid64_best, c96_best = eligible64(maxn64_best)
-        border = np.nonzero((mid_best | small_best | mid64_best | c96_best)
-                            & ~(mid_v | small_v | mid64_v | c96_v))[0]
-        if border.size:
-            true_max = _true_max_encoded(col, alp_idx[border],
-                                         bws_v[border], base_v[border])
-            tm = np.maximum(
-                np.maximum(np.abs(base_v[border]), np.abs(true_max)), 1)
-            mx = maxn.copy()
-            mx[border] = tm
-            mid_v, small_v = eligible(mx)
-            maxn = mx
-            mx64 = maxn64.copy()
-            mx64[border] = tm
-            mid64_v, c96_v = eligible64(mx64)
+        if col.enc_max is None:
+            mid_v, small_v, mid64_v, c96_v = eligibility(umax_v)
+            best = eligibility(cons_umax >> np.uint64(1))
+            border = np.nonzero(
+                (best[0] | best[1] | best[2] | best[3])
+                & ~(mid_v | small_v | mid64_v | c96_v))[0]
+            if border.size:
+                true_max = _true_max_encoded(col, alp_idx[border],
+                                             bws_v[border], base_v[border])
+                umax_v = umax_v.copy()
+                umax_v[border] = (true_max.view(np.uint64)
+                                  - base_v[border].view(np.uint64))
+        mid_v, small_v, mid64_v, c96_v = eligibility(umax_v)
+        max_n = (base_v.view(np.uint64) + umax_v).view(np.int64)
+        maxn = np.maximum(np.maximum(np.abs(base_v), np.abs(max_n)), 1)
         var_v[c96_v] = "midc96"
         var_v[mid64_v] = "mid64"
         var_v[mid_v] = "mid"
@@ -315,12 +308,12 @@ def build_plan(col) -> DecodePlan:
         wide = mid64_v | c96_v
         flags_v[wide & (base_v >= 0)] |= 2            # nonneg
         flags_v[wide & (base_v > 0)] |= 8             # nozero
-        # allneg: even the conservative max n = base + 2^bw - 1 is
-        # negative, so |n| = (-base) - u (one subtract, constant sign);
-        # maghi: min |n| >= 2^32 kills the normalize two-case select
-        allneg_v = wide & (n_hi64 < 0)
+        # allneg: max n < 0, so |n| = (-base) - u (one subtract,
+        # constant sign); maghi: min |n| >= 2^32 kills the normalize
+        # two-case select
+        allneg_v = wide & (max_n < 0)
         flags_v[allneg_v] |= 32
-        min_abs = np.where(allneg_v, -n_hi64,
+        min_abs = np.where(allneg_v, -max_n,
                            np.where(base_v >= 0, base_v, 0))
         flags_v[wide & (min_abs >= 2**32)] |= 64      # maghi
         # generic buckets where every vector has fac == 0 skip the FACT
@@ -328,29 +321,11 @@ def build_plan(col) -> DecodePlan:
         gen_sel = var_v == "gen"
         flags_v[gen_sel & (col.fac[alp_idx] == 0)] |= 16
         # static work-pruning flags, uniform per bucket (mid kernel)
-        c0z_cache = {}
-
-        def c0_is_zero(fac, exp):
-            key = (int(fac), int(exp))
-            if key not in c0z_cache:
-                frac_u = int(np.float64(tc.frac_arr[exp]).view(np.uint64))
-                fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
-                cc = (5 ** int(fac)) * fsig
-                cc <<= 95 - (cc.bit_length() - 1)
-                c0z_cache[key] = (cc & 0xFFFFFFFF) == 0
-            return c0z_cache[key]
-
-        mi = np.nonzero(var_v == "mid")[0]
-        for j in mi:
-            f = 1 if c0_is_zero(col.fac[alp_idx[j]],
-                                col.exp[alp_idx[j]]) else 0
-            if base_v[j] >= 0:
-                f |= 2
-            if maxn[j] < 2**24:
-                f |= 4
-            if base_v[j] > 0:
-                f |= 8
-            flags_v[j] = f
+        flags_v[mid_v] = (c0zero_v[mid_v].astype(np.int8)
+                          | np.where(base_v[mid_v] >= 0, 2, 0)
+                          | np.where(maxn[mid_v] < 2**24, 4, 0)
+                          | np.where(base_v[mid_v] > 0, 8, 0)
+                          ).astype(np.int8)
 
     for bw, vr, fl in sorted({(int(b), str(v), int(f))
                               for b, v, f in zip(bws_v, var_v, flags_v)}):

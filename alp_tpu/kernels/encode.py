@@ -174,7 +174,8 @@ def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
 @jax.jit
 def analyze_planes_f32(n_plane):
     """analyze_ffor for f32: [G, 32, 128] i32-as-u32 planes ->
-    per-vector (bit_width, base) in group-major vector order [G*4]."""
+    per-vector (bit_width, base, max) in group-major vector order
+    [G*4]; max feeds the persisted enc_max plan metadata."""
     G = n_plane.shape[0]
     i = n_plane.astype(jnp.int32).reshape(G, 32, 4, 32)
     mn = i.min(axis=(1, 3)).reshape(-1)
@@ -187,15 +188,15 @@ def analyze_planes_f32(n_plane):
         bw = bw + jnp.where(big, jnp.int32(s), 0)
         d = jnp.where(big, d >> jnp.uint32(s), d)
     bw = bw + (d != 0).astype(jnp.int32)
-    return bw, mn
+    return bw, mn, mx
 
 
 @jax.jit
 def analyze_planes_f64(nhi, nlo):
     """analyze_ffor on device: encoded int64 (hi, lo) planes
-    [G, 64, 128] -> per-vector (bit_width, base) in group-major vector
-    order [G*8].  XLA (not Pallas): 64-bit emulation is fine for a
-    min/max reduction."""
+    [G, 64, 128] -> per-vector (bit_width, base, max) in group-major
+    vector order [G*8].  XLA (not Pallas): 64-bit emulation is fine for
+    a min/max reduction; max feeds the persisted enc_max metadata."""
     G = nhi.shape[0]
     u = (nhi.astype(jnp.uint64) << jnp.uint64(32)) | nlo.astype(jnp.uint64)
     i = u.astype(jnp.int64).reshape(G, 64, 8, 16)
@@ -209,7 +210,7 @@ def analyze_planes_f64(nhi, nlo):
         bw = bw + jnp.where(big, jnp.int32(s), 0)
         d = jnp.where(big, d >> jnp.uint64(s), d)
     bw = bw + (d != 0).astype(jnp.int32)
-    return bw, mn
+    return bw, mn, mx
 
 
 @jax.jit

@@ -109,6 +109,7 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
     exp = np.zeros(n_vec, np.uint8)
     bit_width = np.zeros(n_vec, np.uint8)
     base = np.zeros(n_vec, tc.st)
+    enc_max = np.zeros(n_vec, np.uint64)
     packed = [None] * n_vec
     left_packed = [np.empty(0, np.uint16)] * n_vec
     exc_positions = [None] * n_vec
@@ -157,6 +158,9 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
         base[alp_idx] = bases
         exc_mask = np.asarray(out["exc_mask"])[:na]
         encoded_sh = out["encoded"]       # stays device-sharded for pack
+        mx = np.asarray(jax.jit(lambda e: e.max(axis=1))(encoded_sh))[:na]
+        enc_max[alp_idx] = (mx.astype(np.int64).view(np.uint64)
+                            - bases.astype(np.int64).view(np.uint64))
 
         for bw in np.unique(bws):
             sel = np.nonzero(bws == bw)[0]
@@ -239,7 +243,8 @@ def compress_sharded(data: np.ndarray, mesh: Mesh):
         rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
         fac=fac, exp=exp, bit_width=bit_width, base=base,
         exc_count=exc_count, packed=packed, left_packed=left_packed,
-        exc_values=exc_values, exc_positions=exc_positions)
+        exc_values=exc_values, exc_positions=exc_positions,
+        enc_max=enc_max)
 
 
 def decompress_sharded(col, mesh: Mesh) -> np.ndarray:

@@ -51,7 +51,9 @@ def tile_column(cc, reps):
         exc_count=np.tile(cc.exc_count, reps),
         packed=cc.packed * reps, left_packed=cc.left_packed * reps,
         exc_values=cc.exc_values * reps,
-        exc_positions=cc.exc_positions * reps)
+        exc_positions=cc.exc_positions * reps,
+        enc_max=(np.tile(cc.enc_max, reps)
+                 if cc.enc_max is not None else None))
 
 
 def bench_dataset(path):

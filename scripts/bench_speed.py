@@ -234,7 +234,7 @@ def main():
         nh, nl, exc, rare = kenc.alp_encode_f64_tiles(
             vhi, vlo ^ carry, c1lo, c1hi, c2lo, c2hi, flo_, fhi_,
             frlo_, frhi_)
-        bw_, base_ = kenc.analyze_planes_f64(nh, nl)
+        bw_, base_, _mx = kenc.analyze_planes_f64(nh, nl)
         packed = kf.ffor_planes_f64(
             nh, nl, jnp.zeros((Ge, 128), jnp.uint32),
             jnp.zeros((Ge, 128), jnp.uint32), bw=48)

@@ -117,7 +117,7 @@ def test_analyze_planes_and_ffor_planes():
         (bits >> np.uint64(32)).astype(np.uint32), 64))
     nlo = jnp.asarray(layout.plane_to_tile(
         (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32), 64))
-    bw, base = analyze_planes_f64(nhi, nlo)
+    bw, base, mx = analyze_planes_f64(nhi, nlo)
     # group-major vector order == original order (vectors are consecutive)
     for v in range(n):
         obw, obase = ocore.analyze_ffor(ints[v], tc)
@@ -213,7 +213,7 @@ def test_encode_f32_kernel_vs_ops():
     np.testing.assert_array_equal(got_n[ok], expect_n[ok])
     # analyze on kernel-patched planes should match ops analyze of the
     # patched ints (patch host-side here for the comparison)
-    bw, base = analyze_planes_f32(n_p)
+    bw, base, mx = analyze_planes_f32(n_p)
 
 
 def test_compress_device_f32_bit_identical():
