@@ -410,6 +410,11 @@ def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
     return out[0][:G], out[1][:G]
 
 
+def _falp_f64_const_kernel(hi_plane, lo_plane, out_hi, out_lo):
+    out_hi[:] = jnp.broadcast_to(hi_plane[:][:, None, :], out_hi.shape)
+    out_lo[:] = jnp.broadcast_to(lo_plane[:][:, None, :], out_lo.shape)
+
+
 @jax.jit
 def falp_decode_f64_const(hi_plane, lo_plane):
     """Fused falp decode, constant variant (bw == 0): every slot of a
@@ -418,15 +423,33 @@ def falp_decode_f64_const(hi_plane, lo_plane):
     (both roundings are native f64 ops there), so the kernel is a pure
     broadcast write — output-bandwidth-bound instead of softfloat-bound
     (the reference runs its full per-value decode even at bw 0,
-    src/falp.cpp bw-0 kernels).  Plain XLA ``repeat`` is the fastest
-    broadcast-write on this shape (243 vs 170 GB/s for a Pallas grid).
+    src/falp.cpp bw-0 kernels).  A Pallas kernel rather than XLA
+    ``repeat`` so the planes are genuinely materialised: repeat fuses
+    into downstream consumers (or dead-code-eliminates entirely under a
+    reduce), which mismeasures and changes decode-plan semantics.
 
     ``hi_plane``/``lo_plane``: [G, 128] lane-expanded f64 bit limbs of
     the per-vector constant.  Returns [G, 64, 128] (hi, lo) planes.
     """
     G = hi_plane.shape[0]
-    return (jnp.repeat(hi_plane, 64, axis=0).reshape(G, 64, 128),
-            jnp.repeat(lo_plane, 64, axis=0).reshape(G, 64, 128))
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        hi_plane, lo_plane = (jnp.pad(a, ((0, pad), (0, 0)))
+                              for a in (hi_plane, lo_plane))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _falp_f64_const_kernel,
+        grid=(Gp // gb,),
+        in_specs=[meta_spec] * 2,
+        out_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 2,
+        interpret=_interpret(),
+    )(hi_plane, lo_plane)
+    return out[0][:G], out[1][:G]
 
 
 def _f64_bits_to_f32(hi, lo):

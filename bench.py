@@ -11,8 +11,10 @@ the reference CPU speed-of-light, ~0.5 cycles/value @3.5 GHz ≈ 56 GB/s
 decoded doubles per core (BASELINE.md §3).
 
 Timing: lax.fori_loop inside one jitted program with a data dependence
-between iterations (see alp_tpu/benchlib.py — per-dispatch timing is
-unreliable through the axon tunnel).
+between iterations; per-iteration device time is the slope between two
+trip counts of the same executable, cancelling the tunnel's fixed
+~30 ms per-program dispatch RPC (see alp_tpu/benchlib.py — matches the
+reference's 30k-iteration steady-state loops, fls_bench.hpp).
 """
 
 import json
