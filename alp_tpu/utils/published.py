@@ -4,11 +4,12 @@ Transcribed from the reference paper artifact table
 (reference publication/tables/table_4.md) so ratio reports can carry
 the comparisons this environment cannot reproduce directly:
 
-* ``zstd``: Zstandard v1.5.5 (the reference fetches real zstd;
-  this image has none, so the measured general-purpose column in our
-  reports is zlib/DEFLATE and is labeled as such — NOT comparable to
-  these numbers);
-* ``elf``: the Elf codec (Java artifact, excluded from this build);
+* ``zstd``: Zstandard v1.5.5 (measured via the ctypes libzstd binding
+  when the system library exists, zlib/DEFLATE stand-in otherwise —
+  competitors.zstd_codec);
+* ``elf``: the Elf codec (measured via competitors.elf_codec, a
+  behavioral reimplementation of the reference's Java artifact; these
+  published numbers are its full-data parity targets);
 * ``alp``: the reference's own full-dataset ALP result — our measured
   column uses the shipped 1024-value samples unless the full corpus is
   mounted (ALP_DATASET_DIR_PATH), so expect sample-vs-full deltas.

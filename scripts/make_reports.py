@@ -39,11 +39,14 @@ def suite(columns, dtype, name):
         out = container.decompress(cc)
         ut = np.uint64 if data.dtype == np.float64 else np.uint32
         assert (out.view(ut) == data.view(ut)).all(), col.name
-        comp = {n: fn(data) / data.size for n, fn in ALL_CODECS.items()}
+        comp = {n: fn(data) for n, fn in ALL_CODECS.items()}
+        comp = {n: (v / data.size if v is not None else None)
+                for n, v in comp.items()}   # None: codec N/A (Elf is f64-only)
         rows.append((i, col.name, cc.bits_per_value(), cc.n_rowgroups,
                      cc.n_vectors, source, comp))
         print(f"{col.name} [{source}]: alp={cc.bits_per_value():.2f} "
-              + " ".join(f"{n}={v:.2f}" for n, v in comp.items()),
+              + " ".join(f"{n}={v:.2f}" for n, v in comp.items()
+                         if v is not None),
               flush=True)
     with open(path, "w") as f:
         # per-row `source` flags whether the measurement used the full
@@ -59,7 +62,8 @@ def suite(columns, dtype, name):
             pub = ",".join("" if x is None else f"{x:.2f}"
                            for x in (pz, pe, pa))
             f.write(f"{i},{nm},{alp:.2f},{nrg},{nv},{source},"
-                    + ",".join(f"{comp[n]:.2f}" for n in ALL_CODECS)
+                    + ",".join("" if comp[n] is None else f"{comp[n]:.2f}"
+                               for n in ALL_CODECS)
                     + f",{pub}\n")
     _write_metadata(path + ".metadata")
     if rows:

@@ -41,9 +41,12 @@ def table_4():
     # measured codec columns (dynamic: "zstd" when libzstd was bound,
     # "zlib" stand-in otherwise)
     gp = "zstd" if "zstd" in rows[0] else "zlib"
-    cols = ["gorillas", "chimp", "chimp128", "patas", gp]
-    heads = ["Gor", "Ch", "Ch128", "Patas",
+    cols = ["gorillas", "chimp", "chimp128", "patas", "elf", gp]
+    heads = ["Gor", "Ch", "Ch128", "Patas", "Elf",
              "Zstd" if gp == "zstd" else "zlib"]
+    if "elf" not in rows[0]:     # older CSVs without the measured column
+        cols.remove("elf")
+        heads.remove("Elf")
     lines = [
         "# Table 4 analog — compression ratio, 30-double suite "
         "(bits/value)",
@@ -52,9 +55,11 @@ def table_4():
         "sample, not the full corpus (mount `ALP_DATASET_DIR_PATH` for "
         "full-data runs) — sample rows are NOT comparable to the "
         "published full-data columns.  `*_pub` columns are the "
-        "reference paper's full-data results (table_4.md); Elf has no "
-        "code counterpart in this image, Zstd_pub/ALP_pub are parity "
-        "targets for the measured Zstd/ALP columns.",
+        "reference paper's full-data results (table_4.md); Elf, Zstd "
+        "and ALP have measured columns with Elf_pub/Zstd_pub/ALP_pub "
+        "as their full-data parity targets (Elf measured by "
+        "alp_tpu.competitors.elf_codec, a behavioral reimplementation "
+        "of the reference's Java artifact).",
         "",
         "| Dataset | " + " | ".join(heads) + " | Zstd_pub | "
         "Elf_pub | ALP (ours) | ALP_pub |",
