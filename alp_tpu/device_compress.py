@@ -118,6 +118,45 @@ def _gather_flat(vhi, vlo, flat_idx: np.ndarray) -> np.ndarray:
     return ((hi << np.uint64(32)) | lo).view(np.float64)
 
 
+@jax.jit
+def _gather_values_u64(vhi, vlo, flat_idx):
+    """In-graph gather of flat value indices from tile-order planes:
+    value k of vector n lives at [n//8, k//16, (n%8)*16 + k%16]."""
+    n = flat_idx // C.VECTOR_SIZE
+    k = flat_idx % C.VECTOR_SIZE
+    g = n // 8
+    s = k // 16
+    c = (n % 8) * 16 + k % 16
+    hi = vhi[g, s, c].astype(jnp.uint64)
+    lo = vlo[g, s, c].astype(jnp.uint64)
+    return (hi << jnp.uint64(32)) | lo
+
+
+@jax.jit
+def _first_level_device(vhi, vlo, flat_idx):
+    """Device rowgroup planning: sample gather + exact top-k vote.
+
+    flat_idx: [R, V, S] flat value indices of each full rowgroup's
+    first-level sample.  Returns (combos [R, 5, 2], k_count [R],
+    is_rd [R]) — oracle-identical (ops.alp.first_level_combos).
+    """
+    from .ops import alp as oalp
+    from .ops.numerics import numerics_for
+    chunks = _gather_values_u64(vhi, vlo, flat_idx)
+    return oalp.first_level_combos(numerics_for(np.float64), chunks)
+
+
+@jax.jit
+def _second_level_device(vhi, vlo, sample_idx, combos, k_count):
+    """Device second-level (e, f) choice on the 32-value stride of every
+    vector (choose_factor_exponent_from_samples, in-graph gather)."""
+    from .ops import alp as oalp
+    from .ops.numerics import numerics_for
+    samples = _gather_values_u64(vhi, vlo, sample_idx)
+    return oalp.choose_factor_exponent_from_samples(
+        numerics_for(np.float64), samples, combos, k_count)
+
+
 def compress_device(data=None, *, planes=None, n_values=None):
     """Compress float64 data with the encode hot path on the TPU.
 
@@ -163,13 +202,36 @@ def compress_device(data=None, *, planes=None, n_values=None):
     n_rg = max(1, math.ceil(n_vec / C.N_VECTORS_PER_ROWGROUP))
     n_pad_v = layout.pad_vectors(n_vec, 64)
 
-    # ------- host planning from fetched samples ------------------------
-    # first_level_sample over an index ramp yields the sampled POSITIONS
-    # (indices < 2^53 are exact in f64), so only those values are fetched
+    # ------- rowgroup planning -----------------------------------------
+    # FULL rowgroups plan entirely ON DEVICE: strided sample gather +
+    # exact-softfloat top-k vote (ops.alp.first_level_combos) in one jit;
+    # only the tiny [R, 5, 2] combo table crosses to the host.  The tail
+    # rowgroup (if any) keeps the host oracle (its sampling rules are
+    # length-dependent, sampler.hpp:15-52).
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
-    for rg in range(n_rg):
+    n_full = n_vec // C.N_VECTORS_PER_ROWGROUP
+    if n_full:
+        pos = ocore.first_level_sample(
+            np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(
+                np.int64)
+        V = len(pos) // C.SAMPLES_PER_VECTOR
+        flat = (np.arange(n_full, dtype=np.int64)[:, None]
+                * C.ROWGROUP_SIZE + pos[None, :]).reshape(
+                    n_full, V, C.SAMPLES_PER_VECTOR)
+        cmb, kc, isrd = _first_level_device(vhi, vlo, jnp.asarray(flat))
+        cmb, kc, isrd = (np.asarray(x) for x in (cmb, kc, isrd))
+        for rg in range(n_full):
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = lo_v + C.N_VECTORS_PER_ROWGROUP
+            if isrd[rg]:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                combos[lo_v:hi_v] = cmb[rg]
+                k_count[lo_v:hi_v] = kc[rg]
+    for rg in range(n_full, n_rg):
         lo_v = rg * C.N_VECTORS_PER_ROWGROUP
         hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
         rg_len = (hi_v - lo_v) * C.VECTOR_SIZE
@@ -197,22 +259,17 @@ def compress_device(data=None, *, planes=None, n_values=None):
                                dtype=np.int64))[:n_values]
         return ct.compress(np.asarray(full, np.float64))
 
-    # second-level (e, f) choice on the 32-sample stride (host, exact
-    # f64, ~3% of the data) — encoder.hpp:241-305 semantics via ops.alp
-    from .ops import alp as oalp
-    from .ops.numerics import numerics_for
-    nm = numerics_for(np.float64)
+    # second-level (e, f) choice on the 32-sample stride, ON DEVICE
+    # (exact softfloat; encoder.hpp:241-305 semantics via ops.alp) —
+    # only the [n_vec] fac/exp vectors cross to the host
     stride = C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR
     sample_idx = (np.arange(n_vec, dtype=np.int64)[:, None] * C.VECTOR_SIZE
                   + np.arange(C.SAMPLES_PER_VECTOR,
                               dtype=np.int64)[None, :] * stride)
-    samples2 = fetch(sample_idx.ravel()).reshape(n_vec,
-                                                 C.SAMPLES_PER_VECTOR)
-    with jax.default_device(jax.devices("cpu")[0]):
-        fac_v, exp_v = (np.asarray(x) for x in
-                        oalp.choose_factor_exponent_from_samples(
-                            nm, nm.values_from_np(samples2), combos,
-                            k_count))
+    fac_d, exp_d = _second_level_device(
+        vhi, vlo, jnp.asarray(sample_idx), jnp.asarray(combos),
+        jnp.asarray(k_count))
+    fac_v, exp_v = np.asarray(fac_d), np.asarray(exp_d)
 
     # ------- device encode + patch + analyze ---------------------------
     c1 = tc.exp_arr[exp_v]               # 10^e
@@ -304,6 +361,114 @@ def compress_device(data=None, *, planes=None, n_values=None):
                          ).reshape(len(bad), C.VECTOR_SIZE)
             _host_fixup(col, dict(zip(bad, rows)), bad, fac_v, exp_v, tc)
     return col
+
+
+def make_device_compress_step(n_vec: int):
+    """(step, static prep) for benchlib.loop_bench: the FULL device-side
+    compression pipeline — first-level rowgroup planning (top-k vote),
+    second-level (e, f) choice, exact encode+verify, exception patching,
+    FFOR analysis — as ONE jittable program over device-resident value
+    planes.  ``n_vec`` must be whole rowgroups (the bench shape).
+
+    Returns (step, make_args) where ``make_args(vhi, vlo)`` builds the
+    operand tuple.  The companion :func:`make_pack_step` times the
+    bucketed FFOR pack; their slope times sum to the device e2e
+    compression cost (the reference's encode benches are the same
+    steady-state shape, benchmarks/benchmark.cpp:41-148).
+    """
+    from .ops import alp as oalp
+    from .ops.numerics import numerics_for
+    from .oracle import core as ocore
+
+    assert n_vec % C.N_VECTORS_PER_ROWGROUP == 0
+    assert n_vec % 8 == 0
+    tc = constants_for(np.float64)
+    nm = numerics_for(np.float64)
+    n_rg = n_vec // C.N_VECTORS_PER_ROWGROUP
+    pos = ocore.first_level_sample(
+        np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(np.int64)
+    V = len(pos) // C.SAMPLES_PER_VECTOR
+    flat_first = jnp.asarray(
+        (np.arange(n_rg, dtype=np.int64)[:, None] * C.ROWGROUP_SIZE
+         + pos[None, :]).reshape(n_rg, V, C.SAMPLES_PER_VECTOR))
+    stride = C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR
+    sample_idx = jnp.asarray(
+        np.arange(n_vec, dtype=np.int64)[:, None] * C.VECTOR_SIZE
+        + np.arange(C.SAMPLES_PER_VECTOR, dtype=np.int64)[None, :]
+        * stride)
+    tabs = {}
+    for name, tab in (("c1", tc.exp_arr), ("c2", tc.frac_arr),
+                      ("fact", tc.fact_arr), ("frac", tc.frac_arr)):
+        lo, hi = _u64_split(np.ascontiguousarray(tab))
+        tabs[name] = (jnp.asarray(lo), jnp.asarray(hi))
+    G = n_vec // 8
+
+    def expand(per_vec_u32):
+        return jnp.repeat(per_vec_u32.reshape(G, 8), 16, axis=1,
+                          total_repeat_length=128)
+
+    def step(carry, vhi, vlo):
+        vlo = vlo ^ carry          # data dependence; cost-independent
+        chunks = _gather_values_u64(vhi, vlo, flat_first)
+        combos, k_count, _ = oalp.first_level_combos(nm, chunks)
+        combos = jnp.repeat(combos, C.N_VECTORS_PER_ROWGROUP, axis=0,
+                            total_repeat_length=n_vec)
+        k_count = jnp.repeat(k_count, C.N_VECTORS_PER_ROWGROUP,
+                             total_repeat_length=n_vec)
+        samples = _gather_values_u64(vhi, vlo, sample_idx)
+        fac, exp = oalp.choose_factor_exponent_from_samples(
+            nm, samples, combos, k_count)
+        meta = []
+        for name, idx in (("c1", exp), ("c2", fac), ("fact", fac),
+                          ("frac", exp)):
+            lo, hi = tabs[name]
+            meta += [expand(lo[idx]), expand(hi[idx])]
+        nhi, nlo, exc, _ = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
+        nhi, nlo, n_exc = _patch_and_count(nhi, nlo, exc)
+        bw, base, _ = kencode.analyze_planes_f64(nhi, nlo)
+        acc = (nhi[0, 0, 0] ^ nlo[0, 0, 0]
+               ^ bw.sum().astype(jnp.uint32)
+               ^ n_exc.sum().astype(jnp.uint32)
+               ^ base[0].astype(jnp.uint32) ^ fac[0].astype(jnp.uint32))
+        return carry ^ acc
+
+    return step
+
+
+def make_pack_step(col, nhi, nlo):
+    """loop_bench step for the bucketed FFOR pack stage: the patched
+    encode planes of ``col`` (from the device pipeline) packed per bit
+    width with the column's real bucket structure (static gathers, as in
+    compress_device)."""
+    n_vec = col.n_vectors
+    bw_all = col.bit_width[:n_vec]
+    base_all = col.base[:n_vec].astype(np.int64)
+    base_lo = (base_all.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32)
+    base_hi = (base_all.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
+    buckets = []
+    for bw in np.unique(bw_all):
+        if bw == 0:
+            continue
+        sel = np.nonzero(bw_all == bw)[0]
+        n_sel_pad = layout.pad_vectors(len(sel), 64)
+        ridx = np.zeros(n_sel_pad, np.int64)
+        ridx[:len(sel)] = sel
+        buckets.append((int(bw), jnp.asarray(ridx),
+                        _expand(base_lo[sel], n_sel_pad),
+                        _expand(base_hi[sel], n_sel_pad)))
+
+    def step(carry, nhi, nlo):
+        nlo = nlo ^ carry
+        acc = carry
+        for bw, ridx, blo, bhi in buckets:
+            sel_hi = _gather_regroup(nhi, ridx)
+            sel_lo = _gather_regroup(nlo, ridx)
+            tiles = kfalp.ffor_planes_f64(sel_hi, sel_lo, blo, bhi, bw=bw)
+            acc = acc ^ tiles[0, 0, 0]
+        return acc
+
+    return step
 
 
 def _host_fixup(col, rows_by_vec, bad_vectors, fac_v, exp_v, tc):

@@ -219,6 +219,60 @@ def choose_factor_exponent_from_samples(nm: Numerics, samples, combos,
     return found_f, found_e
 
 
+def first_level_combos(nm: Numerics, chunks):
+    """First-level rowgroup planning (find_top_k_combinations,
+    encoder.hpp:139-235) fully in-graph, for FULL rowgroups (every
+    sampled vector carries SAMPLES_PER_VECTOR valid samples).
+
+    chunks: [R, V, S] rowgroup samples in ops representation (V sampled
+    vectors x S = 32 strided values each).  Returns
+    ``(combos [R, 5, 2] int32 (e, f), k_count [R] int32, is_rd [R])`` —
+    the exact oracle outputs (vote per sampled vector = lexicographic
+    min of (est, -e, -f); rank by (-count, -e, -f); scheme = ALP_RD
+    when even the best estimate reaches RD_SIZE_THRESHOLD_LIMIT).
+    Semantics cross-checked against oracle.find_top_k_combinations in
+    tests; runs on TPU via exact softfloat, so device compression needs
+    no host round-trip for planning.
+    """
+    tc = nm.tc
+    R, V, S = chunks.shape
+    pairs = [(e, f) for e in range(tc.max_exponent, -1, -1)
+             for f in range(e, -1, -1)]
+    P = len(pairs)
+    es = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    fs = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    est, _, non_exc = _estimate_sizes(
+        nm, chunks[:, :, None, :], fs[None, None, :, None],
+        es[None, None, :, None], jnp.int32(S))          # [R, V, P]
+    worst = (S * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
+             + S * tc.exception_size)
+    valid = (non_exc >= 2) & (est <= worst)
+    # per-vector winner: lexicographic min of (est, -e, -f) — composite
+    # key fits int32 (est <= worst < 2^13, e/f <= 18 < 2^5)
+    me = jnp.int32(tc.max_exponent)
+    comp = ((est.astype(jnp.int32) << 16)
+            | ((me - es) << 8)[None, None, :] | (me - fs)[None, None, :])
+    keys = jnp.where(valid, comp, jnp.int32(2**31 - 1))
+    win = jnp.argmin(keys, axis=-1)                     # [R, V]
+    any_valid = valid.any(axis=-1)
+    win = jnp.where(any_valid, win, jnp.int32(P - 1))   # fallback (0, 0)
+    est_win = jnp.take_along_axis(est, win[..., None], -1)[..., 0]
+    contrib = jnp.where(any_valid, est_win, jnp.int64(worst))
+    best_est = jnp.minimum(jnp.int64(worst), contrib.min(axis=1))
+    is_rd = best_est >= tc.rd_size_threshold_limit
+    counts = (win[..., None] == jnp.arange(P)[None, None, :]).sum(
+        axis=1).astype(jnp.int32)                       # [R, P]
+    rank = jnp.where(counts > 0, (counts << 16) | (es << 8)[None] | fs[None],
+                     jnp.int32(-1))
+    _, top_idx = jax.lax.top_k(rank, C.MAX_K_COMBINATIONS)   # [R, 5]
+    k_count = jnp.minimum(jnp.int32(C.MAX_K_COMBINATIONS),
+                          (counts > 0).sum(axis=-1).astype(jnp.int32))
+    combos = jnp.stack([es[top_idx], fs[top_idx]], axis=-1)  # [R, 5, 2]
+    live = (jnp.arange(C.MAX_K_COMBINATIONS)[None, :]
+            < k_count[:, None])[..., None]
+    return jnp.where(live, combos, 0), k_count, is_rd
+
+
 @partial(jax.jit, static_argnames=("dtype",))
 def encode_pipeline(values, combos, k_count, *, dtype):
     """Fused per-vector encode: 2nd-level (e,f) choice + encode + analyze.

@@ -58,3 +58,31 @@ SUITE_AVG = {"gorillas": 41.6, "chimp": 37.7, "chimp128": 28.6,
 def published(name: str):
     """(zstd, elf, alp) published bits/value for a dataset, or Nones."""
     return TABLE_4.get(name, (None, None, None))
+
+
+# Full-corpus golden compression-ratio strings, transcribed from the
+# reference's hard gate (publication/source_code/include/alp_result.hpp:
+# 31-40; asserted by bench_compression_ratio/alp.cpp:236-239 to two
+# decimals).  tests/test_golden_ratio.py replays the assert against
+# oracle.bench_column whenever a dataset's full corpus is mounted
+# (ALP_DATASET_DIR_PATH); the issue-24 full files ship in-image and
+# gate unconditionally.
+GOLDEN_FULL_RATIO = {
+    "Air-Pressure": "16.43", "Arade/4": "24.94", "Basel-Temp": "30.72",
+    "Basel-Wind": "29.81", "Bird-Mig": "20.14", "Btc-Price": "26.37",
+    "Blockchain": "36.49", "City-Temp": "10.74", "CMS/1": "35.65",
+    "CMS/9": "11.67", "CMS/25": "41.11", "Dew-Temp": "13.40",
+    "Bio-Temp": "10.75", "Food-prices": "23.65", "Gov/10": "30.99",
+    "Gov/26": "0.41", "Gov/30": "7.48", "Gov/31": "3.05",
+    "Gov/40": "0.83", "Medicare/1": "39.35", "Medicare/9": "12.26",
+    "PM10-dust": "8.56", "NYC/29": "40.38", "SD-bench": "16.21",
+    "Stocks-DE": "11.01", "Stocks-UK": "12.59", "Stocks-USA": "7.90",
+    "Wind-dir": "15.89",
+}
+
+# The issue-24 regression goldens (reference benchmarks/result/
+# compression_ratio/double/issue_24.csv; full data ships in data/issue/).
+GOLDEN_ISSUE_RATIO = {
+    "issue_24_replicated_data": "32.20",
+    "issue_24_actual_data": "33.56",
+}

@@ -89,15 +89,22 @@ def main():
                  round(stats["throughput_gbps"], 2), ""))
     print(rows[-1], flush=True)
     if on_tpu:
-        # device encode path on DEVICE-RESIDENT data: synthesize exactly
-        # decodable decimals on device via the fused decode kernel
-        # (values = n * 10^2 * 10^-4), then run the full device compress
-        # from planes — the host sees only samples + packed output
+        # device e2e compression on DEVICE-RESIDENT data: synthesize
+        # exactly-decodable decimals on device via the fused decode
+        # kernel (values = n * 10^2 * 10^-4), then slope-time the full
+        # device pipeline — rowgroup planning (top-k vote), second-level
+        # (e, f), exact encode+verify, exception patch, FFOR analysis —
+        # as ONE program, plus the bucketed FFOR pack as a second
+        # program with the column's real bucket structure.  The sum of
+        # the two marginal times is the per-column device compression
+        # cost (steady state, like the reference's 30k-iteration encode
+        # benches, benchmarks/benchmark.cpp:41-148).
         import jax.numpy as jnp
         from alp_tpu import constants as C
         from alp_tpu.kernels import falp as kfalp
-        from alp_tpu.device_compress import compress_device
-        Gd = 1024                                      # 64 MiB decoded
+        from alp_tpu.kernels import encode as kencode
+        from alp_tpu import device_compress as dcz
+        Gd = 1000                        # 8000 vectors = 80 rowgroups
         bwd, facd, expd = 14, 2, 4
         packedd = jax.jit(lambda: jax.random.bits(
             jax.random.PRNGKey(11), (Gd, 2 * bwd, 128),
@@ -115,19 +122,28 @@ def main():
             mk(((frac_u >> 52) & 0x7FF) + 74 + facd - s_c), bw=bwd,
             c0zero=True, nonneg=True, cheap_msb=True)
         vhi.block_until_ready()
-        gb_dev = Gd * 64 * 128 * 8 / 1e9
-        compress_device(planes=(vhi, vlo))              # warm compile
-        t0 = time.perf_counter()
-        ccd = compress_device(planes=(vhi, vlo))
-        t1 = time.perf_counter()
-        # through the axon tunnel this wall time is dominated by the
-        # sample/packed-output RPC fetches (~100 ms each), not device
-        # work — the kernel-side capability is the
-        # encode_f64_pipeline_device row of results/speed_tpu.csv
-        rows.append(("COMPRESSION", "ALP device encode e2e (tunnel I/O)",
-                     "1 chip", round(gb_dev / (t1 - t0), 2), ""))
-        print(rows[-1], flush=True)
+        n_vec = Gd * 8
+        gb_dev = n_vec * 1024 * 8 / 1e9
+        ccd = dcz.compress_device(planes=(vhi, vlo))   # real bucket plan
         assert abs(ccd.bits_per_value() - bwd) < 2.0
+        step_a = dcz.make_device_compress_step(n_vec)
+        dt_a = loop_bench(step_a, (vhi, vlo), 10)
+        # pack stage operates on the real patched encode planes
+        tc = C.DOUBLE
+        meta = []
+        for tab, idx in ((tc.exp_arr, ccd.exp), (tc.frac_arr, ccd.fac),
+                         (tc.fact_arr, ccd.fac), (tc.frac_arr, ccd.exp)):
+            lo, hi = dcz._u64_split(np.ascontiguousarray(tab[idx]))
+            meta += [dcz._expand(lo, n_vec), dcz._expand(hi, n_vec)]
+        nhi, nlo, exc, _ = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
+        nhi, nlo, _ = dcz._patch_and_count(nhi, nlo, exc)
+        step_b = dcz.make_pack_step(ccd, nhi, nlo)
+        dt_b = loop_bench(step_b, (nhi, nlo), 10)
+        gbps_dev = gb_dev / (dt_a + dt_b)
+        rows.append(("COMPRESSION", "ALP device e2e (plan+encode+pack, "
+                     "device-resident)", "1 chip", round(gbps_dev, 2), ""))
+        print(rows[-1], f"(plan+encode {gb_dev/dt_a:.1f}, "
+              f"pack {gb_dev/dt_b:.1f} GB/s)", flush=True)
 
     # ---- functional mesh scaling (virtual devices on CPU are a
     # correctness demonstration, not a perf claim); separate CSV so a

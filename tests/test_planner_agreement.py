@@ -63,3 +63,34 @@ def test_planners_agree(name, data):
         if scheme == C.SCHEME_ALP:
             got = [tuple(int(x) for x in c) for c in combos[:k]]
             assert got == loop.best_k_combinations
+
+
+@pytest.mark.parametrize("name,data", [c for c in _cases()
+                                       if len(c[1]) >= C.ROWGROUP_SIZE])
+def test_in_graph_first_level_matches_oracle(name, data):
+    """ops.alp.first_level_combos (the in-graph device planner used by
+    compress_device on full rowgroups) must reproduce the oracle's
+    scheme decision and top-k combinations exactly."""
+    from alp_tpu.ops import alp as oalp
+    from alp_tpu.ops.numerics import numerics_for
+
+    data = data[:C.ROWGROUP_SIZE]
+    tc = C.constants_for(np.float64)
+    nm = numerics_for(np.float64)
+    pos = ocore.first_level_sample(
+        np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(np.int64)
+    V = len(pos) // C.SAMPLES_PER_VECTOR
+    chunks = data[pos].reshape(1, V, C.SAMPLES_PER_VECTOR)
+    combos, kc, is_rd = (np.asarray(x) for x in oalp.first_level_combos(
+        nm, nm.values_from_np(chunks)))
+
+    stt = ocore.AlpState(scheme=C.SCHEME_ALP)
+    stt.sampled_values_n = len(pos)
+    stt.k_combinations = C.MAX_K_COMBINATIONS
+    stt.best_k_combinations = []
+    ocore.find_top_k_combinations_fast(data[pos], stt, tc)
+    assert bool(is_rd[0]) == (stt.scheme == C.SCHEME_ALP_RD)
+    if not is_rd[0]:
+        got = [tuple(map(int, combos[0, k])) for k in range(kc[0])]
+        want = [tuple(map(int, ef)) for ef in stt.best_k_combinations]
+        assert got == want
