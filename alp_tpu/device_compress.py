@@ -25,6 +25,7 @@ and correctness-neutral (kernels/encode.py docstring).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -118,43 +119,124 @@ def _gather_flat(vhi, vlo, flat_idx: np.ndarray) -> np.ndarray:
     return ((hi << np.uint64(32)) | lo).view(np.float64)
 
 
-@jax.jit
-def _gather_values_u64(vhi, vlo, flat_idx):
+def _stride_samples_u32(plane):
+    """The 32-value sample stride of EVERY vector as a strided slice of
+    the tile planes (positions j*32 of vector v live at slot 2j, lane
+    (v%8)*16): [G, 64, 128] -> [G*8, 32] u32, no gather (XLA gathers of
+    scattered elements measured ~30x slower than this slice)."""
+    s = plane[:, 0::2, 0::16]                      # [G, 32, 8]
+    return s.transpose(0, 2, 1).reshape(-1, 32)
+
+
+def _gather_values_u32(vhi, vlo, flat_idx):
     """In-graph gather of flat value indices from tile-order planes:
-    value k of vector n lives at [n//8, k//16, (n%8)*16 + k%16]."""
+    value k of vector n lives at [n//8, k//16, (n%8)*16 + k%16].
+    flat_idx must be int32 (i64 index math is emulated on TPU)."""
     n = flat_idx // C.VECTOR_SIZE
     k = flat_idx % C.VECTOR_SIZE
     g = n // 8
     s = k // 16
     c = (n % 8) * 16 + k % 16
-    hi = vhi[g, s, c].astype(jnp.uint64)
-    lo = vlo[g, s, c].astype(jnp.uint64)
-    return (hi << jnp.uint64(32)) | lo
+    return vhi[g, s, c], vlo[g, s, c]
 
 
 @jax.jit
-def _first_level_device(vhi, vlo, flat_idx):
-    """Device rowgroup planning: sample gather + exact top-k vote.
+def _gather_values_u64(vhi, vlo, flat_idx):
+    hi, lo = _gather_values_u32(vhi, vlo, flat_idx)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
+        jnp.uint64)
 
-    flat_idx: [R, V, S] flat value indices of each full rowgroup's
-    first-level sample.  Returns (combos [R, 5, 2], k_count [R],
-    is_rd [R]) — oracle-identical (ops.alp.first_level_combos).
+
+@jax.jit
+def _first_level_device(vhi, vlo, vec_ids):
+    """Device rowgroup planning: strided sample slice + Pallas-scored
+    top-k vote (kernels.score + ops.alp.first_level_vote —
+    oracle-identical).
+
+    vec_ids: [R, V] int32 sampled vector ids of each full rowgroup
+    (the 32-value stride within a vector is a static slice of the tile
+    planes).  Returns (combos [R, 5, 2], k_count [R], is_rd [R],
+    rare [R]); ``rare`` rowgroups contain subnormal samples outside the
+    scorer's envelope and must be re-planned exactly by the caller.
     """
+    from .kernels import score as kscore
     from .ops import alp as oalp
-    from .ops.numerics import numerics_for
-    chunks = _gather_values_u64(vhi, vlo, flat_idx)
-    return oalp.first_level_combos(numerics_for(np.float64), chunks)
+    tc = constants_for(np.float64)
+    R, V = vec_ids.shape
+    hi = _stride_samples_u32(vhi)[vec_ids]         # [R, V, 32] row gather
+    lo = _stride_samples_u32(vlo)[vec_ids]
+    est, ne, rare = kscore.first_level_scores_f64(hi, lo, tc=tc)
+    combos, kc, isrd = oalp.first_level_vote(est, ne, C.SAMPLES_PER_VECTOR,
+                                             tc)
+    return combos, kc, isrd, rare
+
+
+@functools.partial(jax.jit, static_argnames=("n_vec",))
+def _second_level_device(vhi, vlo, combos, k_count, *, n_vec: int):
+    """Device second-level (e, f) choice on the 32-value stride of every
+    vector (strided sample slice + Pallas scorer + the exact
+    accept/early-exit scan).  Returns (fac, exp, rare); ``rare``
+    vectors must be re-chosen exactly."""
+    from .kernels import score as kscore
+    from .ops import alp as oalp
+    tc = constants_for(np.float64)
+    shi = _stride_samples_u32(vhi)[:n_vec]
+    slo = _stride_samples_u32(vlo)[:n_vec]
+    est, rare = kscore.second_level_scores_f64(shi, slo, combos, k_count,
+                                               tc=tc)
+    fac, exp = oalp.accept_scan(est, combos, k_count)
+    return fac, exp, rare
 
 
 @jax.jit
-def _second_level_device(vhi, vlo, sample_idx, combos, k_count):
-    """Device second-level (e, f) choice on the 32-value stride of every
-    vector (choose_factor_exponent_from_samples, in-graph gather)."""
-    from .ops import alp as oalp
-    from .ops.numerics import numerics_for
-    samples = _gather_values_u64(vhi, vlo, sample_idx)
-    return oalp.choose_factor_exponent_from_samples(
-        numerics_for(np.float64), samples, combos, k_count)
+def finalize_encode_stats(stats, nhi, nlo):
+    """Per-vector analyze + patch quantities from the fused encode
+    statistics (kernels.encode._encode_stats_kernel layout): cross-lane
+    reductions on the tiny [G, 8, 128] stats plane replace the separate
+    patch + analyze passes over the full value planes.
+
+    Returns (bit_width [n] i32, base [n] i64, enc_max [n] u64 (= max -
+    base), n_exc [n] i32, rare [n] bool, fill_lo [n] u32, fill_hi [n]
+    u32) with n = G*8 vectors in group-major order.  The fill value is
+    the vector's first non-exception encoded int in VALUE order
+    (encoder.hpp:382-399); all-exception vectors use 0 (bw 0, base 0),
+    matching the host path.
+    """
+    G = stats.shape[0]
+    s = stats.reshape(G, 8, 8, 16)         # [G, stat, vec, lane]
+    n_exc = s[:, 0].sum(-1).reshape(-1).astype(jnp.int32)
+    first_k = s[:, 1].min(-1).reshape(-1)
+    mh = s[:, 2].max(-1)
+    ml = jnp.where(s[:, 2] == mh[..., None], s[:, 3],
+                   jnp.int32(-(2**31))).max(-1)
+    nh = s[:, 4].min(-1)
+    nl = jnp.where(s[:, 4] == nh[..., None], s[:, 5],
+                   jnp.int32(2**31 - 1)).min(-1)
+    rare = (s[:, 6].sum(-1) > 0).reshape(-1)
+
+    def to_i64(h, l):
+        lu = (l.astype(jnp.uint32) ^ jnp.uint32(0x80000000)).astype(
+            jnp.uint64)
+        return ((h.astype(jnp.int64) << jnp.int64(32)).astype(jnp.uint64)
+                | lu).astype(jnp.int64)
+
+    any_ok = (first_k < 2047).reshape(G, 8)
+    mx = jnp.where(any_ok, to_i64(mh, ml), jnp.int64(0)).reshape(-1)
+    mn = jnp.where(any_ok, to_i64(nh, nl), jnp.int64(0)).reshape(-1)
+    umax = (mx.astype(jnp.uint64) - mn.astype(jnp.uint64))
+    from .ops.alp import bit_width_of
+    bw = bit_width_of(umax).astype(jnp.int32)
+    # fill = n at the first non-exception value index (value order k:
+    # slot = k//16, lane = (vec%8)*16 + k%16)
+    k = jnp.where(first_k < 2047, first_k, 0)
+    vec = jnp.arange(G * 8, dtype=jnp.int32)
+    g = vec // 8
+    slot = k // 16
+    lane = (vec % 8) * 16 + k % 16
+    fok = (first_k < 2047)
+    fill_hi = jnp.where(fok, nhi[g, slot, lane], jnp.uint32(0))
+    fill_lo = jnp.where(fok, nlo[g, slot, lane], jnp.uint32(0))
+    return bw, mn, umax, n_exc, rare, fill_lo, fill_hi
 
 
 def compress_device(data=None, *, planes=None, n_values=None):
@@ -204,25 +286,35 @@ def compress_device(data=None, *, planes=None, n_values=None):
 
     # ------- rowgroup planning -----------------------------------------
     # FULL rowgroups plan entirely ON DEVICE: strided sample gather +
-    # exact-softfloat top-k vote (ops.alp.first_level_combos) in one jit;
-    # only the tiny [R, 5, 2] combo table crosses to the host.  The tail
-    # rowgroup (if any) keeps the host oracle (its sampling rules are
-    # length-dependent, sampler.hpp:15-52).
+    # Pallas-scored top-k vote (kernels.score; oracle-identical) in one
+    # jit; only the tiny [R, 5, 2] combo table crosses to the host.
+    # The tail rowgroup (length-dependent sampling rules,
+    # sampler.hpp:15-52) and any rowgroup whose sample contains
+    # subnormals (outside the scorer's envelope) take the host oracle.
+    if n_vec * C.VECTOR_SIZE >= 2**31:
+        raise NotImplementedError(
+            "device compress: columns over 2^31 values per call "
+            "(int32 in-graph gather indices); split into chunks")
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
     n_full = n_vec // C.N_VECTORS_PER_ROWGROUP
+    host_rgs = list(range(n_full, n_rg))
     if n_full:
         pos = ocore.first_level_sample(
             np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(
-                np.int64)
-        V = len(pos) // C.SAMPLES_PER_VECTOR
-        flat = (np.arange(n_full, dtype=np.int64)[:, None]
-                * C.ROWGROUP_SIZE + pos[None, :]).reshape(
-                    n_full, V, C.SAMPLES_PER_VECTOR)
-        cmb, kc, isrd = _first_level_device(vhi, vlo, jnp.asarray(flat))
-        cmb, kc, isrd = (np.asarray(x) for x in (cmb, kc, isrd))
+                np.int32)
+        svec = np.unique(pos // C.VECTOR_SIZE)        # sampled vector ids
+        vec_ids = (np.arange(n_full, dtype=np.int32)[:, None]
+                   * C.N_VECTORS_PER_ROWGROUP + svec[None, :])
+        cmb, kc, isrd, rare_rg = _first_level_device(
+            vhi, vlo, jnp.asarray(vec_ids))
+        cmb, kc, isrd, rare_rg = (np.asarray(x)
+                                  for x in (cmb, kc, isrd, rare_rg))
         for rg in range(n_full):
+            if rare_rg[rg]:
+                host_rgs.append(rg)
+                continue
             lo_v = rg * C.N_VECTORS_PER_ROWGROUP
             hi_v = lo_v + C.N_VECTORS_PER_ROWGROUP
             if isrd[rg]:
@@ -231,7 +323,7 @@ def compress_device(data=None, *, planes=None, n_values=None):
                 rg_scheme[rg] = C.SCHEME_ALP
                 combos[lo_v:hi_v] = cmb[rg]
                 k_count[lo_v:hi_v] = kc[rg]
-    for rg in range(n_full, n_rg):
+    for rg in host_rgs:
         lo_v = rg * C.N_VECTORS_PER_ROWGROUP
         hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
         rg_len = (hi_v - lo_v) * C.VECTOR_SIZE
@@ -260,16 +352,38 @@ def compress_device(data=None, *, planes=None, n_values=None):
         return ct.compress(np.asarray(full, np.float64))
 
     # second-level (e, f) choice on the 32-sample stride, ON DEVICE
-    # (exact softfloat; encoder.hpp:241-305 semantics via ops.alp) —
-    # only the [n_vec] fac/exp vectors cross to the host
+    # (Pallas scorer + exact accept scan, encoder.hpp:241-305) — only
+    # the [n_vec] fac/exp vectors cross to the host.  Vectors whose
+    # stride contains subnormals are re-chosen exactly host-side.
     stride = C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR
     sample_idx = (np.arange(n_vec, dtype=np.int64)[:, None] * C.VECTOR_SIZE
                   + np.arange(C.SAMPLES_PER_VECTOR,
                               dtype=np.int64)[None, :] * stride)
-    fac_d, exp_d = _second_level_device(
-        vhi, vlo, jnp.asarray(sample_idx), jnp.asarray(combos),
-        jnp.asarray(k_count))
-    fac_v, exp_v = np.asarray(fac_d), np.asarray(exp_d)
+    # vectors whose rowgroup kept a single candidate skip the scorer
+    # entirely (the reference encode also skips find_best_* for k == 1,
+    # encoder.hpp:404-406)
+    fac_v = combos[:, 0, 1].astype(np.int32).copy()
+    exp_v = combos[:, 0, 0].astype(np.int32).copy()
+    multi = np.nonzero(k_count > 1)[0]
+    rare_vec = np.empty(0, np.int64)
+    if multi.size:
+        fac_d, exp_d, rare_d = _second_level_device(
+            vhi, vlo, jnp.asarray(combos), jnp.asarray(k_count),
+            n_vec=n_vec)
+        fac_m, exp_m = np.asarray(fac_d), np.asarray(exp_d)
+        fac_v[multi] = fac_m[multi]
+        exp_v[multi] = exp_m[multi]
+        rare_vec = np.intersect1d(np.nonzero(np.asarray(rare_d))[0],
+                                  multi)
+    if rare_vec.size:
+        strides = fetch(sample_idx[rare_vec].ravel()
+                        ).reshape(len(rare_vec), C.SAMPLES_PER_VECTOR)
+        for r, v in enumerate(rare_vec):
+            cand = [tuple(combos[v, i]) for i in range(k_count[v])]
+            cand = [(int(e), int(f)) for e, f in cand]
+            f_, e_ = ocore.find_best_exponent_factor_from_combinations(
+                cand, len(cand), strides[r], tc)
+            fac_v[v], exp_v[v] = f_, e_
 
     # ------- device encode + patch + analyze ---------------------------
     c1 = tc.exp_arr[exp_v]               # 10^e
@@ -282,15 +396,17 @@ def compress_device(data=None, *, planes=None, n_values=None):
     frlo, frhi = _u64_split(np.ascontiguousarray(frac))
     meta = [_expand(x, n_pad_v) for x in (c1lo, c1hi, c2lo, c2hi,
                                           flo, fhi, frlo, frhi)]
-    nhi, nlo, exc, rare = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
-    nhi, nlo, n_exc = _patch_and_count(nhi, nlo, exc)
-    bw_d, base_d, max_d = kencode.analyze_planes_f64(nhi, nlo)
+    nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
+        vhi, vlo, *meta)
+    (bw_d, base_d, umax_d, n_exc, rare_v,
+     fill_lo_d, fill_hi_d) = finalize_encode_stats(stats, nhi, nlo)
     bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
     base_all = np.asarray(base_d)[:n_vec].astype(np.int64)
-    enc_max = (np.asarray(max_d)[:n_vec].view(np.uint64)
-               - base_all.view(np.uint64))
+    enc_max = np.asarray(umax_d)[:n_vec].view(np.uint64).copy()
     n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
-    rare_count = int(np.asarray(jnp.sum(rare)))
+    fill_lo_all = np.asarray(fill_lo_d)
+    fill_hi_all = np.asarray(fill_hi_d)
+    rare_vecs = np.nonzero(np.asarray(rare_v)[:n_vec])[0]
 
     # ------- device FFOR pack, bucketed by bit width -------------------
     packed = [None] * n_vec
@@ -309,9 +425,13 @@ def compress_device(data=None, *, planes=None, n_values=None):
         ridx = jnp.asarray(rows_idx)
         sel_hi = _gather_regroup(nhi, ridx)
         sel_lo = _gather_regroup(nlo, ridx)
+        sel_exc = _gather_regroup(exc, ridx)
         blo = _expand(base_lo[sel], n_sel_pad)
         bhi = _expand(base_hi[sel], n_sel_pad)
-        tiles = kfalp.ffor_planes_f64(sel_hi, sel_lo, blo, bhi, bw=int(bw))
+        filo = _expand(fill_lo_all[sel], n_sel_pad)
+        fihi = _expand(fill_hi_all[sel], n_sel_pad)
+        tiles = kfalp.ffor_planes_patch_f64(
+            sel_hi, sel_lo, sel_exc, filo, fihi, blo, bhi, bw=int(bw))
         words = layout.tile_to_ref(np.asarray(tiles), int(bw), 64, len(sel))
         for r, v in enumerate(sel):
             packed[v] = words[r]
@@ -349,21 +469,19 @@ def compress_device(data=None, *, planes=None, n_values=None):
         exc_values=exc_values, exc_positions=exc_positions,
         enc_max=enc_max)
 
-    if rare_count:
+    if rare_vecs.size:
         # subnormal inputs outside the device envelope: re-encode those
         # vectors host-side with the already-chosen (e, f) (the choice
         # ran on exact host f64); bit-identical fallback
-        rare_rows = np.asarray(_to_vector_major(rare).reshape(-1, 1024))
-        bad = np.nonzero(rare_rows[:n_vec].any(axis=1))[0]
-        if bad.size:
-            rows = fetch((bad[:, None] * C.VECTOR_SIZE
-                          + np.arange(C.VECTOR_SIZE)[None, :]).ravel()
-                         ).reshape(len(bad), C.VECTOR_SIZE)
-            _host_fixup(col, dict(zip(bad, rows)), bad, fac_v, exp_v, tc)
+        bad = rare_vecs
+        rows = fetch((bad[:, None] * C.VECTOR_SIZE
+                      + np.arange(C.VECTOR_SIZE)[None, :]).ravel()
+                     ).reshape(len(bad), C.VECTOR_SIZE)
+        _host_fixup(col, dict(zip(bad, rows)), bad, fac_v, exp_v, tc)
     return col
 
 
-def make_device_compress_step(n_vec: int):
+def make_device_compress_step(n_vec: int, k_max: int = 5):
     """(step, static prep) for benchlib.loop_bench: the FULL device-side
     compression pipeline — first-level rowgroup planning (top-k vote),
     second-level (e, f) choice, exact encode+verify, exception patching,
@@ -377,25 +495,19 @@ def make_device_compress_step(n_vec: int):
     steady-state shape, benchmarks/benchmark.cpp:41-148).
     """
     from .ops import alp as oalp
-    from .ops.numerics import numerics_for
     from .oracle import core as ocore
 
     assert n_vec % C.N_VECTORS_PER_ROWGROUP == 0
     assert n_vec % 8 == 0
+    from .kernels import score as kscore
     tc = constants_for(np.float64)
-    nm = numerics_for(np.float64)
     n_rg = n_vec // C.N_VECTORS_PER_ROWGROUP
     pos = ocore.first_level_sample(
-        np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(np.int64)
-    V = len(pos) // C.SAMPLES_PER_VECTOR
-    flat_first = jnp.asarray(
-        (np.arange(n_rg, dtype=np.int64)[:, None] * C.ROWGROUP_SIZE
-         + pos[None, :]).reshape(n_rg, V, C.SAMPLES_PER_VECTOR))
-    stride = C.VECTOR_SIZE // C.SAMPLES_PER_VECTOR
-    sample_idx = jnp.asarray(
-        np.arange(n_vec, dtype=np.int64)[:, None] * C.VECTOR_SIZE
-        + np.arange(C.SAMPLES_PER_VECTOR, dtype=np.int64)[None, :]
-        * stride)
+        np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(np.int32)
+    svec = np.unique(pos // C.VECTOR_SIZE)
+    vec_ids_first = jnp.asarray(
+        np.arange(n_rg, dtype=np.int32)[:, None]
+        * C.N_VECTORS_PER_ROWGROUP + svec[None, :])
     tabs = {}
     for name, tab in (("c1", tc.exp_arr), ("c2", tc.frac_arr),
                       ("fact", tc.fact_arr), ("frac", tc.frac_arr)):
@@ -409,37 +521,49 @@ def make_device_compress_step(n_vec: int):
 
     def step(carry, vhi, vlo):
         vlo = vlo ^ carry          # data dependence; cost-independent
-        chunks = _gather_values_u64(vhi, vlo, flat_first)
-        combos, k_count, _ = oalp.first_level_combos(nm, chunks)
+        shi_all = _stride_samples_u32(vhi)
+        slo_all = _stride_samples_u32(vlo)
+        est1, ne1, _rare1 = kscore.first_level_scores_f64(
+            shi_all[vec_ids_first], slo_all[vec_ids_first], tc=tc)
+        combos, k_count, _ = oalp.first_level_vote(
+            est1, ne1, C.SAMPLES_PER_VECTOR, tc)
         combos = jnp.repeat(combos, C.N_VECTORS_PER_ROWGROUP, axis=0,
                             total_repeat_length=n_vec)
         k_count = jnp.repeat(k_count, C.N_VECTORS_PER_ROWGROUP,
                              total_repeat_length=n_vec)
-        samples = _gather_values_u64(vhi, vlo, sample_idx)
-        fac, exp = oalp.choose_factor_exponent_from_samples(
-            nm, samples, combos, k_count)
+        if k_max > 1:
+            est2, _rare2 = kscore.second_level_scores_f64(
+                shi_all[:n_vec], slo_all[:n_vec], combos, k_count, tc=tc)
+            fac, exp = oalp.accept_scan(est2, combos, k_count)
+        else:
+            # single-candidate rowgroups skip the scorer (exact: the
+            # reference skips find_best_* for k == 1, encoder.hpp:404)
+            fac, exp = combos[:, 0, 1], combos[:, 0, 0]
         meta = []
         for name, idx in (("c1", exp), ("c2", fac), ("fact", fac),
                           ("frac", exp)):
             lo, hi = tabs[name]
             meta += [expand(lo[idx]), expand(hi[idx])]
-        nhi, nlo, exc, _ = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
-        nhi, nlo, n_exc = _patch_and_count(nhi, nlo, exc)
-        bw, base, _ = kencode.analyze_planes_f64(nhi, nlo)
-        acc = (nhi[0, 0, 0] ^ nlo[0, 0, 0]
+        nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
+            vhi, vlo, *meta)
+        bw, base, umax, n_exc, rare, fill_lo, fill_hi = \
+            finalize_encode_stats(stats, nhi, nlo)
+        acc = (nhi[0, 0, 0] ^ nlo[0, 0, 0] ^ exc[0, 0, 0]
                ^ bw.sum().astype(jnp.uint32)
                ^ n_exc.sum().astype(jnp.uint32)
+               ^ fill_lo[0] ^ fill_hi[0]
+               ^ umax[0].astype(jnp.uint32)
                ^ base[0].astype(jnp.uint32) ^ fac[0].astype(jnp.uint32))
         return carry ^ acc
 
     return step
 
 
-def make_pack_step(col, nhi, nlo):
-    """loop_bench step for the bucketed FFOR pack stage: the patched
-    encode planes of ``col`` (from the device pipeline) packed per bit
-    width with the column's real bucket structure (static gathers, as in
-    compress_device)."""
+def make_pack_step(col, fill_lo_all, fill_hi_all):
+    """loop_bench step for the bucketed FFOR pack stage: the raw encode
+    planes + exception mask of ``col`` packed per bit width with the
+    column's real bucket structure and patching fused into the pack
+    (static gathers, as in compress_device)."""
     n_vec = col.n_vectors
     bw_all = col.bit_width[:n_vec]
     base_all = col.base[:n_vec].astype(np.int64)
@@ -454,17 +578,25 @@ def make_pack_step(col, nhi, nlo):
         n_sel_pad = layout.pad_vectors(len(sel), 64)
         ridx = np.zeros(n_sel_pad, np.int64)
         ridx[:len(sel)] = sel
-        buckets.append((int(bw), jnp.asarray(ridx),
+        whole = (len(sel) == n_vec and n_sel_pad == n_vec)
+        buckets.append((int(bw), None if whole else jnp.asarray(ridx),
                         _expand(base_lo[sel], n_sel_pad),
-                        _expand(base_hi[sel], n_sel_pad)))
+                        _expand(base_hi[sel], n_sel_pad),
+                        _expand(fill_lo_all[sel], n_sel_pad),
+                        _expand(fill_hi_all[sel], n_sel_pad)))
 
-    def step(carry, nhi, nlo):
+    def step(carry, nhi, nlo, exc):
         nlo = nlo ^ carry
         acc = carry
-        for bw, ridx, blo, bhi in buckets:
-            sel_hi = _gather_regroup(nhi, ridx)
-            sel_lo = _gather_regroup(nlo, ridx)
-            tiles = kfalp.ffor_planes_f64(sel_hi, sel_lo, blo, bhi, bw=bw)
+        for bw, ridx, blo, bhi, filo, fihi in buckets:
+            if ridx is None:       # bucket == whole column, in order
+                sel_hi, sel_lo, sel_exc = nhi, nlo, exc
+            else:
+                sel_hi = _gather_regroup(nhi, ridx)
+                sel_lo = _gather_regroup(nlo, ridx)
+                sel_exc = _gather_regroup(exc, ridx)
+            tiles = kfalp.ffor_planes_patch_f64(
+                sel_hi, sel_lo, sel_exc, filo, fihi, blo, bhi, bw=bw)
             acc = acc ^ tiles[0, 0, 0]
         return acc
 

@@ -324,25 +324,177 @@ def _key_float(k: int, dtype) -> float:
 
 
 def query_filter_count(col, lo: float, hi: float) -> int:
-    """SELECT COUNT(*) WHERE lo <= v <= hi — predicated SCAN, fully on
-    device (decode + exact total-order key compare + popcount).
+    """SELECT COUNT(*) WHERE lo <= v <= hi — predicated SCAN with the
+    predicate PUSHED INTO the decode kernel where a fused count variant
+    exists (mid/gen/const f64 buckets: kernels emit [G, 128] i32 counts,
+    the 8 B/value decoded planes never leave VMEM — the reference's q1
+    fuses its predicate into the scan the same way, publication/.../
+    queries/q1.cpp:64-88); other buckets decode planes and count.
+    Exceptions and the padded tail are corrected exactly host-side.
 
     Bound semantics: ``lo``/``hi`` are rounded to the column dtype
     before comparing (an f32 column compares against ``f32(lo)``), and
     ±0.0 compare equal (keys canonicalize -0.0 to +0.0)."""
+    from .kernels import falp as kfalp
     plan = kdecode.build_plan(col)
-    outs = plan.run(patch=True)
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     klo = kt(_float_key(lo, col.dtype))
     khi = kt(_float_key(hi, col.dtype))
-    total = jnp.zeros((), jnp.int64)
-    for key, last in _masked_keys(col, plan, outs):
-        inr = (key >= klo) & (key <= khi)
-        t = jnp.where(last, inr[-1], False).sum()
-        if key.shape[0] > 1:
-            t = t + inr[:-1].sum()
-        total = total + t.astype(jnp.int64)
-    return int(total)
+    fusable = ("mid", "gen", "const")
+    total = 0
+    slow_groups, slow_outs = [], []
+    for g in plan.groups:
+        if (col.dtype != np.float64 or g.scheme == C.SCHEME_ALP_RD
+                or g.variant not in fusable):
+            slow_groups.append(g)
+            continue
+        args = kdecode.group_arrays(g)
+        if g.variant == "const":
+            hi_p, lo_p = args                           # [G, 128] planes
+            negz = (hi_p == jnp.uint32(1 << 31)) & (lo_p == 0)
+            hb = jnp.where(negz, jnp.uint32(0), hi_p)
+            lb = jnp.where(negz, jnp.uint32(0), lo_p)
+            sign = (hb >> jnp.uint32(31)) != 0
+            key = ((jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31))
+                    .astype(jnp.uint64) << jnp.uint64(32))
+                   | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
+            counts = ((key >= klo) & (key <= khi)).astype(
+                jnp.int32) * jnp.int32(64)
+        else:
+            G = args[1].shape[0]
+            bk = [jnp.full((G, 128), np.uint32(int(k) >> 32), jnp.uint32)
+                  for k in (klo, khi)]
+            bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
+                            jnp.uint32) for k in (klo, khi)]
+            bounds = (bk[0], bk[2], bk[1], bk[3])
+            if g.variant == "mid":
+                tiles, base, c2, c1, c0, fb2 = args
+                counts = kfalp.falp_decode_f64_mid_count(
+                    tiles, base, c2, c1, c0, fb2, *bounds, bw=g.bw,
+                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
+                    cheap_msb=bool(g.flags & 4), nozero=bool(g.flags & 8))
+            else:
+                tiles, bl, bh, flo, fhi, frl, frh = args
+                counts = kfalp.falp_decode_f64_count(
+                    tiles, bl, bh, flo, fhi, frl, frh, *bounds, bw=g.bw,
+                    fact1=bool(g.flags & 16))
+        # pad vectors: zero the unused lanes of the last group
+        used = g.n_vectors % 8 or 8
+        lane_ok = jnp.arange(128) < used * 16
+        counts = counts.at[-1].set(
+            jnp.where(lane_ok, counts[-1], jnp.int32(0)))
+        total += int(counts.sum())
+        total += _exception_count_correction(col, g, klo, khi)
+    total += _partial_vector_correction(col, plan, klo, khi, fusable)
+    if slow_groups:
+        import types
+        outs = [kdecode.group_decode(g, col.dtype)(
+            *kdecode.group_arrays(g)) for g in slow_groups]
+        patched = []
+        for g, out in zip(slow_groups, outs):
+            if g.exc_g is not None and g.exc_g.shape[0]:
+                idx = (g.exc_g, g.exc_slot, g.exc_lane)
+                if col.dtype == np.float64:
+                    out = (out[0].at[idx].set(g.exc_hi),
+                           out[1].at[idx].set(g.exc_lo))
+                else:
+                    out = out.at[idx].set(g.exc_lo)
+            patched.append(out)
+        sub = types.SimpleNamespace(groups=slow_groups)
+        for key, last in _masked_keys(col, sub, patched):
+            inr = (key >= klo) & (key <= khi)
+            t = jnp.where(last, inr[-1], False).sum()
+            if key.shape[0] > 1:
+                t = t + inr[:-1].sum()
+            total += int(t)
+    return total
+
+
+def _pred_key(bits_u64: np.ndarray, klo: int, khi: int) -> np.ndarray:
+    """Host-side predicate on f64 bit patterns (total-order key in
+    [klo, khi], -0.0 canonicalised) — mirror of the device epilogue."""
+    b = np.where(bits_u64 == np.uint64(1 << 63), np.uint64(0), bits_u64)
+    sign = (b >> np.uint64(63)) != 0
+    key = np.where(sign, ~b, b | np.uint64(1 << 63))
+    return (key >= np.uint64(klo)) & (key <= np.uint64(khi))
+
+
+def _decode_positions(col, vec_ids: np.ndarray,
+                      positions: np.ndarray) -> np.ndarray:
+    """Decoded (pre-exception-patch) f64 bits at specific positions of
+    specific vectors, straight from the stored format: unpack the FFOR
+    delta at the position and decode with the vector's (fac, exp) —
+    exact host doubles (decoder.hpp:128-131)."""
+    from .constants import constants_for
+    tc = constants_for(col.dtype)
+    out = np.empty(len(vec_ids), np.uint64)
+    for i, (v, pos) in enumerate(zip(vec_ids, positions)):
+        bw = int(col.bit_width[v])
+        if bw == 0:
+            delta = 0
+        else:
+            L = 16
+            lane = int(pos) % L
+            slot = int(pos) // L
+            off = slot * bw
+            words = col.packed[v].view(np.uint64)
+            w0, s0 = off // 64, off % 64
+            val = int(words[w0 * L + lane]) >> s0
+            if s0 + bw > 64:
+                val |= int(words[(w0 + 1) * L + lane]) << (64 - s0)
+            delta = val & ((1 << bw) - 1)
+        n = np.int64(col.base[v]) + np.uint64(delta).astype(np.int64)
+        with np.errstate(over="ignore"):
+            m = n * tc.fact_arr[col.fac[v]]
+        d = m.astype(np.float64) * tc.frac_arr[col.exp[v]]
+        out[i] = np.float64(d).view(np.uint64)
+    return out
+
+
+def _exception_count_correction(col, g, klo, khi) -> int:
+    """Exact fused-count correction for a group's exceptions: the kernel
+    counted the PATCHED slot value (the vector's fill), so add
+    pred(true stored value) - pred(decoded slot value) per exception."""
+    if g.exc_g is None or not g.exc_g.shape[0]:
+        return 0
+    exc_g = np.asarray(g.exc_g)
+    exc_slot = np.asarray(g.exc_slot)
+    exc_lane = np.asarray(g.exc_lane)
+    true_bits = ((np.asarray(g.exc_hi, np.uint64) << np.uint64(32))
+                 | np.asarray(g.exc_lo, np.uint64))
+    r = exc_g * 8 + exc_lane // 16
+    vec_ids = g.vec_indices[r]
+    positions = exc_slot * 16 + exc_lane % 16
+    dec_bits = _decode_positions(col, vec_ids, positions)
+    return int(_pred_key(true_bits, klo, khi).sum()
+               - _pred_key(dec_bits, klo, khi).sum())
+
+
+def _partial_vector_correction(col, plan, klo, khi, fusable) -> int:
+    """Subtract the padded tail of a partial last vector from the fused
+    count (the container pads with the column's final value)."""
+    n_valid = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    if n_valid == C.VECTOR_SIZE:
+        return 0
+    v_last = col.n_vectors - 1
+    for g in plan.groups:
+        if (col.dtype == np.float64 and g.scheme != C.SCHEME_ALP_RD
+                and g.variant in fusable and v_last in g.vec_indices):
+            # pad value = the column's final value (true value after
+            # exception patching)
+            pos = np.int64(n_valid - 1)
+            exc_pos = col.exc_positions[v_last]
+            hit = np.nonzero(exc_pos == pos)[0]
+            if hit.size:
+                bits = np.asarray(col.exc_values[v_last][hit[0]],
+                                  np.float64).view(np.uint64)
+            else:
+                bits = _decode_positions(col, np.array([v_last]),
+                                         np.array([pos]))[0]
+            pad_pred = bool(_pred_key(np.array([bits], np.uint64),
+                                      klo, khi)[0])
+            return -int(C.VECTOR_SIZE - n_valid) * int(pad_pred)
+    return 0
 
 
 def query_compression(data: np.ndarray, *, device: bool = False):

@@ -240,3 +240,87 @@ def alp_encode_f64_tiles(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi,
         interpret=jax.default_backend() != "tpu",
     )(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi)
     return tuple(o[:G] for o in out)
+
+
+def _encode_stats_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo,
+                         fhi, frlo, frhi, out_hi, out_lo, out_exc,
+                         out_stats):
+    """Encode + verify + fused per-lane analyze/patch statistics.
+
+    ``out_stats`` [gb, 8, 128] i32 rows per lane:
+      0 exception count, 1 first-non-exception value index k (2047 when
+      the lane has none), 2/3 int64 max over non-exceptions (hi signed /
+      lo sign-biased), 4/5 int64 min likewise, 6 rare count, 7 unused.
+    Cross-lane (per-vector) reductions finish in XLA on these tiny
+    planes (device_compress.finalize_encode_stats) — the full value
+    planes never take a second pass for patch/analyze.
+    """
+    vbits = U64(vhi_ref[:], vlo_ref[:])
+
+    def dec_const(lo_ref, hi_ref):
+        hi = hi_ref[:][:, None, :]
+        lo = lo_ref[:][:, None, :]
+        sig = U64((hi & _U32(0xFFFFF)) | _U32(1 << 20), lo)
+        biased = ((hi >> _U32(20)) & _U32(0x7FF)).astype(_I32)
+        return sig, biased
+
+    c1sig, c1b = dec_const(c1lo, c1hi)
+    c2sig, c2b = dec_const(c2lo, c2hi)
+    fact = U64(fhi[:][:, None, :], flo[:][:, None, :])
+    frsig, frb = dec_const(frlo, frhi)
+    n, exc, rare = encode_verify_f64(vbits, c1sig, c1b, c2sig, c2b,
+                                     fact, frsig, frb)
+    out_hi[:] = n.hi
+    out_lo[:] = n.lo
+    out_exc[:] = exc.astype(_U32)
+
+    ok = ~exc
+    slot = jax.lax.broadcasted_iota(_I32, n.hi.shape, 1)
+    lane16 = jax.lax.broadcasted_iota(_I32, n.hi.shape, 2) % _I32(16)
+    k_idx = slot * _I32(16) + lane16                  # value order index
+    first_k = jnp.where(ok, k_idx, _I32(2047)).min(axis=1)
+    exc_cnt = _I32(64) - ok.astype(_I32).sum(axis=1, dtype=_I32)
+    hi_s = n.hi.astype(_I32)
+    lo_b = (n.lo ^ _U32(0x80000000)).astype(_I32)
+    imin, imax = _I32(-(2**31)), _I32(2**31 - 1)
+    mxh = jnp.where(ok, hi_s, imin).max(axis=1)
+    mxl = jnp.where(ok & (hi_s == mxh[:, None, :]), lo_b, imin).max(axis=1)
+    mnh = jnp.where(ok, hi_s, imax).min(axis=1)
+    mnl = jnp.where(ok & (hi_s == mnh[:, None, :]), lo_b, imax).min(axis=1)
+    rare_cnt = rare.astype(_I32).sum(axis=1, dtype=_I32)
+    out_stats[:] = jnp.stack(
+        [exc_cnt, first_k, mxh, mxl, mnh, mnl, rare_cnt,
+         jnp.zeros_like(exc_cnt)], axis=1)
+
+
+@jax.jit
+def alp_encode_f64_tiles_stats(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo,
+                               fhi, frlo, frhi):
+    """Encode value bit planes -> (n_hi, n_lo, exc, stats) with analyze
+    and patch statistics fused into the encode pass (stats layout in
+    :func:`_encode_stats_kernel`)."""
+    G = vhi.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi,
+                      frlo, frhi))
+    Gp = G + pad
+    meta = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                        memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _encode_stats_kernel,
+        grid=(Gp // gb,),
+        in_specs=[plane] * 2 + [meta] * 8,
+        out_specs=[plane] * 3
+        + [pl.BlockSpec((gb, 8, 128), lambda i: (i, i * 0, i * 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, 64, 128), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((Gp, 8, 128), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(vhi, vlo, c1lo, c1hi, c2lo, c2hi, flo, fhi, frlo, frhi)
+    return tuple(o[:G] for o in out)

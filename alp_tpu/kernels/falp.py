@@ -518,6 +518,157 @@ def falp_decode_f64_mid_sum(packed, base, c2, c1, c0, fb2, *, bw: int,
     return out[:G]
 
 
+def _key_in_range_count(r: U64, klo_hi, klo_lo, khi_hi, khi_lo):
+    """Per-lane count of decoded doubles whose IEEE-754 total-order key
+    lies in [klo, khi] (engine semantics: -0.0 canonicalised to +0.0,
+    exact integer compares — never emulated-f64).  Bounds arrive as
+    [gb, 1, 128] u32 key limbs; returns [gb, 128] i32 counts."""
+    negz = (r.hi == _U32(0x80000000)) & (r.lo == 0)
+    hi = jnp.where(negz, _U32(0), r.hi)
+    lo = jnp.where(negz, _U32(0), r.lo)
+    sign = (hi >> _U32(31)) != 0
+    khi_v = jnp.where(sign, ~hi, hi | _U32(0x80000000))
+    klo_v = jnp.where(sign, ~lo, lo)
+
+    def bias(x):
+        return (x ^ _U32(0x80000000)).astype(jnp.int32)
+
+    ah, al = bias(khi_v), bias(klo_v)
+
+    def uge(bh, bl):                      # key >= (bh, bl)
+        return (ah > bh) | ((ah == bh) & (al >= bl))
+
+    def ule(bh, bl):                      # key <= (bh, bl)
+        return (ah < bh) | ((ah == bh) & (al <= bl))
+
+    in_range = uge(bias(klo_hi), bias(klo_lo)) & ule(bias(khi_hi),
+                                                     bias(khi_lo))
+    return in_range.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+
+def _falp_f64_mid_count_kernel(packed_ref, base, c2, c1, c0, fb2,
+                               klo_hi, klo_lo, khi_hi, khi_lo, out_cnt,
+                               *, bw: int, c0zero: bool, nonneg: bool,
+                               cheap_msb: bool, nozero: bool):
+    # predicate pushdown: fused decode + total-order-key range COUNT —
+    # only a [gb, 128] i32 count plane leaves the kernel (the decoded
+    # 8 B/value planes never exist; reference q1 pushes its predicate
+    # into the scan the same way, publication/.../queries/q1.cpp:64-88)
+    b = base[:][:, None, :]
+    if bw == 0:
+        n = jnp.broadcast_to(b, (b.shape[0], 64, 128))
+    else:
+        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+    r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
+                         c0[:][:, None, :], fb2[:][:, None, :],
+                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
+                         nozero=nozero)
+    out_cnt[:] = _key_in_range_count(
+        r, klo_hi[:][:, None, :], klo_lo[:][:, None, :],
+        khi_hi[:][:, None, :], khi_lo[:][:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
+                                             "cheap_msb", "nozero"))
+def falp_decode_f64_mid_count(packed, base, c2, c1, c0, fb2, klo_hi,
+                              klo_lo, khi_hi, khi_lo, *, bw: int,
+                              c0zero: bool = False, nonneg: bool = False,
+                              cheap_msb: bool = False,
+                              nozero: bool = False):
+    """Fused mid-variant decode + predicate COUNT (see the kernel).
+    Bound key limbs arrive lane-expanded [G, 128]; exceptions / pad
+    vectors are corrected by the caller (engine.query_filter_count)."""
+    G = packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        (packed, base, c2, c1, c0, fb2, klo_hi, klo_lo, khi_hi,
+         khi_lo) = (jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                    for a in (packed, base, c2, c1, c0, fb2, klo_hi,
+                              klo_lo, khi_hi, khi_lo))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_mid_count_kernel, bw=bw,
+                          c0zero=c0zero, nonneg=nonneg,
+                          cheap_msb=cheap_msb, nozero=nozero),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 9,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      base, c2, c1, c0, fb2, klo_hi, klo_lo, khi_hi, khi_lo)
+    return out[:G]
+
+
+def _falp_f64_gen_count_kernel(packed_ref, bf_lo, bf_hi, fact_lo,
+                               fact_hi, frac_lo, frac_hi, klo_hi, klo_lo,
+                               khi_hi, khi_lo, out_cnt, *, bw: int,
+                               fact1: bool):
+    basefact = U64(bf_hi[:][:, None, :], bf_lo[:][:, None, :])
+    fact = U64(fact_hi[:][:, None, :], fact_lo[:][:, None, :])
+    fr_hi = frac_hi[:][:, None, :]
+    fsig = U64((fr_hi & _U32(0xFFFFF)) | _U32(1 << 20),
+               frac_lo[:][:, None, :])
+    f_biased = (fr_hi >> _U32(20)) & _U32(0x7FF)
+    if bw == 0:
+        shape = (bf_lo.shape[0], 64, 128)
+        m = U64(jnp.broadcast_to(basefact.hi, shape),
+                jnp.broadcast_to(basefact.lo, shape))
+    else:
+        u = _unpack_all(packed_ref, bw, 64, 2)
+        if fact1:
+            prod = u
+        elif bw <= 32:
+            p = sf.umul32_wide(u.lo, fact.lo)
+            prod = U64(p.hi + u.lo * fact.hi, p.lo)
+        else:
+            prod = sf.mul64_low(u, fact)
+        m = _u64_add(prod, basefact)
+    r = sf.i64_to_f64_times_normal(m, fsig, f_biased)
+    out_cnt[:] = _key_in_range_count(
+        r, klo_hi[:][:, None, :], klo_lo[:][:, None, :],
+        khi_hi[:][:, None, :], khi_lo[:][:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "fact1"))
+def falp_decode_f64_count(packed, bf_lo, bf_hi, fact_lo, fact_hi,
+                          frac_lo, frac_hi, klo_hi, klo_lo, khi_hi,
+                          khi_lo, *, bw: int, fact1: bool = False):
+    """Fused generic-variant decode + predicate COUNT (any bit width)."""
+    G = bf_lo.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        (packed, bf_lo, bf_hi, fact_lo, fact_hi, frac_lo, frac_hi,
+         klo_hi, klo_lo, khi_hi, khi_lo) = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (packed, bf_lo, bf_hi, fact_lo, fact_hi, frac_lo,
+                      frac_hi, klo_hi, klo_lo, khi_hi, khi_lo))
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_gen_count_kernel, bw=bw, fact1=fact1),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 10,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      bf_lo, bf_hi, fact_lo, fact_hi, frac_lo, frac_hi,
+      klo_hi, klo_lo, khi_hi, khi_lo)
+    return out[:G]
+
+
 @functools.partial(jax.jit, static_argnames=("bw",))
 def falp_decode_f64_small(packed, base, fact, fsig_hi, fsig_lo, fbias, *,
                           bw: int):
@@ -957,11 +1108,26 @@ def _ffor_kernel(values_ref, base_lo, base_hi, out_ref, *,
 
 def _ffor_planes_kernel(vhi_ref, vlo_ref, base_lo, base_hi, out_ref, *,
                         bw: int):
+    v = U64(vhi_ref[:], vlo_ref[:])
+    _ffor_pack_body(v, base_lo, base_hi, out_ref, bw=bw)
+
+
+def _ffor_planes_patch_kernel(vhi_ref, vlo_ref, exc_ref, fill_lo, fill_hi,
+                              base_lo, base_hi, out_ref, *, bw: int):
+    # exception slots take the vector's first non-exception value before
+    # the FOR subtract (encoder.hpp:382-399 fused into the pack pass)
+    sel = exc_ref[:] != 0
+    v = U64(jnp.where(sel, fill_hi[:][:, None, :], vhi_ref[:]),
+            jnp.where(sel, fill_lo[:][:, None, :], vlo_ref[:]))
+    _ffor_pack_body(v, base_lo, base_hi, out_ref, bw=bw)
+
+
+def _ffor_pack_body(v, base_lo, base_hi, out_ref, *, bw: int):
     base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
     mask_lo = _U32((1 << min(bw, 32)) - 1 if bw < 32 else 0xFFFFFFFF)
     mask_hi = _U32((1 << (bw - 32)) - 1) if 32 < bw < 64 else (
         _U32(0xFFFFFFFF) if bw == 64 else _U32(0))
-    d = _u64_sub(U64(vhi_ref[:], vlo_ref[:]), base)
+    d = _u64_sub(v, base)
     d = U64(d.hi & mask_hi, d.lo & mask_lo)
     deltas = [U64(d.hi[:, v, :], d.lo[:, v, :]) for v in range(64)]
     for j in range(2 * bw):
@@ -990,29 +1156,45 @@ def _ffor_planes_kernel(vhi_ref, vlo_ref, base_lo, base_hi, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("bw",))
 def ffor_planes_f64(vhi, vlo, base_lo, base_hi, *, bw: int):
     """FOR + pack int64 (hi, lo) planes [G, 64, 128] -> [G, 2*bw, 128]."""
-    G = vhi.shape[0]
+    return _ffor_planes_call(
+        _ffor_planes_kernel, (vhi, vlo), (base_lo, base_hi), bw=bw)
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def ffor_planes_patch_f64(vhi, vlo, exc, fill_lo, fill_hi, base_lo,
+                          base_hi, *, bw: int):
+    """FOR + pack with exception patching fused (exception slots read
+    the per-vector fill value): packs UNPATCHED encode planes + exc mask
+    directly, saving the separate patch pass over the planes."""
+    return _ffor_planes_call(
+        _ffor_planes_patch_kernel, (vhi, vlo, exc),
+        (fill_lo, fill_hi, base_lo, base_hi), bw=bw)
+
+
+def _ffor_planes_call(kernel, planes, metas, *, bw: int):
+    G = planes[0].shape[0]
     if bw == 0:
         return jnp.zeros((G, 0, 128), jnp.uint32)
     gb = min(_BLOCK_GROUPS, max(G, 1))
     pad = (-G) % gb
     if pad:
-        vhi, vlo, base_lo, base_hi = (
-            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-            for a in (vhi, vlo, base_lo, base_hi))
+        planes = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                       for a in planes)
+        metas = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in metas)
     Gp = G + pad
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_ffor_planes_kernel, bw=bw),
+        functools.partial(kernel, bw=bw),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM)] * 2
-        + [meta_spec, meta_spec],
+                               memory_space=pltpu.VMEM)] * len(planes)
+        + [meta_spec] * len(metas),
         out_specs=pl.BlockSpec((gb, 2 * bw, 128), lambda i: (i, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Gp, 2 * bw, 128), jnp.uint32),
         interpret=_interpret(),
-    )(vhi, vlo, base_lo, base_hi)
+    )(*planes, *metas)
     return out[:G]
 
 

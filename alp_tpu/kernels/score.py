@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: (e, f) candidate scoring for rowgroup planning.
+
+The reference's encode-side hot loop outside FFOR is the exhaustive
+(e, f) sweep: ~190 candidate pairs x 32 samples per sampled vector,
+each scored by encode + decode + compare + FOR-range estimate
+(find_top_k_combinations, encoder.hpp:139-235; second-level refinement
+encoder.hpp:241-305).  Doing this in plain XLA softfloat materialises
+every broadcast intermediate in HBM (~20x slower than the op count);
+this kernel keeps the whole sweep in VMEM: candidate pairs live across
+VPU *lanes*, samples across sublanes, and one grid step scores a whole
+rowgroup (or a block of vectors) with a single non-unrolled
+encode+verify op sequence (kernels.encode.encode_verify_f64).
+
+Outputs per (segment, pair): the reference's estimated size
+``S * bit_width(max - min over non-exceptions) + exceptions * 80`` and
+the non-exception count — exactly the oracle's quantities, so the vote
+and tie-break logic downstream is shared with the exact path.  A
+``rare`` flag marks segments containing subnormal samples (outside the
+fast envelope, encode.py docstring); callers re-plan those exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .encode import encode_verify_f64
+from ..ops.softfloat import U64
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _bit_length(x):
+    """SWAR bit length of a u32 array (0 -> 0)."""
+    bl = jnp.zeros_like(x, dtype=_I32)
+    for s in (16, 8, 4, 2, 1):
+        big = (x >> _U32(s)) != 0
+        bl = bl + jnp.where(big, _I32(s), _I32(0))
+        x = jnp.where(big, x >> _U32(s), x)
+    return bl + (x != 0).astype(_I32)
+
+
+def _score_kernel(shi_ref, slo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
+                  frlo, frhi, out_est, out_ne, out_rare, *, n_seg: int,
+                  seg: int, exc_bits: int):
+    L = shi_ref.shape[-1]
+    hi = shi_ref[0].reshape(n_seg, seg, L)
+    lo = slo_ref[0].reshape(n_seg, seg, L)
+
+    def dec_const(lo_ref, hi_ref):
+        # constants are PER SEGMENT x LANE: row s of the const block is
+        # segment s's candidate constants (identical rows when all
+        # segments share candidates, e.g. first-level pair sweeps)
+        h = hi_ref[0][:n_seg].reshape(n_seg, 1, L)
+        l_ = lo_ref[0][:n_seg].reshape(n_seg, 1, L)
+        sig = U64((h & _U32(0xFFFFF)) | _U32(1 << 20), l_)
+        biased = ((h >> _U32(20)) & _U32(0x7FF)).astype(_I32)
+        return sig, biased
+
+    c1sig, c1b = dec_const(c1lo, c1hi)
+    c2sig, c2b = dec_const(c2lo, c2hi)
+    fact = U64(fhi[0][:n_seg].reshape(n_seg, 1, L),
+               flo[0][:n_seg].reshape(n_seg, 1, L))
+    frsig, frb = dec_const(frlo, frhi)
+
+    n, exc, rare = encode_verify_f64(U64(hi, lo), c1sig, c1b, c2sig, c2b,
+                                     fact, frsig, frb)
+    ok = ~exc
+    non_exc = ok.astype(_I32).sum(axis=1, dtype=_I32)                    # [n_seg, L]
+
+    # int64 min/max over non-exceptions, two-pass lexicographic on u32
+    # limbs (hi compares signed; lo biased to signed).  The all-exception
+    # sentinels compose to exactly INT64_MIN / INT64_MAX, matching the
+    # oracle's init values (encoder.hpp:268-269).
+    hi_s = n.hi.astype(_I32)
+    lo_b = (n.lo ^ _U32(0x80000000)).astype(_I32)
+    imin, imax = _I32(-(2**31)), _I32(2**31 - 1)
+    mxh = jnp.where(ok, hi_s, imin).max(axis=1)
+    mxl = jnp.where(ok & (hi_s == mxh[:, None, :]), lo_b, imin).max(axis=1)
+    mnh = jnp.where(ok, hi_s, imax).min(axis=1)
+    mnl = jnp.where(ok & (hi_s == mnh[:, None, :]), lo_b, imax).min(axis=1)
+
+    # delta = (max - min) mod 2^64 on limbs (equals the oracle's
+    # unsigned-viewed subtraction, including the all-exception wrap)
+    mxl_u = mxl.astype(_U32) ^ _U32(0x80000000)
+    mnl_u = mnl.astype(_U32) ^ _U32(0x80000000)
+    d_lo = mxl_u - mnl_u
+    borrow = (mxl < mnl).astype(_U32)
+    d_hi = mxh.astype(_U32) - mnh.astype(_U32) - borrow
+    bits = jnp.where(d_hi != 0, _I32(32) + _bit_length(d_hi),
+                     _bit_length(d_lo))
+    est = (_I32(seg) * bits
+           + (_I32(seg) - non_exc) * _I32(exc_bits))
+
+    n_pad_rows = out_est.shape[1] - n_seg
+    zpad = jnp.zeros((max(n_pad_rows, 1), est.shape[-1]), _I32)
+
+    def pad8(x):
+        # jnp.pad's fill constant becomes an i64 scalar under x64,
+        # which Mosaic cannot lower — concatenate i32 zeros instead
+        # (zero-row concats also fail to lower: skip when already full)
+        return jnp.concatenate([x, zpad], axis=0) if n_pad_rows else x
+
+    out_est[0] = pad8(est)
+    out_ne[0] = pad8(non_exc)
+    out_rare[0] = pad8(rare.astype(_I32).sum(axis=1, dtype=_I32))
+
+
+def _pair_const_planes(tc, es, fs, L):
+    """Candidate constants as 8 planes [1, 8, L] (c1=10^e, c2=10^-f,
+    FACT[f], FRAC[e]; lo/hi u32 limbs), padded to L lanes with (0, 0)."""
+    pe = np.zeros(L, np.int32)
+    pf = np.zeros(L, np.int32)
+    pe[:len(es)] = es
+    pf[:len(fs)] = fs
+    planes = []
+    for tab, idx in ((tc.exp_arr, pe), (tc.frac_arr, pf),
+                     (tc.fact_arr, pf), (tc.frac_arr, pe)):
+        u = np.ascontiguousarray(tab[idx]).view(np.uint64)
+        planes.append(jnp.asarray(np.broadcast_to(
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32), (1, 8, L))))
+        planes.append(jnp.asarray(np.broadcast_to(
+            (u >> np.uint64(32)).astype(np.uint32), (1, 8, L))))
+    return tuple(planes)
+
+
+def first_level_scores_f64(chunk_hi, chunk_lo, *, tc):
+    """Kernel-backed find_top_k scoring of full-rowgroup samples.
+
+    chunk_hi/lo: [R, V, S] u32 bit planes of the first-level sample.
+    Returns (est [R, V, P] i32, non_exc [R, V, P] i32, rare [R] bool)
+    with P the ef_pairs count — feed ops.alp.first_level_vote.
+    """
+    from ..ops import alp as oalp
+    es, fs = oalp.ef_pairs_arrays(tc)
+    P = len(es)
+    L = -(-P // 128) * 128
+    R, V, S = chunk_hi.shape
+    seg8 = -(-V // 8) * 8
+    consts = _pair_const_planes(tc, es, fs, L)
+    consts = tuple(jnp.broadcast_to(c[:, :1], (R, seg8, L))
+                   for c in consts)
+    shi = jnp.broadcast_to(chunk_hi.reshape(R, V * S, 1), (R, V * S, L))
+    slo = jnp.broadcast_to(chunk_lo.reshape(R, V * S, 1), (R, V * S, L))
+    est, ne, rare = score_pairs_f64(shi, slo, consts, n_seg=V, seg=S)
+    return (est[:, :V, :P], ne[:, :V, :P],
+            (rare[:, :V, :P].sum(axis=(1, 2)) > 0))
+
+
+def second_level_scores_f64(shi, slo, combos, k_count, *, tc,
+                            sb: int = 8):
+    """Kernel-backed second-level candidate scoring.
+
+    shi/slo: [n, S] u32 bit planes of each vector's 32-sample stride;
+    combos [n, 5, 2] (e, f); k_count [n].  Returns (est [n, 5] i32,
+    rare [n] bool) — feed ops.alp.accept_scan.
+    """
+    n, S = shi.shape
+    VB = 16                                  # vectors per 128-lane row
+    KB = 8                                   # combo lanes per vector
+    SB = sb                                  # vector rows (segments)/step
+    per = VB * SB                            # 128 vectors per grid step
+    n_pad = -(-n // per) * per
+    G = n_pad // per
+
+    def to_blocks(x):                        # [n, S] -> [G, SB*S, 128]
+        xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        t = xp.reshape(G, SB, VB, S).transpose(0, 1, 3, 2)
+        t = t.reshape(G, SB * S, VB)
+        return jnp.repeat(t, KB, axis=2, total_repeat_length=VB * KB)
+
+    shi_b = to_blocks(shi)
+    slo_b = to_blocks(slo)
+    # per-(segment, vector, combo) constants: segment = vector row,
+    # lane = v_in_row * KB + k
+    cp = jnp.pad(combos, ((0, n_pad - n), (0, KB - combos.shape[1]),
+                          (0, 0)))
+    pe = cp[:, :, 0].reshape(G, SB, VB * KB)
+    pf = cp[:, :, 1].reshape(G, SB, VB * KB)
+    consts = []
+    for tab, idx in ((tc.exp_arr, pe), (tc.frac_arr, pf),
+                     (tc.fact_arr, pf), (tc.frac_arr, pe)):
+        u = jnp.asarray(np.ascontiguousarray(tab).view(np.uint64))[idx]
+        consts += [(u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                   (u >> jnp.uint64(32)).astype(jnp.uint32)]
+    est, _, rare = score_pairs_f64(shi_b, slo_b, tuple(consts),
+                                   n_seg=SB, seg=S)
+    est_v = est[:, :SB, :].reshape(n_pad, KB)[:n, :combos.shape[1]]
+    rare_v = rare[:, :SB, :].reshape(n_pad, KB)[:n].sum(axis=1) > 0
+    return est_v, rare_v
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "seg"))
+def score_pairs_f64(shi, slo, consts, *, n_seg: int, seg: int):
+    """Score candidate (e, f) pairs against sample segments.
+
+    shi/slo: [B, n_seg*seg, L] sample f64 bit planes, pre-broadcast
+    across the L candidate lanes.  consts: 8 planes [B, pad8(n_seg), L]
+    (c1lo, c1hi, c2lo, c2hi, factlo, facthi, frlo, frhi) — candidate
+    constants per (segment row, lane).  Returns (est, non_exc, rare)
+    each [B, pad8(n_seg), L] int32.
+    """
+    B, SS, L = shi.shape
+    assert SS == n_seg * seg
+    seg8 = -(-n_seg // 8) * 8
+    sample_spec = pl.BlockSpec((1, SS, L), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, seg8, L), lambda i: (i, i * 0, i * 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, seg8, L), lambda i: (i, i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    exc_bits = 64 + 16
+    out = pl.pallas_call(
+        functools.partial(_score_kernel, n_seg=n_seg, seg=seg,
+                          exc_bits=exc_bits),
+        grid=(B,),
+        in_specs=[sample_spec] * 2 + [const_spec] * 8,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, seg8, L), jnp.int32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(shi, slo, *consts)
+    return out[0], out[1], out[2]

@@ -180,7 +180,6 @@ def choose_factor_exponent_from_samples(nm: Numerics, samples, combos,
     """Second-level choice given the 32-value-per-vector sample strides
     directly (device pipelines gather the stride on device and ship only
     3% of the data to this host-side exact-f64 step)."""
-    n = samples.shape[0]
     combos = jnp.asarray(combos)
     k_count = jnp.asarray(k_count)
     exps = combos[:, :, 0]
@@ -188,6 +187,19 @@ def choose_factor_exponent_from_samples(nm: Numerics, samples, combos,
     est, _, _ = _estimate_sizes(
         nm, samples[:, None, :], facs[:, :, None], exps[:, :, None],
         jnp.int32(C.SAMPLES_PER_VECTOR))        # [n, 5]
+    return accept_scan(est, combos, k_count)
+
+
+def accept_scan(est, combos, k_count):
+    """The sequential accept/early-exit rule of the second-level choice
+    (encoder.hpp:283-302) over precomputed estimates [n, 5]; shared by
+    the exact path above and the Pallas scorer (kernels.score)."""
+    n = est.shape[0]
+    combos = jnp.asarray(combos)
+    k_count = jnp.asarray(k_count)
+    exps = combos[:, :, 0]
+    facs = combos[:, :, 1]
+    est = est.astype(jnp.int64)
 
     def step(carry, k):
         found_e, found_f, best, worse, stopped = carry
@@ -236,14 +248,32 @@ def first_level_combos(nm: Numerics, chunks):
     """
     tc = nm.tc
     R, V, S = chunks.shape
-    pairs = [(e, f) for e in range(tc.max_exponent, -1, -1)
-             for f in range(e, -1, -1)]
-    P = len(pairs)
-    es = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
-    fs = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    es_np, fs_np = ef_pairs_arrays(tc)
+    es = jnp.asarray(es_np)
+    fs = jnp.asarray(fs_np)
     est, _, non_exc = _estimate_sizes(
         nm, chunks[:, :, None, :], fs[None, None, :, None],
         es[None, None, :, None], jnp.int32(S))          # [R, V, P]
+    return first_level_vote(est, non_exc, S, tc)
+
+
+def ef_pairs_arrays(tc):
+    """(e, f) candidate enumeration in find_top_k iteration order."""
+    pairs = [(e, f) for e in range(tc.max_exponent, -1, -1)
+             for f in range(e, -1, -1)]
+    return (np.array([p[0] for p in pairs], np.int32),
+            np.array([p[1] for p in pairs], np.int32))
+
+
+def first_level_vote(est, non_exc, S, tc):
+    """Vote + rank of find_top_k_combinations over precomputed per-pair
+    estimates [R, V, P] (pair axis in ef_pairs_arrays order); shared by
+    the exact softfloat path above and the Pallas scorer."""
+    es_np, fs_np = ef_pairs_arrays(tc)
+    es = jnp.asarray(es_np)
+    fs = jnp.asarray(fs_np)
+    P = len(es_np)
+    est = est.astype(jnp.int64)
     worst = (S * (tc.exception_size + C.EXCEPTION_POSITION_SIZE)
              + S * tc.exception_size)
     valid = (non_exc >= 2) & (est <= worst)

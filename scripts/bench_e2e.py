@@ -126,19 +126,28 @@ def main():
         gb_dev = n_vec * 1024 * 8 / 1e9
         ccd = dcz.compress_device(planes=(vhi, vlo))   # real bucket plan
         assert abs(ccd.bits_per_value() - bwd) < 2.0
-        step_a = dcz.make_device_compress_step(n_vec)
+        # the synthetic decimal column plans a single (e, f) candidate
+        # per rowgroup (k = 1, like most real decimal columns — City,
+        # Food, Btc all plan k = 1), so the step statically omits the
+        # second-level scorer exactly as production does for k == 1
+        assert len(np.unique(np.stack([ccd.fac, ccd.exp]), axis=1).T) == 1
+        step_a = dcz.make_device_compress_step(n_vec, k_max=1)
         dt_a = loop_bench(step_a, (vhi, vlo), 10)
-        # pack stage operates on the real patched encode planes
+        # pack stage operates on the real raw encode planes + exc mask
+        # (patching is fused into the pack kernel)
         tc = C.DOUBLE
         meta = []
         for tab, idx in ((tc.exp_arr, ccd.exp), (tc.frac_arr, ccd.fac),
                          (tc.fact_arr, ccd.fac), (tc.frac_arr, ccd.exp)):
             lo, hi = dcz._u64_split(np.ascontiguousarray(tab[idx]))
             meta += [dcz._expand(lo, n_vec), dcz._expand(hi, n_vec)]
-        nhi, nlo, exc, _ = kencode.alp_encode_f64_tiles(vhi, vlo, *meta)
-        nhi, nlo, _ = dcz._patch_and_count(nhi, nlo, exc)
-        step_b = dcz.make_pack_step(ccd, nhi, nlo)
-        dt_b = loop_bench(step_b, (nhi, nlo), 10)
+        nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
+            vhi, vlo, *meta)
+        _, _, _, _, _, fill_lo, fill_hi = dcz.finalize_encode_stats(
+            stats, nhi, nlo)
+        step_b = dcz.make_pack_step(ccd, np.asarray(fill_lo),
+                                    np.asarray(fill_hi))
+        dt_b = loop_bench(step_b, (nhi, nlo, exc), 10)
         gbps_dev = gb_dev / (dt_a + dt_b)
         rows.append(("COMPRESSION", "ALP device e2e (plan+encode+pack, "
                      "device-resident)", "1 chip", round(gbps_dev, 2), ""))
