@@ -219,6 +219,71 @@ def make_sum_step(plan):
     return step, tuple(metas)
 
 
+def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
+    """Throughput step for the predicate-pushdown COUNT pipeline: fused
+    decode+count kernels per bucket (mid/gen variants; const buckets
+    count in XLA), one jittable program — the filter-query analog of
+    :func:`make_sum_step` (exceptions/pad corrections are tiny host-side
+    constants per plan and do not belong in the per-iteration loop)."""
+    from .kernels import falp as kfalp
+    klo = np.uint64(_float_key(lo, dtype))
+    khi = np.uint64(_float_key(hi, dtype))
+    groups = plan.groups
+    for g in groups:
+        if g.scheme == C.SCHEME_ALP_RD or g.variant not in (
+                "mid", "gen", "const"):
+            raise NotImplementedError(
+                f"no fused count kernel for variant {g.variant!r}; "
+                "query_filter_count handles such buckets via plane decode")
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts_n = [len(a) for a in arg_tuples]
+
+    def step(carry, *metas):
+        total = jnp.zeros((), jnp.int32)
+        acc = carry
+        i = 0
+        for g, n in zip(groups, counts_n):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            G = args[1].shape[0]
+            if g.variant == "const":
+                hi_p, lo_p = args
+                negz = (hi_p == jnp.uint32(1 << 31)) & (lo_p == 0)
+                hb = jnp.where(negz, jnp.uint32(0), hi_p)
+                lb = jnp.where(negz, jnp.uint32(0), lo_p)
+                sign = (hb >> jnp.uint32(31)) != 0
+                key = ((jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31))
+                        .astype(jnp.uint64) << jnp.uint64(32))
+                       | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
+                cnt = ((key >= klo) & (key <= khi)).astype(
+                    jnp.int32) * jnp.int32(64)
+            else:
+                bk = [jnp.full((G, 128), np.uint32(int(k) >> 32),
+                               jnp.uint32) for k in (klo, khi)]
+                bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
+                                jnp.uint32) for k in (klo, khi)]
+                bounds = (bk[0], bk[2], bk[1], bk[3])
+                if g.variant == "mid":
+                    tiles, base, c2, c1, c0, fb2 = args
+                    cnt = kfalp.falp_decode_f64_mid_count(
+                        tiles, base, c2, c1, c0, fb2, *bounds, bw=g.bw,
+                        c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
+                        cheap_msb=bool(g.flags & 4),
+                        nozero=bool(g.flags & 8))
+                else:
+                    tiles, bl, bh, flo, fhi, frl, frh = args
+                    cnt = kfalp.falp_decode_f64_count(
+                        tiles, bl, bh, flo, fhi, frl, frh, *bounds,
+                        bw=g.bw, fact1=bool(g.flags & 16))
+            total = total + cnt.sum(dtype=jnp.int32)
+            acc = acc ^ cnt[0, 0].astype(jnp.uint32)
+        return acc ^ total.astype(jnp.uint32)
+
+    metas = [a for args in arg_tuples for a in args]
+    return step, tuple(metas)
+
+
 def _masked_keys(col, plan, outs):
     """Yield (total-order keys, mask) per bucket.
 

@@ -51,7 +51,19 @@ def main():
     step, metas = engine.make_sum_step(plan)
     dt = loop_bench(step, metas, 20)
     gbps = plan.decoded_bytes / dt / 1e9
-    rows.append(("SUM", "ALP", "1 chip", round(gbps, 2), 1.0))
+    # SUM-shaped throughput: fused decode + checksum-grade reduction
+    # (make_sum_step docstring); engine.query_sum is the exact-answer API
+    rows.append(("SUM-shaped scan (checksum reduce)", "ALP", "1 chip",
+                 round(gbps, 2), 1.0))
+    print(rows[-1], flush=True)
+
+    # predicate pushdown: fused decode + total-order-key range COUNT —
+    # no decoded planes are written (engine.make_filter_step)
+    stepf, metasf = engine.make_filter_step(plan, -15.0, 25.0)
+    dtf = loop_bench(stepf, metasf, 20)
+    gbps_f = plan.decoded_bytes / dtf / 1e9
+    rows.append(("FILTER COUNT (predicate pushdown)", "ALP", "1 chip",
+                 round(gbps_f, 2), ""))
     print(rows[-1], flush=True)
 
     # correctness companions (never timed through the tunnel):
