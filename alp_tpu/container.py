@@ -414,15 +414,14 @@ def _compress(data: np.ndarray) -> CompressedColumn:
             cnt = int(res["exc_count"][v])
             exc_positions[v] = res["exc_positions"][v, :cnt].copy()
             exc_values[v] = res["exc_values"][v, :cnt].copy()
-        enc_max[alp_idx] = (
-            encoded[alp_idx].max(axis=1).astype(np.int64).view(np.uint64)
-            - base[alp_idx].astype(np.int64).view(np.uint64))
-        bws_all = bit_width[alp_idx]
-        for bw in np.unique(bws_all):
-            sel = alp_idx[bws_all == bw]
-            pk = nat.ffor_pv(encoded[sel], int(bw), base[sel])
-            for r, v in enumerate(sel):
-                packed[v] = pk[r]
+        enc_max[alp_idx] = res["enc_max"][alp_idx]
+        # whole-column ragged pack: one native call, zero-copy views
+        # (RD vectors pack at bw 0 here and are overwritten below)
+        bw_pack = bit_width.copy()
+        bw_pack[rd_idx] = 0
+        flat_pk, off = nat.ffor_ragged(encoded, bw_pack, base)
+        for v in alp_idx:
+            packed[v] = flat_pk[off[v]:off[v + 1]]
     elif alp_idx.size:
         vals_dev = nm.values_from_np(vectors[alp_idx])
         res = oalp.encode_pipeline(vals_dev, combos[alp_idx],

@@ -40,17 +40,25 @@ def _build_lib(src: pathlib.Path, name: str,
 
     -ffp-contract=off: GCC's default contraction would fuse the magic
     add into an FMA and change the encode rounding semantics.
-    No -march=native: the artifact directory may be shared between
-    machines; -O3 generic x86-64 is within noise for these bit loops.
+    -march=native vectorises the encode+verify loop (AVX-512DQ vector
+    f64<->i64 converts; scalar and vector cvtt have identical
+    semantics, including the INT64_MIN "integer indefinite" result);
+    the cache key includes the flags AND the machine, so artifact
+    directories shared between machines stay safe.
     """
-    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    import platform
+    cmd_flags = ["-O3", "-march=native", "-ffp-contract=off", "-fopenmp"]
+    digest = hashlib.sha256(
+        src.read_bytes() + " ".join(cmd_flags).encode()
+        + platform.processor().encode() + platform.machine().encode()
+    ).hexdigest()[:16]
     lib_file = _CACHE_DIR / f"lib{name}-{digest}.so"
     if lib_file.exists() and not force:
         return lib_file
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tmp = lib_file.with_suffix(".so.tmp")
-    cmd = ["g++", "-O3", "-ffp-contract=off", "-fopenmp", "-shared",
-           "-fPIC", "-o", str(tmp), str(src)]
+    cmd = ["g++", *cmd_flags, "-shared", "-fPIC", "-o", str(tmp),
+           str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, lib_file)
@@ -260,6 +268,7 @@ def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
     exc_values = np.empty((n, 1024), np.float64)
     exc_positions = np.empty((n, 1024), np.uint16)
     exc_count = np.empty(n, np.uint16)
+    enc_max = np.empty(n, np.uint64)
     lib().alp_encode_f64_multi(
         _ptr(np.ascontiguousarray(vectors), ctypes.c_double),
         ctypes.c_long(n),
@@ -272,10 +281,32 @@ def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
         _ptr(bw, ctypes.c_uint8), _ptr(base, ctypes.c_int64),
         _ptr(encoded, ctypes.c_int64), _ptr(exc_values, ctypes.c_double),
         _ptr(exc_positions, ctypes.c_uint16),
-        _ptr(exc_count, ctypes.c_uint16))
+        _ptr(exc_count, ctypes.c_uint16),
+        _ptr(enc_max, ctypes.c_uint64))
     return {"fac": fac, "exp": exp, "bit_width": bw, "base": base,
             "encoded": encoded, "exc_values": exc_values,
-            "exc_positions": exc_positions, "exc_count": exc_count}
+            "exc_positions": exc_positions, "exc_count": exc_count,
+            "enc_max": enc_max}
+
+
+def ffor_ragged(encoded: np.ndarray, bw: np.ndarray, base: np.ndarray):
+    """Whole-column ragged FFOR pack in ONE native call: every vector
+    packed at its own bit width into a flat u64 buffer; returns
+    (flat_words, word_offsets [n+1]) — slice vector v's packed words as
+    ``flat[off[v]:off[v+1]]`` (zero-copy views)."""
+    n = encoded.shape[0]
+    bw = np.ascontiguousarray(bw, np.uint8)
+    sizes = bw.astype(np.int64) * 16
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    flat = np.empty(int(off[-1]), np.uint64)
+    lib().alp_ffor_ragged_u64(
+        _ptr(np.ascontiguousarray(encoded).view(np.uint64),
+             ctypes.c_uint64),
+        _ptr(flat, ctypes.c_uint64), _ptr(bw, ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(base).view(np.uint64), ctypes.c_uint64),
+        _ptr(off, ctypes.c_int64), ctypes.c_long(n))
+    return flat, off
 
 
 def init_f64_multi(data: np.ndarray, n_rg: int):

@@ -206,11 +206,14 @@ struct EncCtx64 {
 inline int64_t encode_value64(double v, int f, int e, const EncCtx64& c) {
   double tmp = v * c.exp_arr[e] * c.frac_arr[f];
   tmp = tmp + c.magic - c.magic;
-  // x86 cvttsd2si semantics (out-of-range / NaN -> INT64_MIN)
-  if (!(tmp >= -9.223372036854776e18 && tmp < 9.223372036854776e18)) {
-    return INT64_MIN;
-  }
-  return int64_t(tmp);
+  // x86 cvttsd2si semantics (out-of-range / NaN -> INT64_MIN), written
+  // branchless (selects) so the encode loop vectorises: the guarded
+  // cast is always in range (UB-free) and AVX-512DQ vcvttpd2qq matches
+  // the scalar instruction bit-for-bit
+  const bool in_range =
+      tmp >= -9.223372036854776e18 && tmp < 9.223372036854776e18;
+  const int64_t cast = int64_t(in_range ? tmp : 0.0);
+  return in_range ? cast : INT64_MIN;
 }
 
 inline double decode_value64(int64_t n, int f, int e, const EncCtx64& c) {
@@ -238,7 +241,8 @@ inline void encode_vector64(const double* data, long vi,
                             uint8_t* out_bw, int64_t* out_base,
                             int64_t* out_encoded, double* out_exc_values,
                             uint16_t* out_exc_positions,
-                            uint16_t* out_exc_count) {
+                            uint16_t* out_exc_count,
+                            uint64_t* out_encmax) {
     const double* vec = data + size_t(vi) * kVec;
     // --- second-level choice (encoder.hpp:241-305) -------------------
     int fe = combos[0], ff = combos[1];
@@ -291,23 +295,31 @@ inline void encode_vector64(const double* data, long vi,
     out_exp[vi] = uint8_t(fe);
 
     // --- encode_simdized (encoder.hpp:307-400) -----------------------
+    // Two passes like the reference: a branchless encode+verify loop
+    // the compiler can vectorise (clang vectorize_width(64) analog),
+    // then scalar exception compaction (encoder.hpp:351-399).
     int64_t* enc = out_encoded + size_t(vi) * kVec;
     double* excv = out_exc_values + size_t(vi) * kVec;
     uint16_t* excp = out_exc_positions + size_t(vi) * kVec;
+    uint8_t ok[kVec];
+#pragma omp simd
+    for (int j = 0; j < kVec; ++j) {
+      const double v = vec[j];
+      const double vr = is_special64(v) ? 9223372036854774784.0 : v;
+      const int64_t n = encode_value64(vr, ff, fe, ctx);
+      enc[j] = n;
+      ok[j] = decode_value64(n, ff, fe, ctx) == vr;
+    }
     int n_exc = 0;
     int64_t first_ok = 0;
     bool any_ok = false;
     for (int j = 0; j < kVec; ++j) {
-      double v = vec[j];
-      const double vr = is_special64(v) ? 9223372036854774784.0 : v;
-      const int64_t n = encode_value64(vr, ff, fe, ctx);
-      enc[j] = n;
-      if (decode_value64(n, ff, fe, ctx) != vr) {
-        excv[n_exc] = v;
+      if (!ok[j]) {
+        excv[n_exc] = vec[j];
         excp[n_exc] = uint16_t(j);
         ++n_exc;
       } else if (!any_ok) {
-        first_ok = n;
+        first_ok = enc[j];
         any_ok = true;
       }
     }
@@ -316,11 +328,13 @@ inline void encode_vector64(const double* data, long vi,
 
     // --- analyze_ffor (encoder.hpp:109-120) --------------------------
     int64_t mx = enc[0], mn = enc[0];
+#pragma omp simd reduction(max:mx) reduction(min:mn)
     for (int j = 1; j < kVec; ++j) {
       if (enc[j] > mx) mx = enc[j];
       if (enc[j] < mn) mn = enc[j];
     }
     uint64_t delta = uint64_t(mx) - uint64_t(mn);
+    if (out_encmax) out_encmax[vi] = delta;  // format-v2 enc_max
     int bits = 0;
     while (delta) { ++bits; delta >>= 1; }
     out_bw[vi] = uint8_t(bits);
@@ -347,7 +361,7 @@ void alp_encode_f64(const double* data, int n_vectors,
   for (int vi = 0; vi < n_vectors; ++vi) {
     encode_vector64(data, vi, combos, k, ctx, out_fac, out_exp, out_bw,
                     out_base, out_encoded, out_exc_values,
-                    out_exc_positions, out_exc_count);
+                    out_exc_positions, out_exc_count, nullptr);
   }
 }
 
@@ -364,7 +378,8 @@ void alp_encode_f64_multi(const double* data, long n_vectors,
                           uint8_t* out_bw, int64_t* out_base,
                           int64_t* out_encoded, double* out_exc_values,
                           uint16_t* out_exc_positions,
-                          uint16_t* out_exc_count) {
+                          uint16_t* out_exc_count,
+                          uint64_t* out_encmax) {
   EncCtx64 ctx{exp_arr, frac_arr, fact_arr, magic, 0};
   #pragma omp parallel for schedule(dynamic, 16) if (n_vectors > 8)
   for (long vi = 0; vi < n_vectors; ++vi) {
@@ -372,7 +387,21 @@ void alp_encode_f64_multi(const double* data, long n_vectors,
     encode_vector64(data, vi, combos_all + rg * 2 * max_k,
                     k_all[rg], ctx, out_fac, out_exp, out_bw, out_base,
                     out_encoded, out_exc_values, out_exc_positions,
-                    out_exc_count);
+                    out_exc_count, out_encmax);
+  }
+}
+
+// Whole-column ragged FFOR pack: every vector packed at ITS OWN bit
+// width straight into one output buffer at precomputed word offsets
+// (no per-bucket gathers or copies; one OpenMP region).
+void alp_ffor_ragged_u64(const uint64_t* in, uint64_t* out,
+                         const uint8_t* bw, const uint64_t* base,
+                         const int64_t* word_off, long n_vectors) {
+  #pragma omp parallel for schedule(dynamic, 64) if (n_vectors > 8)
+  for (long vi = 0; vi < n_vectors; ++vi) {
+    if (bw[vi] == 0) continue;
+    ffor_vec<uint64_t>(in + size_t(vi) * kVec, out + word_off[vi],
+                       bw[vi], base[vi]);
   }
 }
 

@@ -66,6 +66,44 @@ def main():
                  round(gbps_f, 2), ""))
     print(rows[-1], flush=True)
 
+    # the same filter WITHOUT pushdown: decode planes to HBM, then key
+    # compare + count in XLA — quantifies what fusing the predicate into
+    # the kernel saves (the 8 B/value plane write)
+    import jax.numpy as _jnp
+    from alp_tpu import constants as _C
+    klo = np.uint64(engine._float_key(-15.0, np.float64))
+    khi = np.uint64(engine._float_key(25.0, np.float64))
+    groups = plan.groups
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts_n = [len(a) for a in arg_tuples]
+
+    def step_unfused(carry, *metas):
+        total = _jnp.zeros((), _jnp.int32)
+        acc = carry
+        i = 0
+        for g, n in zip(groups, counts_n):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            hi, lo = kdecode.group_decode(g, np.float64)(*args)
+            negz = (hi == _jnp.uint32(1 << 31)) & (lo == 0)
+            hb = _jnp.where(negz, _jnp.uint32(0), hi)
+            lb = _jnp.where(negz, _jnp.uint32(0), lo)
+            sign = (hb >> _jnp.uint32(31)) != 0
+            key = ((_jnp.where(sign, ~hb, hb | _jnp.uint32(1 << 31))
+                    .astype(_jnp.uint64) << _jnp.uint64(32))
+                   | _jnp.where(sign, ~lb, lb).astype(_jnp.uint64))
+            inr = (key >= klo) & (key <= khi)
+            total = total + inr.astype(_jnp.int32).sum(dtype=_jnp.int32)
+            acc = acc ^ hi[0, 0, 0]
+        return acc ^ total.astype(_jnp.uint32)
+
+    metas_u = [a for t in arg_tuples for a in t]
+    dtu = loop_bench(step_unfused, tuple(metas_u), 20)
+    rows.append(("FILTER COUNT (plane decode, no pushdown)", "ALP",
+                 "1 chip", round(plan.decoded_bytes / dtu / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+
     # correctness companions (never timed through the tunnel):
     small = container.compress(base)
     s = engine.query_sum(small)
