@@ -13,7 +13,12 @@ chips and the broadcast/gather ride ICI/PCIe instead of shared memory.
 
 Output is bit-identical to the single-host :func:`container.compress` /
 :func:`container.decompress` (the multichip dryrun asserts blob
-equality), so a mesh is purely a throughput knob.
+equality), so a mesh is purely a throughput knob.  Per-shard evidence
+on real hardware: the shard_map-wrapped falp kernel over a 1-device
+TPU mesh runs within 2% of the bare kernel (78.8 vs 80.2 GB/s at
+bw 16, 256 MiB — results/e2e_mesh_real_chip.csv), i.e. each device
+shard executes the identical Pallas launch at full device rate with
+no collectives on the data path.
 """
 
 from __future__ import annotations

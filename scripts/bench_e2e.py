@@ -204,6 +204,55 @@ def main():
         print(rows[-1], f"(plan+encode {gb_dev/dt_a:.1f}, "
               f"pack {gb_dev/dt_b:.1f} GB/s)", flush=True)
 
+    if on_tpu:
+        # ---- mesh path on the REAL chip: the shard_map-wrapped falp
+        # kernel over a 1-device TPU mesh vs the bare kernel.  Equal
+        # rates are the per-shard evidence behind the "mesh is purely a
+        # throughput knob" claim (parallel/container_par.py): each
+        # device shard runs the identical Pallas launch on its 1/N of
+        # the tile groups, no collectives on the data path.
+        import jax.numpy as jnp
+        from alp_tpu.parallel import make_mesh
+        from alp_tpu.parallel.sharded import sharded_falp_decode_f64
+        from alp_tpu.kernels import falp as kfalp
+        Gm, bwm = 4096, 16                        # 256 MiB decoded
+        packedm = jax.jit(lambda: jax.random.bits(
+            jax.random.PRNGKey(3), (Gm, 2 * bwm, 128),
+            dtype=jnp.uint32))()
+        zm = jnp.zeros((Gm, 128), jnp.uint32)
+        onem = jnp.ones((Gm, 128), jnp.uint32)
+        frm = np.full((Gm, 128), np.float64(1e-4).view(np.uint64))
+        frlo_m = jnp.asarray((frm & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        frhi_m = jnp.asarray((frm >> np.uint64(32)).astype(np.uint32))
+        out_gb_m = Gm * 64 * 128 * 8 / 1e9
+        mesh1 = make_mesh(1)
+        shf = sharded_falp_decode_f64(mesh1, bwm)
+
+        def step_mesh(carry, packedm, frlo_m, frhi_m):
+            hi, lo = shf(packedm, zm + carry, zm, onem, zm,
+                         frlo_m, frhi_m)
+            return hi[0, 0, 0] ^ lo[0, 0, 0]
+
+        def step_bare(carry, packedm, frlo_m, frhi_m):
+            hi, lo = kfalp.falp_decode_f64(
+                packedm, zm + carry, zm, onem, zm, frlo_m, frhi_m,
+                bw=bwm)
+            return hi[0, 0, 0] ^ lo[0, 0, 0]
+
+        mesh_rows = []
+        for label, stp in (("falp f64 bw16 (bare kernel)", step_bare),
+                           ("falp f64 bw16 (shard_map, mesh=1 real "
+                            "chip)", step_mesh)):
+            dt = loop_bench(stp, (packedm, frlo_m, frhi_m), 20)
+            mesh_rows.append(("DECODE", label, "1 chip",
+                              round(out_gb_m / dt, 2), ""))
+            print(mesh_rows[-1], flush=True)
+        speed_report(mesh_rows,
+                     os.path.join(ROOT, "results",
+                                  "e2e_mesh_real_chip.csv"),
+                     header=("query", "scheme", "parallelism", "gbps",
+                             "alp_speedup"))
+
     # ---- functional mesh scaling (virtual devices on CPU are a
     # correctness demonstration, not a perf claim); separate CSV so a
     # CPU run never clobbers the TPU query table --------------------------
