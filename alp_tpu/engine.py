@@ -67,31 +67,44 @@ def query_sum(col) -> float:
     """
     plan = kdecode.build_plan(col)
     outs = plan.run(patch=True)
-    digit_sums = []
-    specials = []
+    chunks = []
     for bits, last in _masked_bits(col, plan, outs):
         # zero out pad slots in the last group (+0.0 contributes nothing)
         zero = jnp.zeros((), bits.dtype)
-        bits = jnp.concatenate(
-            [bits[:-1].reshape(-1), jnp.where(last, bits[-1], zero).reshape(-1)])
-        d, sp = _exact_sum_partials(bits, col.dtype)
-        digit_sums.append(d)
-        specials.append(sp)
+        chunks.append(jnp.concatenate(
+            [bits[:-1].reshape(-1),
+             jnp.where(last, bits[-1], zero).reshape(-1)]))
+    # ONE reduction call on the concatenated buckets, padded to the next
+    # power of two with +0.0 (sum-neutral): the jit cache is keyed on a
+    # handful of total sizes instead of one entry per bucket shape, and
+    # only one [W, 3] partial crosses to the host.
+    bits_all = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    n = bits_all.shape[0]
+    CH = 1 << 20          # fixed chunk: ONE compile for any column size
+    n_pad = -(-max(n, 1) // CH) * CH
+    if n_pad != n:
+        bits_all = jnp.concatenate(
+            [bits_all, jnp.zeros(n_pad - n, bits_all.dtype)])
+    d = sp = None
+    for c in range(n_pad // CH):
+        dc, spc = _exact_sum_partials(bits_all[c * CH:(c + 1) * CH],
+                                      col.dtype)
+        d = dc if d is None else d + dc      # i64 partial adds: exact,
+        sp = spc if sp is None else sp + spc  # no overflow for n < 2^31
     nan_c = pinf = ninf = 0
     total_int = 0
     if col.dtype == np.float64:
-        w_shift, scale_pow = 5, 1075
+        scale_pow = 1075
     else:
-        w_shift, scale_pow = 5, 150
-    for d, sp in zip(digit_sums, specials):
-        dn = np.asarray(d)
-        spn = np.asarray(sp)
-        nan_c += int(spn[0]); pinf += int(spn[1]); ninf += int(spn[2])
-        for j in range(dn.shape[0]):
-            for k in range(dn.shape[1]):
-                v = int(dn[j, k])
-                if v:
-                    total_int += v << (32 * j + 32 * k)
+        scale_pow = 150
+    dn = np.asarray(d)
+    spn = np.asarray(sp)
+    nan_c += int(spn[0]); pinf += int(spn[1]); ninf += int(spn[2])
+    for j in range(dn.shape[0]):
+        for k in range(dn.shape[1]):
+            v = int(dn[j, k])
+            if v:
+                total_int += v << (32 * j + 32 * k)
     if nan_c or (pinf and ninf):
         return float("nan")
     if pinf:
@@ -407,7 +420,8 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     khi = kt(_float_key(hi, col.dtype))
     fusable = ("mid", "gen", "const")
     total = 0
-    slow_groups, slow_outs = [], []
+    dev_total = None                    # device accumulator, one fetch
+    slow_groups = []
     for g in plan.groups:
         if (col.dtype != np.float64 or g.scheme == C.SCHEME_ALP_RD
                 or g.variant not in fusable):
@@ -448,8 +462,11 @@ def query_filter_count(col, lo: float, hi: float) -> int:
         lane_ok = jnp.arange(128) < used * 16
         counts = counts.at[-1].set(
             jnp.where(lane_ok, counts[-1], jnp.int32(0)))
-        total += int(counts.sum())
+        dev_total = counts.sum(dtype=jnp.int64) + (
+            dev_total if dev_total is not None else 0)
         total += _exception_count_correction(col, g, klo, khi)
+    if dev_total is not None:
+        total += int(dev_total)
     total += _partial_vector_correction(col, plan, klo, khi, fusable)
     if slow_groups:
         import types
