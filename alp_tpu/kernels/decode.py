@@ -332,9 +332,12 @@ def build_plan(col) -> DecodePlan:
         sel = alp_idx[(bws_v == bw) & (var_v == vr) & (flags_v == fl)]
         n = len(sel)
         n_pad = layout.pad_vectors(n, eb)
-        packed = np.zeros((n_pad, int(bw) * (1024 // eb)), tc.ut)
-        for r, v in enumerate(sel):
-            packed[r] = col.packed[v]
+        row = int(bw) * (1024 // eb)
+        packed = np.zeros((n_pad, row), tc.ut)
+        if n and row:
+            # one C-level concatenate of the (usually zero-copy) views
+            packed[:n] = np.concatenate(
+                [col.packed[v] for v in sel]).reshape(n, row)
         tiles = jnp.asarray(layout.ref_to_tile(packed, int(bw), eb))
 
         def expand(per_vec):
@@ -498,9 +501,11 @@ def build_plan(col) -> DecodePlan:
             sel = rd_idx[(rbws == rbw) & (lbws == lbw)]
             n = len(sel)
             n_pad = layout.pad_vectors(n, eb)
-            packed = np.zeros((n_pad, int(rbw) * (1024 // eb)), tc.ut)
-            for r, v in enumerate(sel):
-                packed[r] = col.packed[v]
+            row = int(rbw) * (1024 // eb)
+            packed = np.zeros((n_pad, row), tc.ut)
+            if n and row:
+                packed[:n] = np.concatenate(
+                    [col.packed[v] for v in sel]).reshape(n, row)
             # batched left-index unpack (host cpu; u16 FastLanes geometry)
             left_packed = np.stack([col.left_packed[v] for v in sel])
             with jax.default_device(jax.devices("cpu")[0]):
