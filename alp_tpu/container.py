@@ -535,24 +535,32 @@ def _decompress(col: CompressedColumn) -> np.ndarray:
 
     alp_idx = np.nonzero(scheme == C.SCHEME_ALP)[0]
     if alp_idx.size and nat is not None:
-        # native fused falp decode, mixed bit widths in one call
+        # native fused falp decode, mixed bit widths in one call,
+        # straight into the output buffer; exceptions patched with one
+        # vectorised scatter (decoder::patch_exceptions analog)
         packed_flat = np.concatenate(
             [col.packed[v] for v in alp_idx] or
             [np.empty(0, np.uint64)]).astype(np.uint64, copy=False)
-        sizes = np.array([len(col.packed[v]) for v in alp_idx], np.int64)
+        sizes = col.bit_width[alp_idx].astype(np.int64) * 16
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(
             np.int32)
-        decoded = nat.falp_f64(
+        full = alp_idx.size == n_vec
+        dest = out if full else np.empty((len(alp_idx), C.VECTOR_SIZE),
+                                         col.dtype)
+        nat.falp_f64(
             packed_flat, offsets, col.bit_width[alp_idx],
             col.base[alp_idx].astype(np.int64),
             tc.fact_arr[col.fac[alp_idx]],
-            tc.frac_arr[col.exp[alp_idx]])
-        for r, v in enumerate(alp_idx):
-            row = decoded[r]
-            pos = col.exc_positions[v]
-            if len(pos):
-                row[pos] = col.exc_values[v]
-            out[v] = row
+            tc.frac_arr[col.exp[alp_idx]], out=dest)
+        exc_vecs = alp_idx[col.exc_count[alp_idx] > 0]
+        if exc_vecs.size:
+            rows = exc_vecs if full else np.searchsorted(alp_idx, exc_vecs)
+            vv = np.repeat(rows, col.exc_count[exc_vecs].astype(np.int64))
+            pp = np.concatenate([col.exc_positions[v] for v in exc_vecs])
+            vals = np.concatenate([col.exc_values[v] for v in exc_vecs])
+            dest[vv, pp.astype(np.int64)] = vals
+        if not full:
+            out[alp_idx] = dest
     elif alp_idx.size:
         bws = col.bit_width[alp_idx]
         decoded = np.empty((len(alp_idx), C.VECTOR_SIZE), dtype=col.dtype)

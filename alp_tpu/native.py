@@ -187,10 +187,13 @@ def encode_f64(vectors: np.ndarray, combos: np.ndarray):
 
 def falp_f64(packed_flat: np.ndarray, offsets: np.ndarray, bws: np.ndarray,
              bases: np.ndarray, facts: np.ndarray,
-             fracs: np.ndarray) -> np.ndarray:
-    """Fused decode of n vectors with per-vector metadata."""
+             fracs: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """Fused decode of n vectors with per-vector metadata; decodes into
+    ``out`` [n, 1024] f64 when given (no copy-out pass)."""
     n = len(bws)
-    out = np.empty((n, 1024), np.float64)
+    if out is None:
+        out = np.empty((n, 1024), np.float64)
+    assert out.shape == (n, 1024) and out.flags.c_contiguous
     lib().alp_falp_f64(
         _ptr(np.ascontiguousarray(packed_flat), ctypes.c_uint64),
         _ptr(np.ascontiguousarray(offsets, ), ctypes.c_int32),
