@@ -59,6 +59,8 @@ def main():
         run("end-to-end query benchmark",
             [sys.executable, "scripts/bench_e2e.py"])
         run("headline bench", [sys.executable, "bench.py"])
+        run("hardware validation (golden contracts on the real chip)",
+            [sys.executable, "scripts/validate_tpu.py"])
     else:
         print("\n=== TPU stages skipped "
               "(no TPU backend or --skip-tpu)", flush=True)
