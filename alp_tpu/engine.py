@@ -243,11 +243,10 @@ def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
     khi = np.uint64(_float_key(hi, dtype))
     groups = plan.groups
     for g in groups:
-        if g.scheme == C.SCHEME_ALP_RD or g.variant not in (
-                "mid", "gen", "const"):
+        if g.scheme == C.SCHEME_ALP_RD:
             raise NotImplementedError(
-                f"no fused count kernel for variant {g.variant!r}; "
-                "query_filter_count handles such buckets via plane decode")
+                "no fused count kernel for ALP_RD buckets; "
+                "query_filter_count handles such columns via plane decode")
     arg_tuples = [kdecode.group_arrays(g) for g in groups]
     counts_n = [len(a) for a in arg_tuples]
 
@@ -277,18 +276,15 @@ def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
                 bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
                                 jnp.uint32) for k in (klo, khi)]
                 bounds = (bk[0], bk[2], bk[1], bk[3])
-                if g.variant == "mid":
-                    tiles, base, c2, c1, c0, fb2 = args
-                    cnt = kfalp.falp_decode_f64_mid_count(
-                        tiles, base, c2, c1, c0, fb2, *bounds, bw=g.bw,
-                        c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                        cheap_msb=bool(g.flags & 4),
-                        nozero=bool(g.flags & 8))
-                else:
+                if g.variant == "gen":
                     tiles, bl, bh, flo, fhi, frl, frh = args
                     cnt = kfalp.falp_decode_f64_count(
                         tiles, bl, bh, flo, fhi, frl, frh, *bounds,
                         bw=g.bw, fact1=bool(g.flags & 16))
+                else:
+                    cnt = kfalp.falp_decode_f64_variant_count(
+                        args[0], tuple(args[1:]), bounds,
+                        variant=g.variant, bw=g.bw, flags=g.flags)
             total = total + cnt.sum(dtype=jnp.int32)
             acc = acc ^ cnt[0, 0].astype(jnp.uint32)
         return acc ^ total.astype(jnp.uint32)
@@ -418,7 +414,7 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     klo = kt(_float_key(lo, col.dtype))
     khi = kt(_float_key(hi, col.dtype))
-    fusable = ("mid", "gen", "const")
+    fusable = ("mid", "gen", "const", "small", "mid64", "midc96")
     total = 0
     dev_total = None                    # device accumulator, one fetch
     slow_groups = []
@@ -446,17 +442,15 @@ def query_filter_count(col, lo: float, hi: float) -> int:
             bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
                             jnp.uint32) for k in (klo, khi)]
             bounds = (bk[0], bk[2], bk[1], bk[3])
-            if g.variant == "mid":
-                tiles, base, c2, c1, c0, fb2 = args
-                counts = kfalp.falp_decode_f64_mid_count(
-                    tiles, base, c2, c1, c0, fb2, *bounds, bw=g.bw,
-                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                    cheap_msb=bool(g.flags & 4), nozero=bool(g.flags & 8))
-            else:
+            if g.variant == "gen":
                 tiles, bl, bh, flo, fhi, frl, frh = args
                 counts = kfalp.falp_decode_f64_count(
                     tiles, bl, bh, flo, fhi, frl, frh, *bounds, bw=g.bw,
                     fact1=bool(g.flags & 16))
+            else:
+                counts = kfalp.falp_decode_f64_variant_count(
+                    args[0], tuple(args[1:]), bounds, variant=g.variant,
+                    bw=g.bw, flags=g.flags)
         # pad vectors: zero the unused lanes of the last group
         used = g.n_vectors % 8 or 8
         lane_ok = jnp.arange(128) < used * 16

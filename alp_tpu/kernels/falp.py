@@ -546,63 +546,106 @@ def _key_in_range_count(r: U64, klo_hi, klo_lo, khi_hi, khi_lo):
     return in_range.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
 
 
-def _falp_f64_mid_count_kernel(packed_ref, base, c2, c1, c0, fb2,
-                               klo_hi, klo_lo, khi_hi, khi_lo, out_cnt,
-                               *, bw: int, c0zero: bool, nonneg: bool,
-                               cheap_msb: bool, nozero: bool):
-    # predicate pushdown: fused decode + total-order-key range COUNT —
-    # only a [gb, 128] i32 count plane leaves the kernel (the decoded
-    # 8 B/value planes never exist; reference q1 pushes its predicate
-    # into the scan the same way, publication/.../queries/q1.cpp:64-88)
-    b = base[:][:, None, :]
-    if bw == 0:
-        n = jnp.broadcast_to(b, (b.shape[0], 64, 128))
-    else:
-        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
-    r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
-                         c0[:][:, None, :], fb2[:][:, None, :],
-                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
-                         nozero=nozero)
+def _variant_value_f64(variant, packed_ref, metas, shape, *, bw: int,
+                       fl: int):
+    """Decoded f64 bits (U64 planes) for a fast-variant bucket — the
+    value computation of the corresponding plane kernel, shared by the
+    fused-count epilogue (one source of truth per variant's math)."""
+    if variant == "small":
+        b, fa, fh, fl_, fb = (m[:][:, None, :] for m in metas)
+        if bw == 0:
+            n = jnp.broadcast_to(b, shape)
+        else:
+            n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+        return sf.i32fact_to_f64_times_normal(n, fa, fh, fl_, fb)
+    if variant == "mid":
+        b, c2, c1, c0, fb2 = (m[:][:, None, :] for m in metas)
+        if bw == 0:
+            n = jnp.broadcast_to(b, shape)
+        else:
+            n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+        return sf.i32c96_to_f64(n, c2, c1, c0, fb2,
+                                c0zero=bool(fl & 1), nonneg=bool(fl & 2),
+                                cheap_msb=bool(fl & 4),
+                                nozero=bool(fl & 8))
+    if variant == "mid64":
+        base_lo, base_hi, c1, c0, fb2 = metas
+        base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+        n = _wide_n_or_mag(packed_ref, base, bw, shape, bool(fl & 32))
+        cc1 = c1[:][:, None, :]
+        cc0 = c0[:][:, None, :]
+        fb = fb2[:][:, None, :]
+        if fl & 32:
+            return sf.u64mag_c64_to_f64(n, 1, cc1, cc0, fb,
+                                        maghi=bool(fl & 64), nozero=True)
+        if fl & 2:
+            return sf.u64mag_c64_to_f64(n, 0, cc1, cc0, fb,
+                                        maghi=bool(fl & 64),
+                                        nozero=bool(fl & 8))
+        return sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=bool(fl & 8))
+    if variant == "midc96":
+        base_lo, base_hi, c2, c1, c0, fb2 = metas
+        base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
+        n = _wide_n_or_mag(packed_ref, base, bw, shape, bool(fl & 32))
+        cc2 = c2[:][:, None, :]
+        cc1 = c1[:][:, None, :]
+        cc0 = c0[:][:, None, :]
+        fb = fb2[:][:, None, :]
+        if fl & 32:
+            return sf.u64mag_c96_to_f64(n, 1, cc2, cc1, cc0, fb,
+                                        maghi=bool(fl & 64), nozero=True)
+        if fl & 2:
+            return sf.u64mag_c96_to_f64(n, 0, cc2, cc1, cc0, fb,
+                                        maghi=bool(fl & 64),
+                                        nozero=bool(fl & 8))
+        return sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=bool(fl & 8))
+    raise ValueError(variant)
+
+
+def _falp_f64_variant_count_kernel(packed_ref, *refs, variant: str,
+                                   bw: int, fl: int, n_meta: int):
+    metas = refs[:n_meta]
+    klo_hi, klo_lo, khi_hi, khi_lo = refs[n_meta:n_meta + 4]
+    out_cnt = refs[-1]
+    shape = (out_cnt.shape[0], 64, 128)
+    r = _variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                           fl=fl)
     out_cnt[:] = _key_in_range_count(
         r, klo_hi[:][:, None, :], klo_lo[:][:, None, :],
         khi_hi[:][:, None, :], khi_lo[:][:, None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
-                                             "cheap_msb", "nozero"))
-def falp_decode_f64_mid_count(packed, base, c2, c1, c0, fb2, klo_hi,
-                              klo_lo, khi_hi, khi_lo, *, bw: int,
-                              c0zero: bool = False, nonneg: bool = False,
-                              cheap_msb: bool = False,
-                              nozero: bool = False):
-    """Fused mid-variant decode + predicate COUNT (see the kernel).
-    Bound key limbs arrive lane-expanded [G, 128]; exceptions / pad
-    vectors are corrected by the caller (engine.query_filter_count)."""
-    G = packed.shape[0]
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags"))
+def falp_decode_f64_variant_count(packed, metas, bounds, *, variant: str,
+                                  bw: int, flags: int = 0):
+    """Fused decode + predicate COUNT for any fast variant
+    (small/mid/mid64/midc96): the variant's exact value computation plus
+    the total-order-key range epilogue; [G, 128] i32 counts out."""
+    G = metas[0].shape[0]
     gb = min(_BLOCK_GROUPS, max(G, 1))
     pad = (-G) % gb
+    arrs = (packed,) + tuple(metas) + tuple(bounds)
     if pad:
-        (packed, base, c2, c1, c0, fb2, klo_hi, klo_lo, khi_hi,
-         khi_lo) = (jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-                    for a in (packed, base, c2, c1, c0, fb2, klo_hi,
-                              klo_lo, khi_hi, khi_lo))
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
     Gp = G + pad
     meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM)
+    n_meta = len(metas)
     out = pl.pallas_call(
-        functools.partial(_falp_f64_mid_count_kernel, bw=bw,
-                          c0zero=c0zero, nonneg=nonneg,
-                          cheap_msb=cheap_msb, nozero=nozero),
+        functools.partial(_falp_f64_variant_count_kernel, variant=variant,
+                          bw=bw, fl=flags, n_meta=n_meta),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM)] + [meta_spec] * 9,
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * (n_meta + 4),
         out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
         interpret=_interpret(),
-    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
-      base, c2, c1, c0, fb2, klo_hi, klo_lo, khi_hi, khi_lo)
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
     return out[:G]
 
 
