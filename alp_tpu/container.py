@@ -90,10 +90,24 @@ class CompressedColumn:
     # with None and the planner falls back to on-demand refinement.  Not
     # part of the reference cost model (bits_per_value is unaffected).
     enc_max: np.ndarray | None = None   # u64[n_vec] (0 for RD vectors)
+    # lazily built+cached device decode plan (kernels.decode.DecodePlan):
+    # queries over the same column share staged tiles instead of
+    # re-uploading per query (the reference's scan likewise consumes the
+    # already-resident format).  Not serialized.
+    _plan_cache: object = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def n_rowgroups(self) -> int:
         return len(self.rg_scheme)
+
+    def plan(self):
+        """The column's device decode plan, built once and cached."""
+        if self._plan_cache is None:
+            from .kernels import decode as kdecode
+            object.__setattr__(self, "_plan_cache",
+                               kdecode.build_plan(self))
+        return self._plan_cache
 
     # -- size accounting ---------------------------------------------------
 

@@ -65,7 +65,7 @@ def query_sum(col) -> float:
     rounds ONCE to float — a fixed-point superaccumulator with the
     window residency resolved host-side.
     """
-    plan = kdecode.build_plan(col)
+    plan = col.plan()
     outs = plan.run(patch=True)
     chunks = []
     for bits, last in _masked_bits(col, plan, outs):
@@ -347,7 +347,7 @@ def _masked_bits(col, plan, outs):
 
 def query_min(col) -> float:
     """MIN(column) on device (q1-style aggregate over the fused scan)."""
-    plan = kdecode.build_plan(col)
+    plan = col.plan()
     outs = plan.run(patch=True)
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     fill = kt(np.iinfo(kt).max)
@@ -362,7 +362,7 @@ def query_min(col) -> float:
 
 def query_max(col) -> float:
     """MAX(column) on device."""
-    plan = kdecode.build_plan(col)
+    plan = col.plan()
     outs = plan.run(patch=True)
     best = None
     for key, last in _masked_keys(col, plan, outs):
@@ -410,7 +410,7 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     before comparing (an f32 column compares against ``f32(lo)``), and
     ±0.0 compare equal (keys canonicalize -0.0 to +0.0)."""
     from .kernels import falp as kfalp
-    plan = kdecode.build_plan(col)
+    plan = col.plan()
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     klo = kt(_float_key(lo, col.dtype))
     khi = kt(_float_key(hi, col.dtype))
@@ -592,7 +592,7 @@ def query_compression(data: np.ndarray, *, device: bool = False):
 def query_scan(col):
     """SCAN: full decompression on device; returns the decode plan's
     patched planes (device arrays) for downstream operators."""
-    plan = kdecode.build_plan(col)
+    plan = col.plan()
     return plan, plan.run(patch=True)
 
 
