@@ -50,16 +50,29 @@ def loop_bench(step, args: tuple, iters: int, reps: int = 2) -> float:
         return jax.lax.fori_loop(0, n, body, carry0)
 
     carry0 = jnp.zeros((), jnp.uint32)
-    n1 = jnp.asarray(iters, jnp.int32)
-    n2 = jnp.asarray(4 * iters, jnp.int32)
-    int(run(n2, carry0, *args))          # compile + one full warm pass
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        int(run(n1, carry0, *args))      # scalar fetch forces completion
-        t1 = time.perf_counter()
-        int(run(n2, carry0, *args))
-        t2 = time.perf_counter()
-        d = ((t2 - t1) - (t1 - t0)) / (3 * iters)
-        best = d if best is None else min(best, d)
-    return max(best, 1e-9)
+    int(run(jnp.int32(4 * iters), carry0, *args))   # compile + warm pass
+
+    def measure(k):
+        n1 = jnp.asarray(k, jnp.int32)
+        n2 = jnp.asarray(4 * k, jnp.int32)
+        ds = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(run(n1, carry0, *args))  # scalar fetch forces completion
+            t1 = time.perf_counter()
+            int(run(n2, carry0, *args))
+            t2 = time.perf_counter()
+            ds.append(((t2 - t1) - (t1 - t0)) / (3 * k))
+        return ds
+
+    ds = measure(iters)
+    if min(ds) <= 0:
+        # an RPC hiccup on one pass can make the slope non-positive;
+        # re-measure with 4x the trip count (amortises the hiccup)
+        # rather than silently publishing an absurd rate
+        ds = measure(4 * iters)
+        if min(ds) <= 0:
+            raise RuntimeError(
+                "loop_bench: non-positive slope twice — measurement "
+                f"invalid (deltas: {ds}); check for device contention")
+    return min(ds)

@@ -129,36 +129,69 @@ def _tz64(x: int) -> int:
 
 
 class _BitWriter:
+    """MSB-first bit writer with incremental byte flushing (keeping the
+    whole stream in one Python int would make encode O(n^2))."""
+
     def __init__(self):
-        self.words = []
+        self.chunks = []
         self.acc = 0
         self.nacc = 0
+        self.total = 0
 
     def put(self, v: int, n: int):
         if n == 0:
             return
         self.acc = (self.acc << n) | (v & ((1 << n) - 1))
         self.nacc += n
+        self.total += n
+        if self.nacc >= 256:   # keep the accumulator small:
+            # every put shifts the whole acc, so its size is
+            # the constant factor of the O(n) encode
+            keep = self.nacc % 8
+            nbytes = (self.nacc - keep) // 8
+            self.chunks.append(
+                (self.acc >> keep).to_bytes(nbytes, "big"))
+            self.acc &= (1 << keep) - 1
+            self.nacc = keep
 
     def flush(self):
         pad = (-self.nacc) % 8
-        self.acc <<= pad
-        self.nacc += pad
-        return self.acc.to_bytes(self.nacc // 8, "big"), self.nacc - pad
+        acc = self.acc << pad
+        self.chunks.append(acc.to_bytes((self.nacc + pad) // 8, "big"))
+        payload = b"".join(self.chunks)
+        self.chunks = [payload]
+        self.acc, self.nacc = 0, 0
+        return payload, self.total
 
 
 class _Reader:
-    """MSB-first bit reader over a big integer."""
+    """MSB-first bit reader with an incrementally refilled window (one
+    whole-stream big integer would make decode O(n^2))."""
 
     def __init__(self, data: bytes):
-        self.val = int.from_bytes(data, "big")
-        self.left = len(data) * 8
+        self.data = data
+        self.pos = 0                      # next byte to pull in
+        self.acc = 0
+        self.nacc = 0
 
     def get(self, n: int) -> int:
         if n == 0:
             return 0
-        self.left -= n
-        return (self.val >> self.left) & ((1 << n) - 1)
+        while self.nacc < n:
+            step = min(16, len(self.data) - self.pos)
+            if step <= 0:                 # past the end: zero-fill
+                self.acc <<= (n - self.nacc)
+                self.nacc = n
+                break
+            self.acc = ((self.acc << (8 * step))
+                        | int.from_bytes(
+                            self.data[self.pos:self.pos + step], "big"))
+            self.pos += step
+            self.nacc += 8 * step
+        self.nacc -= n
+        out = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
+        return out
 
 
 class _ElfXorEncoder:

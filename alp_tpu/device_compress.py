@@ -482,14 +482,14 @@ def compress_device(data=None, *, planes=None, n_values=None):
 
 
 def make_device_compress_step(n_vec: int, k_max: int = 5):
-    """(step, static prep) for benchlib.loop_bench: the FULL device-side
+    """loop_bench step for the FULL device-side
     compression pipeline — first-level rowgroup planning (top-k vote),
     second-level (e, f) choice, exact encode+verify, exception patching,
     FFOR analysis — as ONE jittable program over device-resident value
     planes.  ``n_vec`` must be whole rowgroups (the bench shape).
 
-    Returns (step, make_args) where ``make_args(vhi, vlo)`` builds the
-    operand tuple.  The companion :func:`make_pack_step` times the
+    Returns the step callable for ``loop_bench(step, (vhi, vlo), n)``.
+    The companion :func:`make_pack_step` times the
     bucketed FFOR pack; their slope times sum to the device e2e
     compression cost (the reference's encode benches are the same
     steady-state shape, benchmarks/benchmark.cpp:41-148).

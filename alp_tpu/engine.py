@@ -261,13 +261,7 @@ def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
             G = args[1].shape[0]
             if g.variant == "const":
                 hi_p, lo_p = args
-                negz = (hi_p == jnp.uint32(1 << 31)) & (lo_p == 0)
-                hb = jnp.where(negz, jnp.uint32(0), hi_p)
-                lb = jnp.where(negz, jnp.uint32(0), lo_p)
-                sign = (hb >> jnp.uint32(31)) != 0
-                key = ((jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31))
-                        .astype(jnp.uint64) << jnp.uint64(32))
-                       | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
+                key = _key_from_limbs(hi_p, lo_p)
                 cnt = ((key >= klo) & (key <= khi)).astype(
                     jnp.int32) * jnp.int32(64)
             else:
@@ -426,13 +420,7 @@ def query_filter_count(col, lo: float, hi: float) -> int:
         args = kdecode.group_arrays(g)
         if g.variant == "const":
             hi_p, lo_p = args                           # [G, 128] planes
-            negz = (hi_p == jnp.uint32(1 << 31)) & (lo_p == 0)
-            hb = jnp.where(negz, jnp.uint32(0), hi_p)
-            lb = jnp.where(negz, jnp.uint32(0), lo_p)
-            sign = (hb >> jnp.uint32(31)) != 0
-            key = ((jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31))
-                    .astype(jnp.uint64) << jnp.uint64(32))
-                   | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
+            key = _key_from_limbs(hi_p, lo_p)
             counts = ((key >= klo) & (key <= khi)).astype(
                 jnp.int32) * jnp.int32(64)
         else:
@@ -463,20 +451,11 @@ def query_filter_count(col, lo: float, hi: float) -> int:
         total += int(dev_total)
     total += _partial_vector_correction(col, plan, klo, khi, fusable)
     if slow_groups:
-        import types
-        outs = [kdecode.group_decode(g, col.dtype)(
-            *kdecode.group_arrays(g)) for g in slow_groups]
-        patched = []
-        for g, out in zip(slow_groups, outs):
-            if g.exc_g is not None and g.exc_g.shape[0]:
-                idx = (g.exc_g, g.exc_slot, g.exc_lane)
-                if col.dtype == np.float64:
-                    out = (out[0].at[idx].set(g.exc_hi),
-                           out[1].at[idx].set(g.exc_lo))
-                else:
-                    out = out.at[idx].set(g.exc_lo)
-            patched.append(out)
-        sub = types.SimpleNamespace(groups=slow_groups)
+        # reuse DecodePlan.run for decode + exception patching (single
+        # source of truth) over just the non-fused buckets
+        sub = kdecode.DecodePlan(plan.dtype, plan.n_vectors, slow_groups,
+                                 0)
+        patched = sub.run(patch=True)
         for key, last in _masked_keys(col, sub, patched):
             inr = (key >= klo) & (key <= khi)
             t = jnp.where(last, inr[-1], False).sum()
@@ -484,6 +463,20 @@ def query_filter_count(col, lo: float, hi: float) -> int:
                 t = t + inr[:-1].sum()
             total += int(t)
     return total
+
+
+def _key_from_limbs(hi, lo):
+    """IEEE-754 total-order u64 key from u32 bit-pattern limbs, -0.0
+    canonicalised to +0.0 — the ONE definition shared by the const-
+    bucket counts here and mirrored by the kernels' _key_in_range_count
+    and the host-side _pred_key."""
+    negz = (hi == jnp.uint32(1 << 31)) & (lo == 0)
+    hb = jnp.where(negz, jnp.uint32(0), hi)
+    lb = jnp.where(negz, jnp.uint32(0), lo)
+    sign = (hb >> jnp.uint32(31)) != 0
+    return ((jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31))
+             .astype(jnp.uint64) << jnp.uint64(32))
+            | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
 
 
 def _pred_key(bits_u64: np.ndarray, klo: int, khi: int) -> np.ndarray:

@@ -46,12 +46,25 @@ def _build_lib(src: pathlib.Path, name: str,
     the cache key includes the flags AND the machine, so artifact
     directories shared between machines stay safe.
     """
-    import platform
     cmd_flags = ["-O3", "-march=native", "-ffp-contract=off", "-fopenmp"]
+    # key on the ACTUAL instruction-set capability (-march=native output
+    # depends on it): gcc's resolved -march plus the kernel's cpuinfo
+    # flags — platform.machine() alone is just 'x86_64' and would let a
+    # shared cache serve an AVX-512 .so to a non-AVX-512 host (SIGILL)
+    try:
+        march = subprocess.run(
+            ["gcc", "-march=native", "-Q", "--help=target"],
+            capture_output=True, text=True, timeout=30).stdout
+    except Exception:
+        march = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
     digest = hashlib.sha256(
         src.read_bytes() + " ".join(cmd_flags).encode()
-        + platform.processor().encode() + platform.machine().encode()
-    ).hexdigest()[:16]
+        + march.encode() + flags.encode()).hexdigest()[:16]
     lib_file = _CACHE_DIR / f"lib{name}-{digest}.so"
     if lib_file.exists() and not force:
         return lib_file

@@ -86,13 +86,7 @@ def main():
             i += n
             args[1] = args[1] ^ carry
             hi, lo = kdecode.group_decode(g, np.float64)(*args)
-            negz = (hi == _jnp.uint32(1 << 31)) & (lo == 0)
-            hb = _jnp.where(negz, _jnp.uint32(0), hi)
-            lb = _jnp.where(negz, _jnp.uint32(0), lo)
-            sign = (hb >> _jnp.uint32(31)) != 0
-            key = ((_jnp.where(sign, ~hb, hb | _jnp.uint32(1 << 31))
-                    .astype(_jnp.uint64) << _jnp.uint64(32))
-                   | _jnp.where(sign, ~lb, lb).astype(_jnp.uint64))
+            key = engine._key_from_limbs(hi, lo)
             inr = (key >= klo) & (key <= khi)
             total = total + inr.astype(_jnp.int32).sum(dtype=_jnp.int32)
             acc = acc ^ hi[0, 0, 0]

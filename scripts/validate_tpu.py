@@ -55,12 +55,11 @@ def main():
             continue
         cc = container.compress(data)
         out = kdecode.decompress_device(cc)
-        vec_rg = (np.arange(cc.n_vectors)
-                  // 100)
+        from alp_tpu import constants as C
+        vec_rg = np.arange(cc.n_vectors) // C.N_VECTORS_PER_ROWGROUP
         # RD vectors are left zero by decompress_device; compare ALP ones
         plan = kdecode.build_plan(cc)
         variants = sorted({(g.bw, g.variant) for g in plan.groups})
-        from alp_tpu import constants as C
         vectors, _ = container._pad_to_vectors(data)
         alp_vec = cc.rg_scheme[vec_rg] == C.SCHEME_ALP
         ok = np.array_equal(

@@ -194,7 +194,7 @@ class TestElf:
         for v in data.tolist():
             enc.add(int(np.float64(v).view(np.uint64)))
         enc.close()
-        raw_xor_bits = w.nacc + len(data)   # + the per-value flag bit
+        raw_xor_bits = w.total + len(data)  # + the per-value flag bit
         assert elf_bits(data) < 0.8 * raw_xor_bits
 
     def test_in_codec_table_and_ratio_sane(self):
