@@ -208,14 +208,13 @@ def make_sum_step(plan):
             # XOR the carry into the first metadata plane: a real data
             # dependence between iterations, data-independent cost
             args[1] = args[1] ^ carry
-            if g.scheme != C.SCHEME_ALP_RD and g.variant == "mid":
+            if g.scheme != C.SCHEME_ALP_RD and g.variant in (
+                    "mid", "small", "mid64", "midc96"):
                 # fully fused decode + reduction: partial sums are the
                 # only kernel output (no decoded-plane traffic)
-                tiles, base, c2, c1, c0, fb2 = args
-                part = kfalp.falp_decode_f64_mid_sum(
-                    tiles, base, c2, c1, c0, fb2, bw=g.bw,
-                    c0zero=bool(g.flags & 1), nonneg=bool(g.flags & 2),
-                    cheap_msb=bool(g.flags & 4), nozero=bool(g.flags & 8))
+                part = kfalp.falp_decode_f64_variant_sum(
+                    args[0], tuple(args[1:]), variant=g.variant,
+                    bw=g.bw, flags=g.flags)
                 total = total + part.sum()
                 acc = acc ^ jax.lax.bitcast_convert_type(
                     part[0, 0], jnp.uint32)

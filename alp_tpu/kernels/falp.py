@@ -463,61 +463,6 @@ def _f64_bits_to_f32(hi, lo):
     return (sign | (e32 << 23) | m).view(jnp.float32)
 
 
-def _falp_f64_mid_sum_kernel(packed_ref, base, c2, c1, c0, fb2, out_sum,
-                             *, bw: int, c0zero: bool, nonneg: bool,
-                             cheap_msb: bool, nozero: bool):
-    # fused decode + per-lane partial SUM: the 8-byte/value output
-    # planes never leave the kernel (the reference's q1 fuses decode
-    # into the aggregation the same way); output is [gb, 128] f32.
-    b = base[:][:, None, :]
-    if bw == 0:
-        n = jnp.broadcast_to(b, (b.shape[0], 64, 128))
-    else:
-        n = _unpack_all(packed_ref, bw, 64, 2).lo + b
-    r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
-                         c0[:][:, None, :], fb2[:][:, None, :],
-                         c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
-                         nozero=nozero)
-    vals = _f64_bits_to_f32(r.hi, r.lo)
-    out_sum[:] = vals.sum(axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
-                                             "cheap_msb", "nozero"))
-def falp_decode_f64_mid_sum(packed, base, c2, c1, c0, fb2, *, bw: int,
-                            c0zero: bool = False, nonneg: bool = False,
-                            cheap_msb: bool = False, nozero: bool = False):
-    """Fused mid-variant decode + SUM: one [G, 128] f32 partial-sum
-    plane out (per tile lane), no decoded-plane writes.  This is the
-    SUM-query throughput shape; exact aggregates use engine.query_sum
-    over full planes."""
-    G = packed.shape[0]
-    gb = min(_BLOCK_GROUPS, max(G, 1))
-    pad = (-G) % gb
-    if pad:
-        packed, base, c2, c1, c0, fb2 = (
-            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-            for a in (packed, base, c2, c1, c0, fb2))
-    Gp = G + pad
-    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
-                             memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_falp_f64_mid_sum_kernel, bw=bw, c0zero=c0zero,
-                          nonneg=nonneg, cheap_msb=cheap_msb,
-                          nozero=nozero),
-        grid=(Gp // gb,),
-        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
-                               lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
-        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.float32),
-        interpret=_interpret(),
-    )(packed if bw else jnp.zeros((Gp, 1, 128), jnp.uint32),
-      base, c2, c1, c0, fb2)
-    return out[:G]
-
-
 def _key_in_range_count(r: U64, klo_hi, klo_lo, khi_hi, khi_lo):
     """Per-lane count of decoded doubles whose IEEE-754 total-order key
     lies in [klo, khi] (engine semantics: -0.0 canonicalised to +0.0,
@@ -643,6 +588,49 @@ def falp_decode_f64_variant_count(packed, metas, bounds, *, variant: str,
         out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
+    return out[:G]
+
+
+def _falp_f64_variant_sum_kernel(packed_ref, *refs, variant: str,
+                                 bw: int, fl: int, n_meta: int):
+    metas = refs[:n_meta]
+    out_sum = refs[-1]
+    shape = (out_sum.shape[0], 64, 128)
+    r = _variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                           fl=fl)
+    out_sum[:] = _f64_bits_to_f32(r.hi, r.lo).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags"))
+def falp_decode_f64_variant_sum(packed, metas, *, variant: str, bw: int,
+                                flags: int = 0):
+    """Fused decode + per-lane partial SUM for any fast variant — a
+    [G, 128] f32 checksum-grade reduction, no decoded-plane traffic
+    (the q1 full-fusion shape; engine.query_sum is the exact API)."""
+    G = metas[0].shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed,) + tuple(metas)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_variant_sum_kernel, variant=variant,
+                          bw=bw, fl=flags, n_meta=len(metas)),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * len(metas),
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.float32),
         interpret=_interpret(),
     )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
       *arrs[1:])

@@ -273,9 +273,9 @@ def main():
     packed16 = devbits((G, 32, 128), seed=16)
 
     def step_fsum(carry, packed16):
-        part = kf.falp_decode_f64_mid_sum(
-            packed16, zero + carry, c2p, c1p, c0p, fb2p, bw=16,
-            c0zero=True, nonneg=True, cheap_msb=True)
+        part = kf.falp_decode_f64_variant_sum(
+            packed16, (zero + carry, c2p, c1p, c0p, fb2p), variant="mid",
+            bw=16, flags=1 | 2 | 4)
         return jax.lax.bitcast_convert_type(part[0, 0], jnp.uint32)
 
     dt = loop_bench(step_fsum, (packed16,), ITERS)
