@@ -412,11 +412,26 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     dev_total = None                    # device accumulator, one fetch
     slow_groups = []
     for g in plan.groups:
-        if (col.dtype != np.float64 or g.scheme == C.SCHEME_ALP_RD
-                or g.variant not in fusable):
+        if g.scheme == C.SCHEME_ALP_RD or (
+                col.dtype == np.float64 and g.variant not in fusable):
             slow_groups.append(g)
             continue
         args = kdecode.group_arrays(g)
+        if col.dtype == np.float32:
+            tiles, base, fact, frac = args
+            G = base.shape[0]
+            bk = tuple(jnp.full((G, 128), np.uint32(int(k)), jnp.uint32)
+                       for k in (klo, khi))
+            counts = kfalp.falp_decode_f32_count(
+                tiles, base, fact, frac, *bk, bw=g.bw)
+            used = g.n_vectors % 4 or 4
+            lane_ok = jnp.arange(128) < used * 32
+            counts = counts.at[-1].set(
+                jnp.where(lane_ok, counts[-1], jnp.int32(0)))
+            dev_total = counts.sum(dtype=jnp.int64) + (
+                dev_total if dev_total is not None else 0)
+            total += _exception_count_correction(col, g, klo, khi)
+            continue
         if g.variant == "const":
             hi_p, lo_p = args                           # [G, 128] planes
             key = _key_from_limbs(hi_p, lo_p)
@@ -478,13 +493,15 @@ def _key_from_limbs(hi, lo):
             | jnp.where(sign, ~lb, lb).astype(jnp.uint64))
 
 
-def _pred_key(bits_u64: np.ndarray, klo: int, khi: int) -> np.ndarray:
-    """Host-side predicate on f64 bit patterns (total-order key in
+def _pred_key(bits, klo: int, khi: int) -> np.ndarray:
+    """Host-side predicate on f64/f32 bit patterns (total-order key in
     [klo, khi], -0.0 canonicalised) — mirror of the device epilogue."""
-    b = np.where(bits_u64 == np.uint64(1 << 63), np.uint64(0), bits_u64)
-    sign = (b >> np.uint64(63)) != 0
-    key = np.where(sign, ~b, b | np.uint64(1 << 63))
-    return (key >= np.uint64(klo)) & (key <= np.uint64(khi))
+    ut = bits.dtype.type
+    sbit = ut(1) << ut(bits.dtype.itemsize * 8 - 1)
+    b = np.where(bits == sbit, ut(0), bits)
+    sign = (b & sbit) != 0
+    key = np.where(sign, ~b, b | sbit)
+    return (key >= ut(klo)) & (key <= ut(khi))
 
 
 def _decode_positions(col, vec_ids: np.ndarray,
@@ -495,27 +512,30 @@ def _decode_positions(col, vec_ids: np.ndarray,
     exact host doubles (decoder.hpp:128-131)."""
     from .constants import constants_for
     tc = constants_for(col.dtype)
-    out = np.empty(len(vec_ids), np.uint64)
+    f64 = np.dtype(col.dtype) == np.float64
+    eb = 64 if f64 else 32
+    L = 1024 // eb
+    wt = np.uint64 if f64 else np.uint32
+    out = np.empty(len(vec_ids), wt)
     for i, (v, pos) in enumerate(zip(vec_ids, positions)):
         bw = int(col.bit_width[v])
         if bw == 0:
             delta = 0
         else:
-            L = 16
             lane = int(pos) % L
             slot = int(pos) // L
             off = slot * bw
-            words = col.packed[v].view(np.uint64)
-            w0, s0 = off // 64, off % 64
+            words = col.packed[v].view(wt)
+            w0, s0 = off // eb, off % eb
             val = int(words[w0 * L + lane]) >> s0
-            if s0 + bw > 64:
-                val |= int(words[(w0 + 1) * L + lane]) << (64 - s0)
+            if s0 + bw > eb:
+                val |= int(words[(w0 + 1) * L + lane]) << (eb - s0)
             delta = val & ((1 << bw) - 1)
-        n = np.int64(col.base[v]) + np.uint64(delta).astype(np.int64)
+        n = tc.st.type(col.base[v]) + tc.ut.type(delta).astype(tc.st)
         with np.errstate(over="ignore"):
             m = n * tc.fact_arr[col.fac[v]]
-        d = m.astype(np.float64) * tc.frac_arr[col.exp[v]]
-        out[i] = np.float64(d).view(np.uint64)
+        d = m.astype(col.dtype) * tc.frac_arr[col.exp[v]]
+        out[i] = np.dtype(col.dtype).type(d).view(wt)
     return out
 
 
@@ -528,11 +548,16 @@ def _exception_count_correction(col, g, klo, khi) -> int:
     exc_g = np.asarray(g.exc_g)
     exc_slot = np.asarray(g.exc_slot)
     exc_lane = np.asarray(g.exc_lane)
-    true_bits = ((np.asarray(g.exc_hi, np.uint64) << np.uint64(32))
-                 | np.asarray(g.exc_lo, np.uint64))
-    r = exc_g * 8 + exc_lane // 16
+    if col.dtype == np.float64:
+        true_bits = ((np.asarray(g.exc_hi, np.uint64) << np.uint64(32))
+                     | np.asarray(g.exc_lo, np.uint64))
+        per, L = 8, 16
+    else:
+        true_bits = np.asarray(g.exc_lo, np.uint32)
+        per, L = 4, 32
+    r = exc_g * per + exc_lane // L
     vec_ids = g.vec_indices[r]
-    positions = exc_slot * 16 + exc_lane % 16
+    positions = exc_slot * L + exc_lane % L
     dec_bits = _decode_positions(col, vec_ids, positions)
     return int(_pred_key(true_bits, klo, khi).sum()
                - _pred_key(dec_bits, klo, khi).sum())
@@ -546,21 +571,22 @@ def _partial_vector_correction(col, plan, klo, khi, fusable) -> int:
         return 0
     v_last = col.n_vectors - 1
     for g in plan.groups:
-        if (col.dtype == np.float64 and g.scheme != C.SCHEME_ALP_RD
-                and g.variant in fusable and v_last in g.vec_indices):
+        fused = (g.scheme != C.SCHEME_ALP_RD
+                 and (col.dtype == np.float32 or g.variant in fusable))
+        if fused and v_last in g.vec_indices:
             # pad value = the column's final value (true value after
             # exception patching)
             pos = np.int64(n_valid - 1)
             exc_pos = col.exc_positions[v_last]
             hit = np.nonzero(exc_pos == pos)[0]
+            wt = np.uint64 if col.dtype == np.float64 else np.uint32
             if hit.size:
                 bits = np.asarray(col.exc_values[v_last][hit[0]],
-                                  np.float64).view(np.uint64)
+                                  col.dtype).view(wt)
             else:
                 bits = _decode_positions(col, np.array([v_last]),
                                          np.array([pos]))[0]
-            pad_pred = bool(_pred_key(np.array([bits], np.uint64),
-                                      klo, khi)[0])
+            pad_pred = bool(_pred_key(np.array([bits], wt), klo, khi)[0])
             return -int(C.VECTOR_SIZE - n_valid) * int(pad_pred)
     return 0
 

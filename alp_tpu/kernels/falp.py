@@ -742,6 +742,65 @@ def falp_decode_f64_small(packed, base, fact, fsig_hi, fsig_lo, fbias, *,
 # Fused falp decode, floats — all-native i32/f32 (src/falp.cpp:33762 analog)
 # ---------------------------------------------------------------------------
 
+def _f32_key(bits):
+    """IEEE-754 total-order u32 key of f32 bit patterns, -0.0
+    canonicalised (the f32 twin of _key_in_range_count's key)."""
+    b = jnp.where(bits == _U32(1 << 31), _U32(0), bits)
+    sign = (b >> _U32(31)) != 0
+    return jnp.where(sign, ~b, b | _U32(1 << 31))
+
+
+def _falp_f32_count_kernel(packed_ref, base, fact, frac, klo, khi,
+                           out_cnt, *, bw: int):
+    b = base[:][:, None, :].astype(jnp.int32)
+    fa = fact[:][:, None, :].astype(jnp.int32)
+    fr = frac[:][:, None, :]
+    shape = (out_cnt.shape[0], 32, 128)
+    if bw == 0:
+        ints = jnp.broadcast_to(b, shape)
+    else:
+        ints = _unpack_all(packed_ref, bw, 32, 1).lo.astype(jnp.int32) + b
+    bits = ((ints * fa).astype(jnp.float32) * fr).view(_U32)
+    key = _f32_key(bits)
+
+    def bias(x):
+        return (x ^ _U32(0x80000000)).astype(jnp.int32)
+
+    in_range = ((bias(key) >= bias(klo[:][:, None, :]))
+                & (bias(key) <= bias(khi[:][:, None, :])))
+    out_cnt[:] = in_range.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f32_count(packed, base, fact, frac_bits, klo, khi, *,
+                          bw: int):
+    """Fused f32 decode + predicate COUNT: [G, 128] i32 counts out
+    (bounds as lane-expanded u32 total-order keys)."""
+    G = base.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed, base, fact, frac_bits.view(jnp.float32), klo, khi)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_count_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 5,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
+    return out[:G]
+
+
 def _falp_f32_kernel(packed_ref, base, fact, frac, out, *, bw: int):
     b = base[:][:, None, :].astype(jnp.int32)
     fa = fact[:][:, None, :].astype(jnp.int32)

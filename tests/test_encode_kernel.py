@@ -230,3 +230,43 @@ def test_compress_device_f32_bit_identical():
         dev = compress_device(data)
         host = container.compress(data)
         assert dev.to_bytes() == host.to_bytes()
+
+
+def test_device_compress_bench_steps_interpret():
+    """The slope-timed bench steps (full device pipeline + patched pack)
+    run in interpret mode and are deterministic."""
+    import jax.numpy as jnp
+    from alp_tpu import container
+    from alp_tpu import device_compress as dcz
+    from alp_tpu.kernels import layout
+
+    rng = np.random.default_rng(12)
+    data = np.round(rng.normal(40, 20, 200 * 1024), 2)
+    vectors, n_vec = container._pad_to_vectors(data)
+    lo32, hi32 = dcz._u64_split(vectors)
+    vhi = jnp.asarray(layout.plane_to_tile(hi32, 64))
+    vlo = jnp.asarray(layout.plane_to_tile(lo32, 64))
+    step = dcz.make_device_compress_step(n_vec, k_max=5)
+    c1 = step(jnp.uint32(0), vhi, vlo)
+    c2 = step(jnp.uint32(0), vhi, vlo)
+    assert int(c1) == int(c2)
+
+    cc = dcz.compress_device(data)
+    assert cc.to_bytes() == container.compress(data).to_bytes()
+    from alp_tpu.kernels import encode as kencode
+    from alp_tpu import constants as C
+    tc = C.DOUBLE
+    meta = []
+    for tab, idx in ((tc.exp_arr, cc.exp), (tc.frac_arr, cc.fac),
+                     (tc.fact_arr, cc.fac), (tc.frac_arr, cc.exp)):
+        lo, hi = dcz._u64_split(np.ascontiguousarray(tab[idx]))
+        meta += [dcz._expand(lo, n_vec), dcz._expand(hi, n_vec)]
+    nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
+        vhi, vlo, *meta)
+    _, _, _, _, _, fill_lo, fill_hi = dcz.finalize_encode_stats(
+        stats, nhi, nlo)
+    stepb = dcz.make_pack_step(cc, np.asarray(fill_lo),
+                               np.asarray(fill_hi))
+    p1 = stepb(jnp.uint32(0), nhi, nlo, exc)
+    p2 = stepb(jnp.uint32(0), nhi, nlo, exc)
+    assert int(p1) == int(p2)

@@ -232,3 +232,23 @@ def test_filter_count_fuzz_vs_numpy():
             assert got == want, (trial, a, b, got, want)
         assert engine.query_filter_count(cc, -np.inf, np.inf) == int(
             np.isfinite(d).sum() + np.isinf(d).sum())
+
+
+def test_filter_count_f32_fuzz():
+    """f32 fused count kernel vs numpy over random columns and bounds."""
+    import numpy as np
+    from alp_tpu import container, engine
+    rng = np.random.default_rng(88)
+    for trial in range(4):
+        n = int(rng.integers(900, 7000))
+        d = np.round(rng.normal(0, 50, n), int(rng.integers(0, 3))
+                     ).astype(np.float32)
+        if n > 20:
+            d[5] = -0.0
+            d[6] = np.inf
+        cc = container.compress(d)
+        for _ in range(3):
+            a, b = np.sort(rng.normal(0, 60, 2))
+            want = int(np.sum((d >= np.float32(a)) & (d <= np.float32(b))))
+            got = engine.query_filter_count(cc, float(a), float(b))
+            assert got == want, (trial, a, b, got, want)
