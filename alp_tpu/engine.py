@@ -208,8 +208,9 @@ def make_sum_step(plan):
             # XOR the carry into the first metadata plane: a real data
             # dependence between iterations, data-independent cost
             args[1] = args[1] ^ carry
-            if g.scheme != C.SCHEME_ALP_RD and g.variant in (
-                    "mid", "small", "mid64", "midc96"):
+            if (plan.dtype == np.float64
+                    and g.scheme != C.SCHEME_ALP_RD and g.variant in (
+                        "mid", "small", "mid64", "midc96")):
                 # fully fused decode + reduction: partial sums are the
                 # only kernel output (no decoded-plane traffic)
                 part = kfalp.falp_decode_f64_variant_sum(
@@ -219,12 +220,17 @@ def make_sum_step(plan):
                 acc = acc ^ jax.lax.bitcast_convert_type(
                     part[0, 0], jnp.uint32)
                 continue
-            hi, lo = kdecode.group_decode(g, np.float64)(*args)
-            u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
-                jnp.uint64)
-            vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
-            total = total + vals.astype(jnp.float32).sum()
-            acc = acc ^ hi[0, 0, 0]
+            out = kdecode.group_decode(g, plan.dtype)(*args)
+            if plan.dtype == np.float64:
+                hi, lo = out
+                u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)
+                       ) | lo.astype(jnp.uint64)
+                vals = jax.lax.bitcast_convert_type(u64, jnp.float64)
+                total = total + vals.astype(jnp.float32).sum()
+                acc = acc ^ hi[0, 0, 0]
+            else:
+                total = total + out.view(jnp.float32).sum()
+                acc = acc ^ out[0, 0, 0]
         return acc ^ total.view(jnp.uint32).astype(jnp.uint32)
 
     metas = [a for args in arg_tuples for a in args]
