@@ -430,12 +430,7 @@ def query_filter_count(col, lo: float, hi: float) -> int:
                        for k in (klo, khi))
             counts = kfalp.falp_decode_f32_count(
                 tiles, base, fact, frac, *bk, bw=g.bw)
-            used = g.n_vectors % 4 or 4
-            lane_ok = jnp.arange(128) < used * 32
-            counts = counts.at[-1].set(
-                jnp.where(lane_ok, counts[-1], jnp.int32(0)))
-            dev_total = counts.sum(dtype=jnp.int64) + (
-                dev_total if dev_total is not None else 0)
+            dev_total = _masked_count_total(g, counts, 32, dev_total)
             total += _exception_count_correction(col, g, klo, khi)
             continue
         if g.variant == "const":
@@ -459,13 +454,7 @@ def query_filter_count(col, lo: float, hi: float) -> int:
                 counts = kfalp.falp_decode_f64_variant_count(
                     args[0], tuple(args[1:]), bounds, variant=g.variant,
                     bw=g.bw, flags=g.flags)
-        # pad vectors: zero the unused lanes of the last group
-        used = g.n_vectors % 8 or 8
-        lane_ok = jnp.arange(128) < used * 16
-        counts = counts.at[-1].set(
-            jnp.where(lane_ok, counts[-1], jnp.int32(0)))
-        dev_total = counts.sum(dtype=jnp.int64) + (
-            dev_total if dev_total is not None else 0)
+        dev_total = _masked_count_total(g, counts, 16, dev_total)
         total += _exception_count_correction(col, g, klo, khi)
     if dev_total is not None:
         total += int(dev_total)
@@ -483,6 +472,19 @@ def query_filter_count(col, lo: float, hi: float) -> int:
                 t = t + inr[:-1].sum()
             total += int(t)
     return total
+
+
+def _masked_count_total(g, counts, lanes_per_vec, dev_total):
+    """Zero the pad-vector lanes of a bucket's last group and fold the
+    [G, 128] counts into the device accumulator (one definition of the
+    pad masking for both dtypes; 128 // lanes_per_vec vectors/group)."""
+    per_group = 128 // lanes_per_vec
+    used = g.n_vectors % per_group or per_group
+    lane_ok = jnp.arange(128) < used * lanes_per_vec
+    counts = counts.at[-1].set(
+        jnp.where(lane_ok, counts[-1], jnp.int32(0)))
+    return counts.sum(dtype=jnp.int64) + (
+        dev_total if dev_total is not None else 0)
 
 
 def _key_from_limbs(hi, lo):

@@ -750,17 +750,24 @@ def _f32_key(bits):
     return jnp.where(sign, ~b, b | _U32(1 << 31))
 
 
-def _falp_f32_count_kernel(packed_ref, base, fact, frac, klo, khi,
-                           out_cnt, *, bw: int):
+def _f32_decode_bits(packed_ref, base, fact, frac, shape, *, bw: int):
+    """The f32 fused decode value computation (wrapping i32 multiply,
+    correctly-rounded i32->f32 convert, IEEE f32 multiply) — the ONE
+    source shared by the plane and fused-count kernels."""
     b = base[:][:, None, :].astype(jnp.int32)
     fa = fact[:][:, None, :].astype(jnp.int32)
     fr = frac[:][:, None, :]
-    shape = (out_cnt.shape[0], 32, 128)
     if bw == 0:
         ints = jnp.broadcast_to(b, shape)
     else:
         ints = _unpack_all(packed_ref, bw, 32, 1).lo.astype(jnp.int32) + b
-    bits = ((ints * fa).astype(jnp.float32) * fr).view(_U32)
+    return ((ints * fa).astype(jnp.float32) * fr).view(_U32)
+
+
+def _falp_f32_count_kernel(packed_ref, base, fact, frac, klo, khi,
+                           out_cnt, *, bw: int):
+    bits = _f32_decode_bits(packed_ref, base, fact, frac,
+                            (out_cnt.shape[0], 32, 128), bw=bw)
     key = _f32_key(bits)
 
     def bias(x):
@@ -802,14 +809,8 @@ def falp_decode_f32_count(packed, base, fact, frac_bits, klo, khi, *,
 
 
 def _falp_f32_kernel(packed_ref, base, fact, frac, out, *, bw: int):
-    b = base[:][:, None, :].astype(jnp.int32)
-    fa = fact[:][:, None, :].astype(jnp.int32)
-    fr = frac[:][:, None, :]
-    if bw == 0:
-        ints = jnp.broadcast_to(b, out.shape)
-    else:
-        ints = _unpack_all(packed_ref, bw, 32, 1).lo.astype(jnp.int32) + b
-    out[:] = ((ints * fa).astype(jnp.float32) * fr).view(_U32)
+    out[:] = _f32_decode_bits(packed_ref, base, fact, frac, out.shape,
+                              bw=bw)
 
 
 @functools.partial(jax.jit, static_argnames=("bw",))

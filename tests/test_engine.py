@@ -252,3 +252,16 @@ def test_filter_count_f32_fuzz():
             want = int(np.sum((d >= np.float32(a)) & (d <= np.float32(b))))
             got = engine.query_filter_count(cc, float(a), float(b))
             assert got == want, (trial, a, b, got, want)
+
+
+def test_make_sum_step_f32():
+    """The throughput SUM step handles f32 plans (dtype dispatch)."""
+    import jax.numpy as jnp
+    from alp_tpu import container, engine
+    rng = np.random.default_rng(3)
+    f32 = np.round(rng.uniform(0, 9, 5000), 1).astype(np.float32)
+    cc = container.compress(f32)
+    step, metas = engine.make_sum_step(cc.plan())
+    c1 = step(jnp.uint32(0), *metas)
+    c2 = step(jnp.uint32(0), *metas)
+    assert int(c1) == int(c2)
