@@ -99,3 +99,33 @@ def sharded_decode(mesh: Mesh, dtype):
     return jax.jit(shard_map(
         step, mesh=mesh, in_specs=(P("rg"), P("rg"), P("rg")),
         out_specs=P("rg"), check_rep=False))
+
+
+def sharded_filter_count_f64(mesh: Mesh, bw: int, variant: str = "gen",
+                             flags: int = 0):
+    """Mesh-sharded predicate-pushdown COUNT: each device runs the fused
+    decode+COUNT kernel on its shard of tile groups and the partial
+    counts combine with ONE scalar ``psum`` over ICI — the distributed
+    aggregation shape of the reference's TBB morsel SUM (q1), with
+    chips as the workers.  Returns a jitted callable over the bucket's
+    packed tiles + metadata planes + 4 bound-key planes (all sharded
+    over ``rg``) yielding the replicated global count."""
+    from ..kernels import falp as kfalp
+
+    def local(packed, *metas_and_bounds):
+        metas = metas_and_bounds[:-4]
+        bounds = metas_and_bounds[-4:]
+        if variant == "gen":
+            cnt = kfalp.falp_decode_f64_count(
+                packed, *metas, *bounds, bw=bw, fact1=bool(flags & 16))
+        else:
+            cnt = kfalp.falp_decode_f64_variant_count(
+                packed, tuple(metas), tuple(bounds), variant=variant,
+                bw=bw, flags=flags)
+        return jax.lax.psum(cnt.sum(dtype=jnp.int64), "rg")
+
+    n_meta = {"gen": 6, "mid": 5, "small": 5, "mid64": 5,
+              "midc96": 6}[variant]
+    specs = (P("rg"),) * (1 + n_meta + 4)
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=specs,
+                             out_specs=P(), check_rep=False))

