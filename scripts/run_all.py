@@ -30,8 +30,15 @@ def run(desc, cmd, env=None):
 def tpu_available() -> bool:
     probe = ("import jax; import sys; "
              "sys.exit(0 if jax.default_backend() == 'tpu' else 1)")
-    return subprocess.run([sys.executable, "-c", probe], cwd=ROOT,
-                          capture_output=True).returncode == 0
+    try:
+        # a wedged remote tunnel hangs backend init: bound the probe
+        return subprocess.run([sys.executable, "-c", probe], cwd=ROOT,
+                              capture_output=True,
+                              timeout=180).returncode == 0
+    except subprocess.TimeoutExpired:
+        print("=== TPU probe timed out (tunnel unhealthy?); "
+              "skipping TPU stages", flush=True)
+        return False
 
 
 def main():
