@@ -239,19 +239,15 @@ def make_sum_step(plan):
 
 def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
     """Throughput step for the predicate-pushdown COUNT pipeline: fused
-    decode+count kernels per bucket (mid/gen variants; const buckets
-    count in XLA), one jittable program — the filter-query analog of
-    :func:`make_sum_step` (exceptions/pad corrections are tiny host-side
-    constants per plan and do not belong in the per-iteration loop)."""
+    decode+count kernels per bucket (every f64 ALP variant plus ALP_RD
+    with the on-device dictionary; const buckets count in XLA), one
+    jittable program — the filter-query analog of :func:`make_sum_step`
+    (exceptions/pad corrections are tiny host-side constants per plan
+    and do not belong in the per-iteration loop)."""
     from .kernels import falp as kfalp
     klo = np.uint64(_float_key(lo, dtype))
     khi = np.uint64(_float_key(hi, dtype))
     groups = plan.groups
-    for g in groups:
-        if g.scheme == C.SCHEME_ALP_RD:
-            raise NotImplementedError(
-                "no fused count kernel for ALP_RD buckets; "
-                "query_filter_count handles such columns via plane decode")
     arg_tuples = [kdecode.group_arrays(g) for g in groups]
     counts_n = [len(a) for a in arg_tuples]
 
@@ -264,7 +260,16 @@ def make_filter_step(plan, lo: float, hi: float, dtype=np.float64):
             i += n
             args[1] = args[1] ^ carry
             G = args[1].shape[0]
-            if g.variant == "const":
+            if g.scheme == C.SCHEME_ALP_RD:
+                bk = [jnp.full((G, 128), np.uint32(int(k) >> 32),
+                               jnp.uint32) for k in (klo, khi)]
+                bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
+                                jnp.uint32) for k in (klo, khi)]
+                cnt = kfalp.rd_decode_dict_f64_count(
+                    args[0], args[1], args[2:],
+                    (bk[0], bk[2], bk[1], bk[3]), rbw=g.bw,
+                    lbw=g.meta[1])
+            elif g.variant == "const":
                 hi_p, lo_p = args
                 key = _key_from_limbs(hi_p, lo_p)
                 cnt = ((key >= klo) & (key <= khi)).astype(
@@ -398,11 +403,11 @@ def _key_float(k: int, dtype) -> float:
 
 def query_filter_count(col, lo: float, hi: float) -> int:
     """SELECT COUNT(*) WHERE lo <= v <= hi — predicated SCAN with the
-    predicate PUSHED INTO the decode kernel where a fused count variant
-    exists (mid/gen/const f64 buckets: kernels emit [G, 128] i32 counts,
-    the 8 B/value decoded planes never leave VMEM — the reference's q1
-    fuses its predicate into the scan the same way, publication/.../
-    queries/q1.cpp:64-88); other buckets decode planes and count.
+    predicate PUSHED INTO the decode kernel for every bucket kind (all
+    f64 ALP variants, f32, and ALP_RD with the on-device dictionary):
+    kernels emit [G, 128] i32 counts and the 8 B/value decoded planes
+    never leave VMEM — the reference's q1 fuses its predicate into the
+    scan the same way (publication/.../queries/q1.cpp:64-88).
     Exceptions and the padded tail are corrected exactly host-side.
 
     Bound semantics: ``lo``/``hi`` are rounded to the column dtype
@@ -418,11 +423,31 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     dev_total = None                    # device accumulator, one fetch
     slow_groups = []
     for g in plan.groups:
-        if g.scheme == C.SCHEME_ALP_RD or (
-                col.dtype == np.float64 and g.variant not in fusable):
+        if (g.scheme != C.SCHEME_ALP_RD and col.dtype == np.float64
+                and g.variant not in fusable):
             slow_groups.append(g)
             continue
         args = kdecode.group_arrays(g)
+        if g.scheme == C.SCHEME_ALP_RD:
+            lbw = g.meta[1]
+            G = args[0].shape[0]
+            if col.dtype == np.float64:
+                bk = [jnp.full((G, 128), np.uint32(int(k) >> 32),
+                               jnp.uint32) for k in (klo, khi)]
+                bk += [jnp.full((G, 128), np.uint32(int(k) & 0xFFFFFFFF),
+                                jnp.uint32) for k in (klo, khi)]
+                counts = kfalp.rd_decode_dict_f64_count(
+                    args[0], args[1], args[2:],
+                    (bk[0], bk[2], bk[1], bk[3]), rbw=g.bw, lbw=lbw)
+                dev_total = _masked_count_total(g, counts, 16, dev_total)
+            else:
+                bk = tuple(jnp.full((G, 128), np.uint32(int(k)),
+                                    jnp.uint32) for k in (klo, khi))
+                counts = kfalp.rd_decode_dict_f32_count(
+                    args[0], args[1], args[2:], *bk, rbw=g.bw, lbw=lbw)
+                dev_total = _masked_count_total(g, counts, 32, dev_total)
+            total += _exception_count_correction(col, g, klo, khi)
+            continue
         if col.dtype == np.float32:
             tiles, base, fact, frac = args
             G = base.shape[0]
@@ -512,6 +537,23 @@ def _pred_key(bits, klo: int, khi: int) -> np.ndarray:
     return (key >= ut(klo)) & (key <= ut(khi))
 
 
+def _unpack_at(words_flat, bw: int, pos: int, eb: int) -> int:
+    """One FFOR delta at value position ``pos`` from FastLanes-transposed
+    packed words of element width ``eb`` (host mirror of a single
+    unpack lane-slot; fastlanes layout: lane = pos % (1024/eb))."""
+    if bw == 0:
+        return 0
+    L = 1024 // eb
+    lane = int(pos) % L
+    slot = int(pos) // L
+    off = slot * bw
+    w0, s0 = off // eb, off % eb
+    val = int(words_flat[w0 * L + lane]) >> s0
+    if s0 + bw > eb:
+        val |= int(words_flat[(w0 + 1) * L + lane]) << (eb - s0)
+    return val & ((1 << bw) - 1)
+
+
 def _decode_positions(col, vec_ids: np.ndarray,
                       positions: np.ndarray) -> np.ndarray:
     """Decoded (pre-exception-patch) f64 bits at specific positions of
@@ -522,29 +564,36 @@ def _decode_positions(col, vec_ids: np.ndarray,
     tc = constants_for(col.dtype)
     f64 = np.dtype(col.dtype) == np.float64
     eb = 64 if f64 else 32
-    L = 1024 // eb
     wt = np.uint64 if f64 else np.uint32
     out = np.empty(len(vec_ids), wt)
     for i, (v, pos) in enumerate(zip(vec_ids, positions)):
-        bw = int(col.bit_width[v])
-        if bw == 0:
-            delta = 0
-        else:
-            lane = int(pos) % L
-            slot = int(pos) // L
-            off = slot * bw
-            words = col.packed[v].view(wt)
-            w0, s0 = off // eb, off % eb
-            val = int(words[w0 * L + lane]) >> s0
-            if s0 + bw > eb:
-                val |= int(words[(w0 + 1) * L + lane]) << (eb - s0)
-            delta = val & ((1 << bw) - 1)
+        delta = _unpack_at(col.packed[v].view(wt), int(col.bit_width[v]),
+                           pos, eb)
         n = tc.st.type(col.base[v]) + tc.ut.type(delta).astype(tc.st)
         with np.errstate(over="ignore"):
             m = n * tc.fact_arr[col.fac[v]]
         d = m.astype(col.dtype) * tc.frac_arr[col.exp[v]]
         out[i] = np.dtype(col.dtype).type(d).view(wt)
     return out
+
+
+def _rd_bits_at(col, v: int, pos: int, left: int | None = None) -> int:
+    """RD value bits at one position: ``(left << rbw) | right``, with
+    ``left`` given (the true left part, for exceptions) or looked up
+    from the packed index stream + rowgroup dictionary — exactly what
+    the device kernel's select tree yields (zero-padded dict rows), so
+    with ``left=None`` this is the kernel's pre-patch value (garbage at
+    exception positions, the true value everywhere else)."""
+    rg = v // C.N_VECTORS_PER_ROWGROUP
+    rbw = int(col.rd_right_bw[rg])
+    eb = 64 if np.dtype(col.dtype) == np.float64 else 32
+    wt = np.uint64 if eb == 64 else np.uint32
+    right = _unpack_at(col.packed[v].view(wt), rbw, pos, eb)
+    if left is None:
+        lbw = int(col.rd_left_bw[rg])
+        idx = _unpack_at(col.left_packed[v], lbw, pos, 16)
+        left = int(col.rd_dict[rg][idx])
+    return (left << rbw) | right
 
 
 def _exception_count_correction(col, g, klo, khi) -> int:
@@ -566,7 +615,13 @@ def _exception_count_correction(col, g, klo, khi) -> int:
     r = exc_g * per + exc_lane // L
     vec_ids = g.vec_indices[r]
     positions = exc_slot * L + exc_lane % L
-    dec_bits = _decode_positions(col, vec_ids, positions)
+    if g.scheme == C.SCHEME_ALP_RD:
+        dec_bits = np.fromiter(
+            (_rd_bits_at(col, int(v), int(p))
+             for v, p in zip(vec_ids, positions)),
+            true_bits.dtype, count=len(vec_ids))
+    else:
+        dec_bits = _decode_positions(col, vec_ids, positions)
     return int(_pred_key(true_bits, klo, khi).sum()
                - _pred_key(dec_bits, klo, khi).sum())
 
@@ -579,8 +634,8 @@ def _partial_vector_correction(col, plan, klo, khi, fusable) -> int:
         return 0
     v_last = col.n_vectors - 1
     for g in plan.groups:
-        fused = (g.scheme != C.SCHEME_ALP_RD
-                 and (col.dtype == np.float32 or g.variant in fusable))
+        fused = (g.scheme == C.SCHEME_ALP_RD
+                 or col.dtype == np.float32 or g.variant in fusable)
         if fused and v_last in g.vec_indices:
             # pad value = the column's final value (true value after
             # exception patching)
@@ -588,7 +643,14 @@ def _partial_vector_correction(col, plan, klo, khi, fusable) -> int:
             exc_pos = col.exc_positions[v_last]
             hit = np.nonzero(exc_pos == pos)[0]
             wt = np.uint64 if col.dtype == np.float64 else np.uint32
-            if hit.size:
+            if g.scheme == C.SCHEME_ALP_RD:
+                # RD exceptions store the true LEFT part (u16), not the
+                # full value; non-exception pad slots resolve through
+                # the dictionary (true value there)
+                left = (int(col.exc_values[v_last][hit[0]]) if hit.size
+                        else None)
+                bits = wt(_rd_bits_at(col, int(v_last), int(pos), left))
+            elif hit.size:
                 bits = np.asarray(col.exc_values[v_last][hit[0]],
                                   col.dtype).view(wt)
             else:

@@ -899,37 +899,50 @@ def rd_decode_f64(right_packed, left_resolved, *, rbw: int):
     return out[0][:G], out[1][:G]
 
 
+def _rd_dict_lookup(idx, planes, lbw: int):
+    """3-level binary select tree resolving packed dictionary indexes
+    against 8 lane-expanded [gb, 1, 128] dict planes (rd.hpp:152-178 with
+    the dictionary resolved on device).  lbw <= 3 by format (dict <= 8)."""
+    if lbw == 0:
+        return planes[0]
+    b0 = (idx & _U32(1)) == 1
+    s01 = jnp.where(b0, planes[1], planes[0])
+    if lbw == 1:
+        return s01
+    b1 = (idx & _U32(2)) != 0
+    s23 = jnp.where(b0, planes[3], planes[2])
+    s0123 = jnp.where(b1, s23, s01)
+    if lbw == 2:
+        return s0123
+    s45 = jnp.where(b0, planes[5], planes[4])
+    s67 = jnp.where(b0, planes[7], planes[6])
+    s4567 = jnp.where(b1, s67, s45)
+    return jnp.where((idx & _U32(4)) != 0, s4567, s0123)
+
+
+def _rd_dict_value_f64(right_ref, left_ref, dict_refs, *, rbw: int,
+                       lbw: int) -> U64:
+    """Decoded f64 bits for the dictionary-on-device RD path — the ONE
+    value computation shared by the plane kernel and the fused-count
+    epilogue.  Exception positions decode garbage (their index wrapped
+    at pack time, as in the reference) and are patched / corrected by
+    the caller."""
+    right = _unpack_all(right_ref, rbw, 64, 2)
+    idx = _unpack_all(left_ref, lbw, 64, 2).lo if lbw else None
+    planes = [d[:][:, None, :] for d in dict_refs]
+    left = _rd_dict_lookup(idx, planes, lbw)
+    return U64(right.hi | (left << _U32(rbw - 32)), right.lo)
+
+
 def _rd_dict_f64_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5, d6,
                         d7, out_hi, out_lo, *, rbw: int, lbw: int):
     # left_ref: dictionary INDEXES packed at lbw bits in u64-lane geometry;
-    # the 8-entry rowgroup dictionary arrives as per-lane planes and the
-    # lookup is a 3-level binary select tree (rd.hpp:152-178 with the
-    # dictionary resolved on device).  Exception positions decode garbage
-    # (their index wrapped at pack time, as in the reference) and are
-    # patched by the caller's output scatter.
-    right = _unpack_all(right_ref, rbw, 64, 2)
-    idx = _unpack_all(left_ref, lbw, 64, 2).lo if lbw else None
-    planes = [d[:][:, None, :] for d in (d0, d1, d2, d3, d4, d5, d6, d7)]
-    if lbw == 0:
-        left = planes[0]
-    else:
-        b0 = (idx & _U32(1)) == 1
-        s01 = jnp.where(b0, planes[1], planes[0])
-        if lbw == 1:
-            left = s01
-        else:
-            b1 = (idx & _U32(2)) != 0
-            s23 = jnp.where(b0, planes[3], planes[2])
-            s0123 = jnp.where(b1, s23, s01)
-            if lbw == 2:
-                left = s0123
-            else:
-                s45 = jnp.where(b0, planes[5], planes[4])
-                s67 = jnp.where(b0, planes[7], planes[6])
-                s4567 = jnp.where(b1, s67, s45)
-                left = jnp.where((idx & _U32(4)) != 0, s4567, s0123)
-    out_hi[:] = right.hi | (left << _U32(rbw - 32))
-    out_lo[:] = right.lo
+    # the 8-entry rowgroup dictionary arrives as per-lane planes.
+    r = _rd_dict_value_f64(right_ref, left_ref,
+                           (d0, d1, d2, d3, d4, d5, d6, d7),
+                           rbw=rbw, lbw=lbw)
+    out_hi[:] = r.hi
+    out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
@@ -970,38 +983,26 @@ def rd_decode_dict_f64(right_packed, left_packed, dict_planes, *,
     return out[0][:G], out[1][:G]
 
 
-def _rd_dict_f32_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5, d6,
-                        d7, out, *, rbw: int, lbw: int):
-    # float variant of _rd_dict_f64_kernel: indexes packed at lbw bits in
-    # u32-lane geometry, 8 lane-expanded dictionary planes, 3-level
-    # select tree; exception positions decode garbage and are patched by
-    # the caller's output scatter (rd.hpp:152-178 with the dictionary
-    # resolved on device).
+def _rd_dict_value_f32(right_ref, left_ref, dict_refs, shape, *, rbw: int,
+                       lbw: int):
+    """f32 twin of :func:`_rd_dict_value_f64`: indexes packed at lbw bits
+    in u32-lane geometry; returns [gb, 32, 128] f32 bit patterns."""
     right = _unpack_all(right_ref, rbw, 32, 1).lo if rbw else None
     idx = _unpack_all(left_ref, lbw, 32, 1).lo if lbw else None
-    planes = [d[:][:, None, :] for d in (d0, d1, d2, d3, d4, d5, d6, d7)]
-    if lbw == 0:
-        left = planes[0]
-    else:
-        b0 = (idx & _U32(1)) == 1
-        s01 = jnp.where(b0, planes[1], planes[0])
-        if lbw == 1:
-            left = s01
-        else:
-            b1 = (idx & _U32(2)) != 0
-            s23 = jnp.where(b0, planes[3], planes[2])
-            s0123 = jnp.where(b1, s23, s01)
-            if lbw == 2:
-                left = s0123
-            else:
-                s45 = jnp.where(b0, planes[5], planes[4])
-                s67 = jnp.where(b0, planes[7], planes[6])
-                s4567 = jnp.where(b1, s67, s45)
-                left = jnp.where((idx & _U32(4)) != 0, s4567, s0123)
+    planes = [d[:][:, None, :] for d in dict_refs]
+    left = _rd_dict_lookup(idx, planes, lbw)
     if rbw == 0:
-        out[:] = jnp.broadcast_to(left, out.shape)
-    else:
-        out[:] = right | (left << _U32(rbw))
+        return jnp.broadcast_to(left, shape)
+    return right | (left << _U32(rbw))
+
+
+def _rd_dict_f32_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5, d6,
+                        d7, out, *, rbw: int, lbw: int):
+    # float variant of _rd_dict_f64_kernel; exception positions decode
+    # garbage and are patched by the caller's output scatter.
+    out[:] = _rd_dict_value_f32(right_ref, left_ref,
+                                (d0, d1, d2, d3, d4, d5, d6, d7),
+                                out.shape, rbw=rbw, lbw=lbw)
 
 
 @functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
@@ -1035,6 +1036,105 @@ def rd_decode_dict_f32(right_packed, left_packed, dict_planes, *,
         out_specs=pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[:G]
+
+
+def _rd_dict_f64_count_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5,
+                              d6, d7, klo_hi, klo_lo, khi_hi, khi_lo,
+                              out_cnt, *, rbw: int, lbw: int):
+    r = _rd_dict_value_f64(right_ref, left_ref,
+                           (d0, d1, d2, d3, d4, d5, d6, d7),
+                           rbw=rbw, lbw=lbw)
+    out_cnt[:] = _key_in_range_count(
+        r, klo_hi[:][:, None, :], klo_lo[:][:, None, :],
+        khi_hi[:][:, None, :], khi_lo[:][:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
+def rd_decode_dict_f64_count(right_packed, left_packed, dict_planes,
+                             bounds, *, rbw: int, lbw: int):
+    """Fused ALP_RD f64 decode + predicate COUNT: the dictionary-on-
+    device value computation plus the total-order-key range epilogue;
+    [G, 128] i32 counts out.  Exception slots count the GARBAGE decoded
+    value (wrapped index) — the engine corrects them exactly host-side,
+    as for the ALP variants."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes) + tuple(bounds)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f64_count_kernel, rbw=rbw, lbw=lbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(2 * lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 12,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[:G]
+
+
+def _rd_dict_f32_count_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5,
+                              d6, d7, klo, khi, out_cnt, *, rbw: int,
+                              lbw: int):
+    bits = _rd_dict_value_f32(right_ref, left_ref,
+                              (d0, d1, d2, d3, d4, d5, d6, d7),
+                              (out_cnt.shape[0], 32, 128), rbw=rbw,
+                              lbw=lbw)
+    key = _f32_key(bits)
+
+    def bias(x):
+        return (x ^ _U32(0x80000000)).astype(jnp.int32)
+
+    in_range = ((bias(key) >= bias(klo[:][:, None, :]))
+                & (bias(key) <= bias(khi[:][:, None, :])))
+    out_cnt[:] = in_range.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw"))
+def rd_decode_dict_f32_count(right_packed, left_packed, dict_planes, klo,
+                             khi, *, rbw: int, lbw: int):
+    """Fused ALP_RD f32 decode + predicate COUNT ([G, 128] i32 counts;
+    bounds as lane-expanded u32 total-order keys)."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes) + (klo, khi)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f32_count_kernel, rbw=rbw, lbw=lbw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 10,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
         interpret=_interpret(),
     )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),

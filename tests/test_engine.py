@@ -254,6 +254,42 @@ def test_filter_count_f32_fuzz():
             assert got == want, (trial, a, b, got, want)
 
 
+def test_filter_count_rd_fused():
+    """ALP_RD buckets take the fused dictionary count kernel (both
+    dtypes), with exceptions and the padded tail corrected exactly."""
+    col = [c for c in datasets.ALP_DATASET if c.name == "POI-lat"][0]
+    data = io.read_csv(col.csv_path, np.float64)
+    cc = container.compress(data)
+    assert (cc.rg_scheme == 1).any()
+    for a, b in ((-90.0, 0.0), (10.0, 45.0), (-np.inf, np.inf)):
+        want = int(np.sum((data >= a) & (data <= b)))
+        assert engine.query_filter_count(cc, a, b) == want, (a, b)
+
+    rng = np.random.default_rng(99)
+    f32 = (rng.standard_normal(3000) * np.float32(1.7)).astype(np.float32)
+    cc32 = container.compress(f32)
+    assert (cc32.rg_scheme == 1).any()
+    for _ in range(3):
+        a, b = np.sort(rng.normal(0, 2, 2))
+        want = int(np.sum((f32 >= np.float32(a)) & (f32 <= np.float32(b))))
+        got = engine.query_filter_count(cc32, float(a), float(b))
+        assert got == want, (a, b, got, want)
+
+
+def test_make_filter_step_rd():
+    """The throughput COUNT step includes ALP_RD buckets (fused
+    dictionary count kernel) in the one jittable program."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(101)
+    data = rng.standard_normal(4096)               # high precision -> RD
+    cc = container.compress(data)
+    assert (cc.rg_scheme == 1).any()
+    step, metas = engine.make_filter_step(cc.plan(), -0.5, 0.5)
+    c1 = step(jnp.uint32(0), *metas)
+    c2 = step(jnp.uint32(0), *metas)
+    assert int(c1) == int(c2)
+
+
 def test_make_sum_step_f32():
     """The throughput SUM step handles f32 plans (dtype dispatch)."""
     import jax.numpy as jnp
