@@ -377,6 +377,86 @@ def query_max(col) -> float:
     return _key_float(int(best), col.dtype)
 
 
+def _keys_biased(key, dtype):
+    """Monotone SIGNED reinterpretation of total-order keys (exact
+    integer ops; the form jax.lax.top_k / searchsorted consume)."""
+    if np.dtype(dtype) == np.float64:
+        return jax.lax.bitcast_convert_type(key ^ jnp.uint64(1 << 63),
+                                            jnp.int64)
+    return jax.lax.bitcast_convert_type(key ^ jnp.uint32(1 << 31),
+                                        jnp.int32)
+
+
+def query_topk(col, k: int, largest: bool = True) -> np.ndarray:
+    """TOP-K(column): the k largest (or smallest) values, sorted, from
+    the fused scan on device — the ORDER-BY ... LIMIT k building block
+    (per-bucket ``lax.top_k`` on exact total-order keys, then one final
+    top-k over the bucket winners; never emulated-f64 compares).
+
+    Ordering is the IEEE-754 total order with ±0 canonicalized: -NaN <
+    -inf < finite < +inf < +NaN.  ``k`` is clamped to the column length.
+    """
+    plan = col.plan()
+    outs = plan.run(patch=True)
+    k = min(int(k), col.n_values)
+    kt = np.uint64 if col.dtype == np.float64 else np.uint32
+    fill = kt(0) if largest else kt(np.iinfo(kt).max)
+    parts = []
+    for key, last in _masked_keys(col, plan, outs):
+        flat = jnp.concatenate([key[:-1].reshape(-1),
+                                jnp.where(last, key[-1], fill).reshape(-1)])
+        if not largest:
+            flat = ~flat            # reversed total order, still exact
+        top, _ = jax.lax.top_k(_keys_biased(flat, col.dtype),
+                               min(k, flat.shape[0]))
+        parts.append(top)
+    allp = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    top, _ = jax.lax.top_k(allp, k)
+    sbit = np.iinfo(kt).max // 2 + 1              # 2^63 / 2^31
+    keys = np.asarray(top).view(kt) ^ kt(sbit)
+    if not largest:
+        keys = ~keys
+    return np.array([_key_float(int(x), col.dtype) for x in keys],
+                    col.dtype)
+
+
+def query_histogram(col, edges) -> np.ndarray:
+    """GROUP-BY-bin COUNT over the compressed column on device,
+    ``np.histogram``-compatible: ``len(edges) - 1`` bins
+    ``[edges[i], edges[i+1])`` with the last bin closed.  Binning runs
+    as one searchsorted + segment-sum over exact total-order keys per
+    bucket (bounds rounded to the column dtype, ±0 canonicalized), so
+    an E-bin histogram costs one scan — not E filter passes."""
+    edges = [float(e) for e in edges]
+    if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be >= 2 strictly increasing values")
+    E = len(edges)
+    kt = np.uint64 if col.dtype == np.float64 else np.uint32
+    keys_e = np.array([_float_key(e, col.dtype) for e in edges], kt)
+    be = _keys_biased(jnp.asarray(keys_e), col.dtype)
+    k_last = kt(keys_e[-1])
+    plan = col.plan()
+    outs = plan.run(patch=True)
+    total = None
+    eq_last = None
+    for key, last in _masked_keys(col, plan, outs):
+        flat = jnp.concatenate([key[:-1].reshape(-1), key[-1].reshape(-1)])
+        w = jnp.concatenate([jnp.ones(key[:-1].size, jnp.int32),
+                             last.reshape(-1).astype(jnp.int32)])
+        # idx = #edges <= v in the total order: v in [e_i, e_{i+1})
+        # lands in segment i+1; below-range in 0, above-range in E
+        idx = jnp.searchsorted(be, _keys_biased(flat, col.dtype),
+                               side="right").astype(jnp.int32)
+        seg = jax.ops.segment_sum(w, idx, num_segments=E + 1)
+        total = seg if total is None else total + seg
+        eq = (w * (flat == k_last).astype(jnp.int32)).sum()
+        eq_last = eq if eq_last is None else eq_last + eq
+    counts = np.asarray(total).astype(np.int64)
+    out = counts[1:E].copy()
+    out[-1] += int(eq_last)        # last bin closed (np.histogram rule)
+    return out
+
+
 def _float_key(v: float, dtype) -> int:
     """Host-side total-order key of a float (inverse of _key_float).
 

@@ -98,12 +98,32 @@ def main():
                  "1 chip", round(plan.decoded_bytes / dtu / 1e9, 2), ""))
     print(rows[-1], flush=True)
 
+    # ORDER-BY LIMIT k and GROUP-BY-bin histogram: warm wall-clock of
+    # the full query APIs (plan cached on the column; includes the
+    # result fetch) — engine breadth beyond the reference's query set,
+    # same exact total-order-key semantics as MIN/MAX/FILTER
+    cc.plan()                                      # stage once
+    for label, q in (
+            ("TOP-K (k=10, warm)", lambda: engine.query_topk(cc, 10)),
+            ("HISTOGRAM (6 bins, warm)", lambda: engine.query_histogram(
+                cc, [-40.0, -15.0, 0.0, 10.0, 25.0, 45.0]))):
+        q()
+        t0 = time.perf_counter()
+        q()
+        dtq = time.perf_counter() - t0
+        rows.append((label, "ALP", "1 chip",
+                     round(plan.decoded_bytes / dtq / 1e9, 2), ""))
+        print(rows[-1], flush=True)
+
     # correctness companions (never timed through the tunnel):
     small = container.compress(base)
     s = engine.query_sum(small)
     assert abs(s - base.sum()) < 1e-9 * abs(base.sum()) + 1e-9
     assert engine.query_min(small) == base.min()
     assert engine.query_max(small) == base.max()
+    assert engine.query_topk(small, 3)[0] == base.max()
+    assert engine.query_histogram(small, [-40.0, 0.0, 45.0]).sum() == int(
+        ((base >= -40.0) & (base <= 45.0)).sum())
 
     # ---- competitor decode speed (native single-core C++) -------------
     # steady-state: decode twice, time the second (first touch of the

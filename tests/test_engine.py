@@ -290,6 +290,53 @@ def test_make_filter_step_rd():
     assert int(c1) == int(c2)
 
 
+def test_topk():
+    """query_topk == sorted ground truth for both orders, across ALP and
+    RD buckets, ragged tails, and k larger than a bucket."""
+    rng = np.random.default_rng(55)
+    d = np.round(rng.normal(0, 100, 5000), 2)
+    d[11] = -0.0
+    d = np.concatenate([d, rng.standard_normal(1100)])     # RD rowgroup
+    cc = container.compress(d)
+    s = np.sort(d)
+    for k in (1, 5, 100, 2000):
+        np.testing.assert_array_equal(engine.query_topk(cc, k), s[::-1][:k])
+        np.testing.assert_array_equal(
+            engine.query_topk(cc, k, largest=False), s[:k])
+    # k beyond the column length clamps
+    one = container.compress(np.array([3.5] * 1030))
+    assert len(engine.query_topk(one, 5000)) == 1030
+
+    f32 = np.round(rng.normal(0, 5, 3000), 1).astype(np.float32)
+    cc32 = container.compress(f32)
+    s32 = np.sort(f32)
+    np.testing.assert_array_equal(engine.query_topk(cc32, 7), s32[::-1][:7])
+    np.testing.assert_array_equal(
+        engine.query_topk(cc32, 7, largest=False), s32[:7])
+
+
+def test_histogram():
+    """query_histogram == np.histogram (last bin closed) over mixed
+    ALP/RD columns and both dtypes."""
+    rng = np.random.default_rng(56)
+    d = np.round(rng.normal(0, 50, 4444), 2)
+    d = np.concatenate([d, rng.standard_normal(1024) * 30])
+    cc = container.compress(d)
+    edges = [-120.0, -50.0, -1.5, 0.0, 2.25, 80.0, float(d.max())]
+    want, _ = np.histogram(d, bins=edges)
+    np.testing.assert_array_equal(engine.query_histogram(cc, edges), want)
+
+    f32 = np.round(rng.normal(0, 5, 2222), 1).astype(np.float32)
+    cc32 = container.compress(f32)
+    e32 = [-12.0, -1.0, 0.5, 4.0, 16.0]
+    want32, _ = np.histogram(f32, bins=np.array(e32, np.float32))
+    np.testing.assert_array_equal(engine.query_histogram(cc32, e32), want32)
+
+    import pytest
+    with pytest.raises(ValueError):
+        engine.query_histogram(cc, [1.0, 1.0])
+
+
 def test_make_sum_step_f32():
     """The throughput SUM step handles f32 plans (dtype dispatch)."""
     import jax.numpy as jnp
