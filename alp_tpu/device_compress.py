@@ -627,6 +627,44 @@ def _host_fixup(col, rows_by_vec, bad_vectors, fac_v, exp_v, tc):
 # float32 path: all-native kernels (kernels.encode.alp_encode_f32_tiles)
 # ---------------------------------------------------------------------------
 
+def _stride_samples_f32(plane):
+    """The 32-value sample stride of EVERY f32 vector as a strided slice
+    of the tile planes (position j*32 of vector v lives at slot j, lane
+    (v%4)*32): [G, 32, 128] -> [G*4, 32] u32 (the f32 twin of
+    :func:`_stride_samples_u32`)."""
+    s = plane[:, :, 0::32]                         # [G, 32, 4]
+    return s.transpose(0, 2, 1).reshape(-1, 32)
+
+
+@jax.jit
+def _first_level_device_f32(vtiles, vec_ids):
+    """f32 device rowgroup planning: strided sample slice + native-f32
+    Pallas scorer + the shared oracle-identical top-k vote.  Returns
+    (combos [R, 5, 2], k_count [R], is_rd [R], rare [R])."""
+    from .kernels import score as kscore
+    from .ops import alp as oalp
+    tc = constants_for(np.float32)
+    sb = _stride_samples_f32(vtiles)[vec_ids]      # [R, V, 32]
+    est, ne, rare = kscore.first_level_scores_f32(sb, tc=tc)
+    combos, kc, isrd = oalp.first_level_vote(est, ne,
+                                             C.SAMPLES_PER_VECTOR, tc)
+    return combos, kc, isrd, rare
+
+
+@functools.partial(jax.jit, static_argnames=("n_vec",))
+def _second_level_device_f32(vtiles, combos, k_count, *, n_vec: int):
+    """f32 device second-level (e, f) choice on every vector's 32-value
+    stride (native-f32 scorer + the exact accept/early-exit scan)."""
+    from .kernels import score as kscore
+    from .ops import alp as oalp
+    tc = constants_for(np.float32)
+    sb = _stride_samples_f32(vtiles)[:n_vec]
+    est, rare = kscore.second_level_scores_f32(sb, combos, k_count,
+                                               tc=tc)
+    fac, exp = oalp.accept_scan(est, combos, k_count)
+    return fac, exp, rare
+
+
 @jax.jit
 def _to_vector_major32(plane):
     """[G, 32, 128] f32 tile plane -> [G*4, 32, 32] vector-major rows."""
@@ -657,10 +695,12 @@ def _patch_and_count32(n_plane, exc):
 
 
 def _compress_device_f32(data: np.ndarray):
-    """float32 device compress: encode/patch/analyze/pack as native-f32
-    kernels; bit-identical to the host path (same structure as the f64
-    pipeline, minus the softfloat machinery and rare-value fixup — the
-    f32 kernel has no envelope)."""
+    """float32 device compress: planning (native-f32 Pallas scorer +
+    shared top-k vote / accept scan) and encode/patch/analyze/pack all
+    as device kernels; bit-identical to the host path (same structure
+    as the f64 pipeline, minus the softfloat machinery — subnormal
+    SAMPLES re-plan host-side, but the encode kernel itself has no
+    envelope)."""
     from . import container as ct
     from .oracle import core as ocore
 
@@ -678,7 +718,36 @@ def _compress_device_f32(data: np.ndarray):
     rg_scheme = np.zeros(n_rg, np.uint8)
     combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
     k_count = np.zeros(n_vec, np.int32)
-    for rg in range(n_rg):
+
+    # FULL rowgroups plan entirely ON DEVICE (native-f32 scorer + shared
+    # top-k vote, mirror of the f64 path); the tail rowgroup and any
+    # rowgroup whose sample contains subnormals take the host oracle.
+    n_full = n_vec // C.N_VECTORS_PER_ROWGROUP
+    host_rgs = list(range(n_full, n_rg))
+    if n_full:
+        pos = ocore.first_level_sample(
+            np.arange(C.ROWGROUP_SIZE, dtype=np.float64), 0).astype(
+                np.int32)
+        svec = np.unique(pos // C.VECTOR_SIZE)
+        vec_ids = (np.arange(n_full, dtype=np.int32)[:, None]
+                   * C.N_VECTORS_PER_ROWGROUP + svec[None, :])
+        cmb, kc, isrd, rare_rg = _first_level_device_f32(
+            vtiles, jnp.asarray(vec_ids))
+        cmb, kc, isrd, rare_rg = (np.asarray(x)
+                                  for x in (cmb, kc, isrd, rare_rg))
+        for rg in range(n_full):
+            if rare_rg[rg]:
+                host_rgs.append(rg)
+                continue
+            lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+            hi_v = lo_v + C.N_VECTORS_PER_ROWGROUP
+            if isrd[rg]:
+                rg_scheme[rg] = C.SCHEME_ALP_RD
+            else:
+                rg_scheme[rg] = C.SCHEME_ALP
+                combos[lo_v:hi_v] = cmb[rg]
+                k_count[lo_v:hi_v] = kc[rg]
+    for rg in host_rgs:
         lo_v = rg * C.N_VECTORS_PER_ROWGROUP
         hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
         stt = ocore.encoder_init(
@@ -694,12 +763,34 @@ def _compress_device_f32(data: np.ndarray):
     if (rg_scheme == C.SCHEME_ALP_RD).any():
         return ct.compress(data)
 
-    from .ops import alp as oalp
-    from .ops.numerics import numerics_for
-    nm = numerics_for(np.float32)
-    with jax.default_device(jax.devices("cpu")[0]):
-        fac_v, exp_v = (np.asarray(x) for x in oalp.choose_factor_exponent(
-            nm, nm.values_from_np(vectors), combos, k_count))
+    # second-level (e, f) choice on the 32-sample stride, ON DEVICE;
+    # single-candidate vectors skip the scorer (k == 1, encoder.hpp:404)
+    # and vectors whose stride contains subnormals re-choose exactly
+    # host-side
+    fac_v = combos[:, 0, 1].astype(np.int32).copy()
+    exp_v = combos[:, 0, 0].astype(np.int32).copy()
+    multi = np.nonzero(k_count > 1)[0]
+    rare_vec = np.empty(0, np.int64)
+    if multi.size:
+        fac_d, exp_d, rare_d = _second_level_device_f32(
+            vtiles, jnp.asarray(combos), jnp.asarray(k_count),
+            n_vec=n_vec)
+        fac_m, exp_m = np.asarray(fac_d), np.asarray(exp_d)
+        fac_v[multi] = fac_m[multi]
+        exp_v[multi] = exp_m[multi]
+        rare_vec = np.intersect1d(np.nonzero(np.asarray(rare_d))[0],
+                                  multi)
+    if rare_vec.size:
+        from .ops import alp as oalp
+        from .ops.numerics import numerics_for
+        nm = numerics_for(np.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            fac_h, exp_h = (np.asarray(x)
+                            for x in oalp.choose_factor_exponent(
+                nm, nm.values_from_np(vectors[rare_vec]),
+                combos[rare_vec], k_count[rare_vec]))
+        fac_v[rare_vec] = fac_h
+        exp_v[rare_vec] = exp_h
 
     def expand32(x):
         full = np.zeros(n_pad_v, np.uint32)

@@ -200,6 +200,194 @@ def second_level_scores_f64(shi, slo, combos, k_count, *, tc,
     return est_v, rare_v
 
 
+_UPPER32 = None  # set lazily (constants imports numpy tables)
+
+
+def _f32_upper() -> int:
+    global _UPPER32
+    if _UPPER32 is None:
+        from .. import constants as C
+        _UPPER32 = int(np.float32(C.FLOAT.encoding_upper_limit_pt)
+                       .view(np.uint32))
+    return _UPPER32
+
+
+def _score_f32_kernel(sbits_ref, c1, c2, fact, frac, magicp, out_est,
+                      out_ne, out_rare, *, n_seg: int, seg: int,
+                      exc_bits: int):
+    # Native-f32 twin of _score_kernel: the reference's float encode +
+    # verify (encoder.hpp:307-400 float instantiation, exactly the math
+    # of kernels.encode._encode_f32_kernel) scored per (segment, lane)
+    # candidate.  ``rare`` flags subnormal sample inputs: hardware whose
+    # f32 compare/multiply flushes denormals could mis-verify them, so
+    # callers re-plan those segments with the exact host oracle.
+    L = sbits_ref.shape[-1]
+    bits = sbits_ref[0].reshape(n_seg, seg, L)
+
+    def cplane(ref):
+        return ref[0][:n_seg].reshape(n_seg, 1, L)
+
+    mag = bits & _U32(0x7FFFFFFF)
+    special = (mag >= _U32(0x7F800000)) | (bits == _U32(0x80000000))
+    rare = (mag != 0) & (mag < _U32(0x00800000))
+    vb = jnp.where(special, _U32(_f32_upper()), bits)
+    v = vb.view(jnp.float32)
+    tmp = v * cplane(c1).view(jnp.float32)
+    tmp = tmp * cplane(c2).view(jnp.float32)
+    magic = cplane(magicp).view(jnp.float32)
+    r = (tmp + magic) - magic
+    okr = (r >= jnp.float32(-(2.0 ** 31))) & (r < jnp.float32(2.0 ** 31))
+    n = jnp.where(okr, r, jnp.float32(0)).astype(_I32)
+    n = jnp.where(okr, n, _I32(-(1 << 31)))
+    m = n * cplane(fact).astype(_I32)
+    d = m.astype(jnp.float32) * cplane(frac).view(jnp.float32)
+    ok = d == v
+    non_exc = ok.astype(_I32).sum(axis=1, dtype=_I32)       # [n_seg, L]
+
+    imin, imax = _I32(-(2**31)), _I32(2**31 - 1)
+    mx = jnp.where(ok, n, imin).max(axis=1)
+    mn = jnp.where(ok, n, imax).min(axis=1)
+    # (max - min) mod 2^32 — all-exception sentinels wrap to delta 1,
+    # the oracle's INT_MIN/INT_MAX init behaviour (encoder.hpp:268-269)
+    bits_w = _bit_length(mx.astype(_U32) - mn.astype(_U32))
+    est = _I32(seg) * bits_w + (_I32(seg) - non_exc) * _I32(exc_bits)
+
+    n_pad_rows = out_est.shape[1] - n_seg
+    zpad = jnp.zeros((max(n_pad_rows, 1), est.shape[-1]), _I32)
+
+    def pad8(x):
+        return jnp.concatenate([x, zpad], axis=0) if n_pad_rows else x
+
+    out_est[0] = pad8(est)
+    out_ne[0] = pad8(non_exc)
+    out_rare[0] = pad8(rare.astype(_I32).sum(axis=1, dtype=_I32))
+
+
+def _pair_const_planes_f32(tc, es, fs, L):
+    """Candidate constants as 5 planes [1, 8, L]: c1 = 10^e bits,
+    c2 = 10^-f bits, FACT[f] int32, FRAC[e] bits, magic-round bits
+    (runtime plane so the compiler cannot fold the rounding away).
+
+    Pairs whose f exceeds FACT_ARR (the float (10, 10) candidate — the
+    reference reads out of bounds there, constants.hpp:63) verify
+    against NaN so every sample is an exception, exactly the oracle's
+    deterministic model (oracle/core.py decode_value)."""
+    pe = np.zeros(L, np.int32)
+    pf = np.zeros(L, np.int32)
+    pe[:len(es)] = es
+    pf[:len(fs)] = fs
+    oob = pf >= len(tc.fact_arr)
+    frac_e = tc.frac_arr[pe].view(np.uint32).copy()
+    frac_e[oob] = np.uint32(0x7FC00000)               # quiet NaN
+    planes = []
+    for arr in (tc.exp_arr[pe].view(np.uint32),
+                tc.frac_arr[pf].view(np.uint32),
+                tc.fact_arr[np.where(oob, 0, pf)].astype(
+                    np.int32).view(np.uint32),
+                frac_e):
+        planes.append(jnp.asarray(np.broadcast_to(
+            np.ascontiguousarray(arr), (1, 8, L))))
+    magic = np.full(L, np.float32(tc.magic_number).view(np.uint32),
+                    np.uint32)
+    planes.append(jnp.asarray(np.broadcast_to(magic, (1, 8, L))))
+    return tuple(planes)
+
+
+def first_level_scores_f32(chunk_bits, *, tc):
+    """Kernel-backed find_top_k scoring of f32 full-rowgroup samples.
+
+    chunk_bits: [R, V, S] u32 f32 bit planes of the first-level sample.
+    Returns (est [R, V, P] i32, non_exc [R, V, P] i32, rare [R] bool) —
+    feed ops.alp.first_level_vote."""
+    from ..ops import alp as oalp
+    es, fs = oalp.ef_pairs_arrays(tc)
+    P = len(es)
+    L = -(-P // 128) * 128
+    R, V, S = chunk_bits.shape
+    seg8 = -(-V // 8) * 8
+    consts = _pair_const_planes_f32(tc, es, fs, L)
+    consts = tuple(jnp.broadcast_to(c[:, :1], (R, seg8, L))
+                   for c in consts)
+    sb = jnp.broadcast_to(chunk_bits.reshape(R, V * S, 1), (R, V * S, L))
+    est, ne, rare = score_pairs_f32(sb, consts, n_seg=V, seg=S)
+    return (est[:, :V, :P], ne[:, :V, :P],
+            (rare[:, :V, :P].sum(axis=(1, 2)) > 0))
+
+
+def second_level_scores_f32(sbits, combos, k_count, *, tc, sb: int = 8):
+    """Kernel-backed second-level candidate scoring, f32.
+
+    sbits: [n, S] u32 f32 bit planes of each vector's 32-sample stride;
+    combos [n, 5, 2] (e, f); k_count [n].  Returns (est [n, 5] i32,
+    rare [n] bool) — feed ops.alp.accept_scan."""
+    n, S = sbits.shape
+    VB = 16
+    KB = 8
+    SB = sb
+    per = VB * SB
+    n_pad = -(-n // per) * per
+    G = n_pad // per
+
+    xp = jnp.pad(sbits, ((0, n_pad - n), (0, 0)))
+    t = xp.reshape(G, SB, VB, S).transpose(0, 1, 3, 2).reshape(
+        G, SB * S, VB)
+    sb_b = jnp.repeat(t, KB, axis=2, total_repeat_length=VB * KB)
+
+    cp = jnp.pad(combos, ((0, n_pad - n), (0, KB - combos.shape[1]),
+                          (0, 0)))
+    pe = cp[:, :, 0].reshape(G, SB, VB * KB)
+    pf = cp[:, :, 1].reshape(G, SB, VB * KB)
+    consts = []
+    for tab, idx in ((tc.exp_arr, pe), (tc.frac_arr, pf), (None, pf),
+                     (tc.frac_arr, pe)):
+        if tab is None:
+            u32 = jnp.asarray(tc.fact_arr.astype(np.int32)
+                              .view(np.uint32))[idx]
+        else:
+            u32 = jnp.asarray(tab.view(np.uint32))[idx]
+        consts.append(u32)
+    consts.append(jnp.full((G, SB, VB * KB),
+                           np.float32(tc.magic_number).view(np.uint32),
+                           jnp.uint32))
+    est, _, rare = score_pairs_f32(sb_b, tuple(consts), n_seg=SB, seg=S)
+    est_v = est[:, :SB, :].reshape(n_pad, KB)[:n, :combos.shape[1]]
+    rare_v = rare[:, :SB, :].reshape(n_pad, KB)[:n].sum(axis=1) > 0
+    return est_v, rare_v
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "seg"))
+def score_pairs_f32(sbits, consts, *, n_seg: int, seg: int):
+    """Score candidate (e, f) pairs against f32 sample segments.
+
+    sbits: [B, n_seg*seg, L] f32 bit planes pre-broadcast across the L
+    candidate lanes; consts: 5 planes [B, pad8(n_seg), L] (c1, c2,
+    fact, frac, magic).  Returns (est, non_exc, rare) [B, pad8(n_seg), L]
+    int32."""
+    B, SS, L = sbits.shape
+    assert SS == n_seg * seg
+    seg8 = -(-n_seg // 8) * 8
+    sample_spec = pl.BlockSpec((1, SS, L), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, seg8, L), lambda i: (i, i * 0, i * 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, seg8, L), lambda i: (i, i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    exc_bits = 32 + 16
+    out = pl.pallas_call(
+        functools.partial(_score_f32_kernel, n_seg=n_seg, seg=seg,
+                          exc_bits=exc_bits),
+        grid=(B,),
+        in_specs=[sample_spec] + [const_spec] * 5,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, seg8, L), jnp.int32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sbits, *consts)
+    return out[0], out[1], out[2]
+
+
 @functools.partial(jax.jit, static_argnames=("n_seg", "seg"))
 def score_pairs_f64(shi, slo, consts, *, n_seg: int, seg: int):
     """Score candidate (e, f) pairs against sample segments.

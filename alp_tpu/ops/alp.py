@@ -140,7 +140,11 @@ def _estimate_sizes(nm: Numerics, samples, fac_idx, exp_idx, n_samples):
     impossible = nm.is_impossible(tmp)
     magic = nm.values_from_np(np.array(nm.tc.magic_number, nm.tc.pt))[()]
     neg_magic = nm.values_from_np(np.array(-nm.tc.magic_number, nm.tc.pt))[()]
-    rounded = nm.add(nm.add(tmp, magic), neg_magic)
+    # barrier: XLA's simplifier reassociates (x + M) + (-M) into x under
+    # jit, deleting the magic rounding (observed on the f32 path: the
+    # second-level estimate then mis-ranks candidates vs the oracle)
+    rounded = nm.add(jax.lax.optimization_barrier(nm.add(tmp, magic)),
+                     neg_magic)
     encoded = nm.float_to_int(rounded)
     if np.dtype(nm.st) == np.int64:
         fallback = nm.st.type(int(C.ENCODING_UPPER_LIMIT))

@@ -225,6 +225,16 @@ def test_compress_device_f32_bit_identical():
         np.round(rng.uniform(0, 10, 2048), 1).astype(np.float32),
         np.array([1.5, -0.0, np.nan, np.inf, 2.25] * 300, np.float32),
         np.full(1500, np.float32(7.5)),
+        # >= 2 full rowgroups: exercises the DEVICE planner (scorer +
+        # vote + second-level accept scan), incl. a mixed-decimals
+        # column that keeps several (e, f) candidates per rowgroup
+        np.concatenate([np.round(rng.uniform(-50, 50, 52 * 1024),
+                                 d).astype(np.float32)
+                        for d in (1, 2, 0, 2)]),
+        # subnormal samples -> rare flag -> host re-plan, still identical
+        np.concatenate([np.full(103 * 1024, np.float32(1e-44)),
+                        np.round(rng.uniform(0, 9, 103 * 1024),
+                                 1).astype(np.float32)]),
     ]
     for data in cases:
         dev = compress_device(data)

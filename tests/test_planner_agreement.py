@@ -94,3 +94,43 @@ def test_in_graph_first_level_matches_oracle(name, data):
         got = [tuple(map(int, combos[0, k])) for k in range(kc[0])]
         want = [tuple(map(int, ef)) for ef in stt.best_k_combinations]
         assert got == want
+
+
+def test_f32_second_level_matches_oracle_under_jit():
+    """Regression: XLA's simplifier folded (x + M) - M inside the jitted
+    f32 second-level estimate, deleting the magic rounding and mis-
+    ranking candidates vs the oracle (encode_value_unsafe already had
+    the optimization_barrier; _estimate_sizes did not)."""
+    from alp_tpu import container
+    from alp_tpu.ops import alp as oalp
+    from alp_tpu.ops.numerics import numerics_for
+
+    rng = np.random.default_rng(19)
+    rng.uniform(-900, 900, 3000)
+    rng.uniform(0, 10, 2048)
+    data = np.concatenate([
+        np.round(rng.uniform(-50, 50, 52 * 1024), d).astype(np.float32)
+        for d in (1, 2, 0, 2)])
+    vectors, n_vec = container._pad_to_vectors(data)
+    tc = C.constants_for(np.float32)
+    flat = vectors.reshape(-1)
+    combos = np.zeros((n_vec, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k_count = np.zeros(n_vec, np.int32)
+    for rg in range(3):
+        lo = rg * C.N_VECTORS_PER_ROWGROUP
+        hi = min(n_vec, lo + C.N_VECTORS_PER_ROWGROUP)
+        stt = ocore.encoder_init(flat[lo * 1024:hi * 1024], 0, tc)
+        for i, (e, f) in enumerate(stt.best_k_combinations):
+            combos[lo:hi, i] = (e, f)
+        k_count[lo:hi] = len(stt.best_k_combinations)
+    nm = numerics_for(np.float32)
+    res = oalp.encode_pipeline(nm.values_from_np(vectors),
+                               combos, k_count, dtype=np.float32)
+    fac_j = np.asarray(res["fac"])
+    exp_j = np.asarray(res["exp"])
+    # the historically mis-chosen vectors (jit picked (7,5); oracle (6,4))
+    for v in (61, 62, 102, 189):
+        cand = [tuple(map(int, combos[v, i])) for i in range(k_count[v])]
+        f_o, e_o = ocore.find_best_exponent_factor_from_combinations(
+            cand, len(cand), vectors[v][::32], tc)
+        assert (int(fac_j[v]), int(exp_j[v])) == (f_o, e_o), v
