@@ -199,6 +199,37 @@ def _true_max_encoded(col, vec_ids, bws, bases):
     return out
 
 
+def _c_planes(facs, exps, frac_arr, *, top: int, fb_off: int,
+              low16_zero: bool = False):
+    """Per-vector limbs of the plan-time constant ``5^fac * fsig(FRAC)``
+    top-aligned to bit ``top`` plus the combined biased-exponent term
+    ``f_biased + fb_off + fac - shift`` — vectorised over the handful of
+    unique (fac, exp) pairs (the per-vector Python bignum loop was
+    O(n_vectors) in the cold plan-build path).  Returns (c2, c1, c0,
+    fb2) u32 arrays; c2 is zero when ``top`` is 63."""
+    pairs, inv = np.unique(np.stack([facs, exps]), axis=1,
+                           return_inverse=True)
+    P = pairs.shape[1]
+    c2u = np.empty(P, np.uint32)
+    c1u = np.empty(P, np.uint32)
+    c0u = np.empty(P, np.uint32)
+    fbu = np.empty(P, np.uint32)
+    for k in range(P):
+        frac_u = int(np.float64(frac_arr[pairs[1, k]]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        f_biased = (frac_u >> 52) & 0x7FF
+        cc = (5 ** int(pairs[0, k])) * fsig
+        s_c = top - (cc.bit_length() - 1)
+        cc <<= s_c
+        if low16_zero:
+            assert cc & 0xFFFF == 0, "i64c96 c0 contract"
+        c0u[k] = cc & 0xFFFFFFFF
+        c1u[k] = (cc >> 32) & 0xFFFFFFFF
+        c2u[k] = cc >> 64
+        fbu[k] = f_biased + fb_off + int(pairs[0, k]) - s_c
+    return c2u[inv], c1u[inv], c0u[inv], fbu[inv]
+
+
 def build_plan(col) -> DecodePlan:
     """Stage an ALP-scheme compressed column (container.CompressedColumn)
     as device tiles bucketed by bit width."""
@@ -338,7 +369,8 @@ def build_plan(col) -> DecodePlan:
             # one C-level concatenate of the (usually zero-copy) views
             packed[:n] = np.concatenate(
                 [col.packed[v] for v in sel]).reshape(n, row)
-        tiles = jnp.asarray(layout.ref_to_tile(packed, int(bw), eb))
+        # bytes ship verbatim; the tile transpose runs on device
+        tiles = layout.ref_to_tile_device(packed, int(bw), eb)
 
         def expand(per_vec):
             full = np.zeros(n_pad, per_vec.dtype)
@@ -365,25 +397,9 @@ def build_plan(col) -> DecodePlan:
             base_u = (-base_i if fl & 32 else base_i).view(np.uint64)
             blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             bhi = (base_u >> np.uint64(32)).astype(np.uint32)
-            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
-            f_biased = ((frac_u >> np.uint64(52))
-                        & np.uint64(0x7FF)).astype(np.int64)
-            fsig = ((frac_u & np.uint64((1 << 52) - 1))
-                    | np.uint64(1 << 52)).astype(np.int64)
-            facs = col.fac[sel].astype(np.int64)
-            c2 = np.empty(len(sel), np.uint32)
-            c1 = np.empty(len(sel), np.uint32)
-            c0 = np.empty(len(sel), np.uint32)
-            fb2 = np.empty(len(sel), np.uint32)
-            for r in range(len(sel)):
-                cc = (5 ** int(facs[r])) * int(fsig[r])
-                s_c = 95 - (cc.bit_length() - 1)
-                cc <<= s_c
-                assert cc & 0xFFFF == 0, "i64c96 c0 contract"
-                c0[r] = cc & 0xFFFFFFFF
-                c1[r] = (cc >> 32) & 0xFFFFFFFF
-                c2[r] = cc >> 64
-                fb2[r] = int(f_biased[r]) + 106 + int(facs[r]) - s_c
+            c2, c1, c0, fb2 = _c_planes(col.fac[sel], col.exp[sel],
+                                        tc.frac_arr, top=95, fb_off=106,
+                                        low16_zero=True)
             meta = tuple(expand(x) for x in (blo, bhi, c2, c1, c0, fb2))
         elif col.dtype == np.float64 and vr == "small":
             base32 = col.base[sel].astype(np.int64).astype(
@@ -406,45 +422,15 @@ def build_plan(col) -> DecodePlan:
             base_u = (-base_i if fl & 32 else base_i).view(np.uint64)
             blo = (base_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             bhi = (base_u >> np.uint64(32)).astype(np.uint32)
-            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
-            f_biased = ((frac_u >> np.uint64(52))
-                        & np.uint64(0x7FF)).astype(np.int64)
-            fsig = ((frac_u & np.uint64((1 << 52) - 1))
-                    | np.uint64(1 << 52)).astype(np.int64)
-            facs = col.fac[sel].astype(np.int64)
-            c1 = np.empty(len(sel), np.uint32)
-            c0 = np.empty(len(sel), np.uint32)
-            fb2 = np.empty(len(sel), np.uint32)
-            for r in range(len(sel)):
-                cc = (5 ** int(facs[r])) * int(fsig[r])
-                s_c = 63 - (cc.bit_length() - 1)
-                cc <<= s_c
-                c0[r] = cc & 0xFFFFFFFF
-                c1[r] = cc >> 32
-                fb2[r] = int(f_biased[r]) + 74 + int(facs[r]) - s_c
+            _, c1, c0, fb2 = _c_planes(col.fac[sel], col.exp[sel],
+                                       tc.frac_arr, top=63, fb_off=74)
             meta = tuple(expand(x) for x in (blo, bhi, c1, c0, fb2))
         elif col.dtype == np.float64 and vr == "mid":
             base32 = col.base[sel].astype(np.int64).astype(
                 np.int32).view(np.uint32)
-            frac_u = tc.frac_arr[col.exp[sel]].view(np.uint64)
-            f_biased = ((frac_u >> np.uint64(52))
-                        & np.uint64(0x7FF)).astype(np.int64)
-            fsig = ((frac_u & np.uint64((1 << 52) - 1))
-                    | np.uint64(1 << 52)).astype(np.int64)
-            facs = col.fac[sel].astype(np.int64)
             # exact python-int 96-bit constant C' = (5^fac * fsig) << sC
-            c2 = np.empty(len(sel), np.uint32)
-            c1 = np.empty(len(sel), np.uint32)
-            c0 = np.empty(len(sel), np.uint32)
-            fb2 = np.empty(len(sel), np.uint32)
-            for r in range(len(sel)):
-                cc = (5 ** int(facs[r])) * int(fsig[r])
-                s_c = 95 - (cc.bit_length() - 1)
-                cc <<= s_c
-                c0[r] = cc & 0xFFFFFFFF
-                c1[r] = (cc >> 32) & 0xFFFFFFFF
-                c2[r] = cc >> 64
-                fb2[r] = int(f_biased[r]) + 74 + int(facs[r]) - s_c
+            c2, c1, c0, fb2 = _c_planes(col.fac[sel], col.exp[sel],
+                                        tc.frac_arr, top=95, fb_off=74)
             meta = tuple(expand(x) for x in (base32, c2, c1, c0, fb2))
         elif col.dtype == np.float64:
             # fold the FOR base into the decode multiply: bf = base * FACT
@@ -513,7 +499,7 @@ def build_plan(col) -> DecodePlan:
                     left_packed, np.zeros(n, np.uint16), bw=lbw,
                     signed=False))
             rgs = vec_rg[sel]
-            tiles = jnp.asarray(layout.ref_to_tile(packed, int(rbw), eb))
+            tiles = layout.ref_to_tile_device(packed, int(rbw), eb)
             if col.dtype == np.float64:
                 # device-side dictionary: repack indexes at lbw bits in
                 # u64-lane geometry + 8 lane-expanded dict planes; the
@@ -524,8 +510,8 @@ def build_plan(col) -> DecodePlan:
                 with jax.default_device(jax.devices("cpu")[0]):
                     lp = np.asarray(jfl.ffor_pack(
                         idx64, np.zeros(n_pad, np.int64), bw=lbw))
-                left_tiles = jnp.asarray(
-                    layout.ref_to_tile(lp.view(np.uint64), lbw, eb))
+                left_tiles = layout.ref_to_tile_device(
+                    lp.view(np.uint64), lbw, eb)
                 dict_rows = col.rd_dict[rgs]            # [n, 8] u16
                 planes = []
                 for k in range(C.MAX_RD_DICTIONARY_SIZE):
@@ -546,8 +532,8 @@ def build_plan(col) -> DecodePlan:
                 with jax.default_device(jax.devices("cpu")[0]):
                     lp = np.asarray(jfl.ffor_pack(
                         idx32, np.zeros(n_pad, np.int32), bw=lbw))
-                left_tiles = jnp.asarray(
-                    layout.ref_to_tile(lp.view(np.uint32), lbw, eb))
+                left_tiles = layout.ref_to_tile_device(
+                    lp.view(np.uint32), lbw, eb)
                 dict_rows = col.rd_dict[rgs]
                 planes = []
                 for k in range(C.MAX_RD_DICTIONARY_SIZE):

@@ -25,6 +25,9 @@ column ``(n % group) * L + lane`` of group ``n // group``.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from ..constants import VECTOR_SIZE
@@ -71,6 +74,35 @@ def ref_to_tile(packed: np.ndarray, bw: int, element_bits: int) -> np.ndarray:
     # -> [G, group, bw, L, lpb] -> [G, bw, lpb, group, L]
     t = u32.reshape(G, group, bw, L, lpb).transpose(0, 2, 4, 1, 3)
     return np.ascontiguousarray(t).reshape(G, bw * lpb, 128)
+
+
+def ref_to_tile_device(packed_words: np.ndarray, bw: int,
+                       element_bits: int):
+    """:func:`ref_to_tile` with the transpose ON DEVICE: the host ships
+    the packed bytes verbatim (one zero-copy u32 view) and XLA performs
+    the layout permutation — the cold-path staging cost is then pure
+    transfer instead of a serial numpy transpose of the whole payload.
+    Returns a device array [G, limbs, 128] u32."""
+    import jax.numpy as jnp
+    _, group, _ = geometry(element_bits)
+    n = packed_words.shape[0]
+    assert n % group == 0
+    if bw == 0:
+        return jnp.zeros((n // group, 0, 128), jnp.uint32)
+    u32 = packed_words.view(np.uint32)            # zero-copy (LE limbs)
+    return _tile_transpose(jnp.asarray(u32), bw=bw,
+                           element_bits=element_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "element_bits"))
+def _tile_transpose(packed_u32, *, bw: int, element_bits: int):
+    _, group, lpb = geometry(element_bits)
+    n = packed_u32.shape[0]
+    L = VECTOR_SIZE // element_bits
+    G = n // group
+    u32 = packed_u32.reshape(n, bw, L, lpb)
+    t = u32.reshape(G, group, bw, L, lpb).transpose(0, 2, 4, 1, 3)
+    return t.reshape(G, bw * lpb, 128)
 
 
 def tile_to_ref(tile: np.ndarray, bw: int, element_bits: int,
