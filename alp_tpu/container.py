@@ -539,16 +539,15 @@ def _decompress(col: CompressedColumn) -> np.ndarray:
     scheme = col.rg_scheme[vec_rg]
 
     nat = None
-    if col.dtype == np.float64:
-        try:
-            from . import native as _nat
-            _nat.build()
-            nat = _nat
-        except Exception:
-            nat = None
+    try:
+        from . import native as _nat
+        _nat.build()
+        nat = _nat
+    except Exception:
+        nat = None
 
     alp_idx = np.nonzero(scheme == C.SCHEME_ALP)[0]
-    if alp_idx.size and nat is not None:
+    if alp_idx.size and nat is not None and col.dtype == np.float64:
         # native fused falp decode, mixed bit widths in one call,
         # straight into the output buffer; exceptions patched with one
         # vectorised scatter (decoder::patch_exceptions analog)
@@ -593,19 +592,52 @@ def _decompress(col: CompressedColumn) -> np.ndarray:
             out[v] = decoded[j]
 
     rd_idx = np.nonzero(scheme == C.SCHEME_ALP_RD)[0]
-    for v in rd_idx:
-        rg = vec_rg[v]
-        rbw = int(col.rd_right_bw[rg])
-        lbw = int(col.rd_left_bw[rg])
-        right = ofl.unffor_unpack(col.packed[v], rbw, tc.ut.type(0), tc.ut)
-        left_idx = ofl.unffor_unpack(col.left_packed[v], lbw, np.uint16(0),
-                                     np.uint16)
-        dict_arr = col.rd_dict[rg]
-        safe = np.minimum(left_idx, max(int(col.rd_dict_size[rg]) - 1, 0))
-        vals = (dict_arr[safe].astype(tc.ut) << tc.ut.type(rbw)) | right
-        pos = col.exc_positions[v]
-        vals[pos] = ((col.exc_values[v].astype(tc.ut) << tc.ut.type(rbw))
-                     | right[pos])
-        out[v] = vals.view(col.dtype)
+    if rd_idx.size:
+        # batched per (right bw, left bw) bucket: one unFFOR call over
+        # the stacked payload (native OpenMP for f64), one dictionary
+        # take, one vectorised exception scatter — replaces the former
+        # per-vector Python loop
+        rbws = col.rd_right_bw[vec_rg[rd_idx]]
+        lbws = col.rd_left_bw[vec_rg[rd_idx]]
+        for rbw, lbw in {(int(r), int(l)) for r, l in zip(rbws, lbws)}:
+            sel = rd_idx[(rbws == rbw) & (lbws == lbw)]
+            pk = np.stack([col.packed[v] for v in sel])
+            lp = np.stack([col.left_packed[v] for v in sel])
+            if nat is not None:
+                # one fused native call: unFFOR right + left indexes,
+                # dictionary resolve, glue (OpenMP across vectors)
+                vals = nat.rd_decode(
+                    pk, lp, col.rd_dict[vec_rg[sel]],
+                    col.rd_dict_size[vec_rg[sel]], rbw, lbw, tc.ut)
+            else:
+                right = np.asarray(jfl.unffor_unpack(
+                    pk, np.zeros(len(sel), tc.ut), bw=rbw,
+                    signed=False), tc.ut)
+                left_idx = np.asarray(jfl.unffor_unpack(
+                    lp, np.zeros(len(sel), np.uint16), bw=lbw,
+                    signed=False), np.uint16)
+                dict_rows = col.rd_dict[vec_rg[sel]]       # [m, 8] u16
+                clamp = np.maximum(
+                    col.rd_dict_size[vec_rg[sel]].astype(np.int32) - 1,
+                    0)
+                safe = np.minimum(left_idx.astype(np.int32),
+                                  clamp[:, None])
+                left = np.take_along_axis(dict_rows, safe,
+                                          axis=1).astype(tc.ut)
+                vals = (left << tc.ut.type(rbw)) | right
+            exc_sel = sel[col.exc_count[sel] > 0]
+            if exc_sel.size:
+                rows = np.searchsorted(sel, exc_sel)
+                vv = np.repeat(rows,
+                               col.exc_count[exc_sel].astype(np.int64))
+                pp = np.concatenate(
+                    [col.exc_positions[v] for v in exc_sel]).astype(
+                        np.int64)
+                lv = np.concatenate(
+                    [col.exc_values[v] for v in exc_sel]).astype(tc.ut)
+                rmask = tc.ut.type((1 << rbw) - 1)
+                vals[vv, pp] = ((lv << tc.ut.type(rbw))
+                                | (vals[vv, pp] & rmask))
+            out[sel] = vals.view(col.dtype)
 
     return out.reshape(-1)[:col.n_values]

@@ -147,6 +147,29 @@ def unffor(packed: np.ndarray, bw: int, base, ut) -> np.ndarray:
     return out
 
 
+def rd_decode(right_packed: np.ndarray, left_packed: np.ndarray,
+              dicts: np.ndarray, dict_size: np.ndarray, rbw: int,
+              lbw: int, ut) -> np.ndarray:
+    """Fused batched ALP_RD decode (one (rbw, lbw) bucket): [n, rbw*L]
+    right words + [n, lbw*64] u16 index words + [n, 8] u16 dictionaries
+    -> [n, 1024] glued bit patterns (pre-exception-patch; indexes
+    clamped to dict_size - 1 like the host decompress)."""
+    ut = np.dtype(ut)
+    n = right_packed.shape[0]
+    out = np.empty((n, 1024), ut)
+    fn = (lib().alp_rd_decode_f64 if ut.itemsize == 8
+          else lib().alp_rd_decode_f32)
+    ct = ctypes.c_uint64 if ut.itemsize == 8 else ctypes.c_uint32
+    fn(_ptr(np.ascontiguousarray(right_packed), ct),
+       _ptr(np.ascontiguousarray(left_packed), ctypes.c_uint16),
+       _ptr(np.ascontiguousarray(dicts.astype(np.uint16, copy=False)),
+            ctypes.c_uint16),
+       _ptr(np.ascontiguousarray(dict_size.astype(np.int32)),
+            ctypes.c_int32),
+       int(rbw), int(lbw), _ptr(out, ct), n)
+    return out
+
+
 def init_f64(data: np.ndarray, offset: int):
     """Rowgroup planning (sampler + top-k search + scheme decision).
 

@@ -172,14 +172,62 @@ void alp_falp_f32(const uint32_t* packed, const int32_t* packed_offsets,
   }
 }
 
-// ALP_RD glue: value = dict[left_idx] << rbw | right, exceptions patched
-// by caller (or left pre-resolved).
-void alp_rd_glue_f64(const uint64_t* right, const uint16_t* left_idx,
-                     const uint16_t* dict, int dict_size, int rbw,
-                     uint64_t* out, int n_values) {
-  for (int k = 0; k < n_values; ++k) {
-    const int idx = left_idx[k] < dict_size ? left_idx[k] : dict_size - 1;
-    out[k] = (uint64_t(dict[idx]) << rbw) | right[k];
+// Fused ALP_RD decode (reference rd.hpp:152-178): unFFOR the right
+// parts and the left dictionary indexes, resolve through the per-vector
+// 8-entry dictionary (index clamped to dict_size - 1, as the host
+// decompress does pre-patch) and glue.  Batched over n vectors of one
+// (rbw, lbw) bucket; exceptions are patched by the caller.
+void alp_rd_decode_f64(const uint64_t* right_packed,
+                       const uint16_t* left_packed, const uint16_t* dicts,
+                       const int32_t* dict_size, int rbw, int lbw,
+                       uint64_t* out, int n) {
+  #pragma omp parallel for schedule(static) if (n > 8)
+  for (int i = 0; i < n; ++i) {
+    uint64_t right[kVec];
+    unffor_vec<uint64_t>(right_packed + size_t(i) * rbw * 16, right,
+                         uint8_t(rbw), 0);
+    uint16_t idx[kVec];
+    unffor_vec<uint16_t>(left_packed + size_t(i) * lbw * 64, idx,
+                         uint8_t(lbw), 0);
+    const uint16_t* d = dicts + size_t(i) * 8;
+    const int clamp = dict_size[i] > 0 ? dict_size[i] - 1 : 0;
+    // shifted dictionary hoisted to 8 u64s (clamp folded in): the glue
+    // loop is then a pure gather+or the compiler can vectorize
+    uint64_t dsh[8];
+    for (int j = 0; j < 8; ++j) {
+      const int js = j < clamp ? j : clamp;
+      dsh[j] = uint64_t(d[js]) << rbw;
+    }
+    uint64_t* o = out + size_t(i) * kVec;
+    for (int k = 0; k < kVec; ++k) {
+      o[k] = dsh[idx[k] & 7] | right[k];
+    }
+  }
+}
+
+void alp_rd_decode_f32(const uint32_t* right_packed,
+                       const uint16_t* left_packed, const uint16_t* dicts,
+                       const int32_t* dict_size, int rbw, int lbw,
+                       uint32_t* out, int n) {
+  #pragma omp parallel for schedule(static) if (n > 8)
+  for (int i = 0; i < n; ++i) {
+    uint32_t right[kVec];
+    unffor_vec<uint32_t>(right_packed + size_t(i) * rbw * 32, right,
+                         uint8_t(rbw), 0);
+    uint16_t idx[kVec];
+    unffor_vec<uint16_t>(left_packed + size_t(i) * lbw * 64, idx,
+                         uint8_t(lbw), 0);
+    const uint16_t* d = dicts + size_t(i) * 8;
+    const int clamp = dict_size[i] > 0 ? dict_size[i] - 1 : 0;
+    uint32_t dsh[8];
+    for (int j = 0; j < 8; ++j) {
+      const int js = j < clamp ? j : clamp;
+      dsh[j] = uint32_t(d[js]) << rbw;
+    }
+    uint32_t* o = out + size_t(i) * kVec;
+    for (int k = 0; k < kVec; ++k) {
+      o[k] = dsh[idx[k] & 7] | right[k];
+    }
   }
 }
 
