@@ -551,27 +551,39 @@ def build_plan(col) -> DecodePlan:
                       * C.VECTOR_SIZE * tc.pt.itemsize)
 
 
+@jax.jit
+def _planes_to_values_f64(hi, lo):
+    """[G, 64, 128] u32 bit planes -> [G*8, 1024] u64 values ON DEVICE
+    (value k = v*16 + lane of vector n lives at [n//8, v, (n%8)*16 +
+    lane]) — the fetch then lands in final value order, no host
+    interleave/transpose pass."""
+    u = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    G = u.shape[0]
+    t = u.reshape(G, 64, 8, 16).transpose(0, 2, 1, 3)
+    return t.reshape(G * 8, C.VECTOR_SIZE)
+
+
+@jax.jit
+def _planes_to_values_f32(plane):
+    """[G, 32, 128] u32 f32 bit planes -> [G*4, 1024] u32 values."""
+    G = plane.shape[0]
+    t = plane.reshape(G, 32, 4, 32).transpose(0, 2, 1, 3)
+    return t.reshape(G * 4, C.VECTOR_SIZE)
+
+
 def decompress_device(col) -> np.ndarray:
     """Full fused decode of the ALP-scheme vectors of a column on device,
-    with host-side reassembly + exception patching; returns [n, 1024]
-    values for ALP vectors (RD vectors are left zero — container.decompress
-    handles mixed columns)."""
-    tc = constants_for(col.dtype)
-    eb = tc.exact_type_bit_size
+    with on-device value reassembly + exception patching; returns
+    [n, 1024] values for ALP vectors (RD vectors are left zero —
+    container.decompress handles mixed columns)."""
     plan = build_plan(col)
     outs = plan.run(patch=True)
     result = np.zeros((col.n_vectors, C.VECTOR_SIZE), col.dtype)
     for g, out in zip(plan.groups, outs):
         if col.dtype == np.float64:
-            hi, lo = (np.asarray(o) for o in out)
-            Gt = hi.shape[0]
-            t = np.empty((Gt, 128, 128), np.uint32)
-            t[:, 0::2, :] = lo
-            t[:, 1::2, :] = hi
-            vals = layout.tile_to_values(t, 64, np.float64,
-                                         layout.pad_vectors(g.n_vectors, 64))
+            vals = np.asarray(_planes_to_values_f64(*out)).view(
+                np.float64)
         else:
-            vals = layout.tile_to_values(np.asarray(out), 32, np.float32,
-                                         layout.pad_vectors(g.n_vectors, 32))
+            vals = np.asarray(_planes_to_values_f32(out)).view(np.float32)
         result[g.vec_indices] = vals[:g.n_vectors]
     return result
