@@ -52,21 +52,182 @@ def _last_group_mask(g, slots: int, lanes_per_vec: int, per_group: int,
 
 def query_sum(col) -> float:
     """SUM(column), EXACT: the correctly-rounded sum of the column's
-    doubles (bit-identical to ``math.fsum``), computed on device.
+    floats (bit-identical to ``math.fsum``), computed on device.
 
     XLA's float64 on TPU is emulated (double-f32, ~49-bit adds), so
     floating accumulation is neither exact nor deterministic across
-    reduction orders.  Instead each value's bit pattern is decomposed
-    with exact integer ops (emulated u64 integers ARE exact) into
-    signed 32-bit digits of ``mantissa << (exponent mod 32)`` within
-    one of 64 exponent windows; a segment-sum produces [64, 3] i64
-    partial sums (|digit| < 2^32, so n < 2^31 values cannot overflow
-    i64).  The host combines the 192 partials with Python bignums and
-    rounds ONCE to float — a fixed-point superaccumulator with the
-    window residency resolved host-side.
+    reduction orders.  Instead each value is decomposed with exact
+    integer ops into signed digits of ``mantissa << exponent`` in
+    32-bit exponent windows — a fixed-point superaccumulator — and the
+    host combines the window totals with Python bignums, rounding ONCE
+    to float.
+
+    f64 columns run this FUSED into the decode kernels
+    (kernels.falp.falp_decode_f64_variant_exact_sum): the decoded
+    planes never leave VMEM, only [16, 128]-per-group i32 window
+    partials do, so the exact SUM runs at fused-scan speed.  f32
+    columns (and rare out-of-envelope ALP_RD buckets) take the general
+    XLA segment-sum path (:func:`_query_sum_xla`).
     """
-    plan = col.plan()
+    if col.n_values == 0:
+        return 0.0
+    if col.dtype == np.float64:
+        return _query_sum_f64_fused(col)
+    return _query_sum_xla(col)
+
+
+def _query_sum_xla(col, plan=None) -> float:
+    """General exact SUM via decoded planes + XLA segment-sum windows
+    (any dtype, any value range); ``plan`` may restrict the buckets."""
+    plan = plan or col.plan()
     outs = plan.run(patch=True)
+    total_int, nan_c, pinf, ninf = _exact_sum_ints(col, plan, outs)
+    scale_pow = 1075 if col.dtype == np.float64 else 150
+    return _finish_sum(total_int, nan_c, pinf, ninf, scale_pow)
+
+
+def _finish_sum(total_int: int, nan_c: int, pinf: int, ninf: int,
+                scale_pow: int) -> float:
+    if nan_c or (pinf and ninf):
+        return float("nan")
+    if pinf:
+        return float("inf")
+    if ninf:
+        return float("-inf")
+    if total_int == 0:
+        return 0.0
+    from fractions import Fraction
+    return float(Fraction(total_int, 1 << scale_pow))
+
+
+def _f64_fixed(bits: int):
+    """Host mirror of one value's superaccumulator contribution:
+    (signed ``m' << e_eff`` integer, class) of an f64 bit pattern;
+    class 0 finite, 1 nan, 2 +inf, 3 -inf."""
+    e = (bits >> 52) & 0x7FF
+    m = bits & ((1 << 52) - 1)
+    s = bits >> 63
+    if e == 2047:
+        return 0, (1 if m else (3 if s else 2))
+    mp = m | (1 << 52) if e else m
+    v = mp << max(e, 1)
+    return (-v if s else v), 0
+
+
+def _exception_sum_correction(col, g):
+    """Exact fused-SUM correction for a group's exceptions: the kernel
+    summed the PATCHED slot value (the vector's fill), so add
+    fixed(true stored value) - fixed(decoded slot value) per exception.
+    Returns (total_int delta, nan, pinf, ninf deltas)."""
+    if g.exc_g is None or not g.exc_g.shape[0]:
+        return 0, 0, 0, 0
+    exc_g = np.asarray(g.exc_g)
+    exc_slot = np.asarray(g.exc_slot)
+    exc_lane = np.asarray(g.exc_lane)
+    true_bits = ((np.asarray(g.exc_hi, np.uint64) << np.uint64(32))
+                 | np.asarray(g.exc_lo, np.uint64))
+    r = exc_g * 8 + exc_lane // 16
+    vec_ids = g.vec_indices[r]
+    positions = exc_slot * 16 + exc_lane % 16
+    dec_bits = _decode_positions(col, vec_ids, positions)
+    ti = 0
+    cls_c = [0, 0, 0, 0]
+    for tb, db in zip(true_bits, dec_bits):
+        dv, _ = _f64_fixed(int(db))     # decoded fill: always finite
+        ti -= dv
+        tv, cls = _f64_fixed(int(tb))
+        ti += tv
+        cls_c[cls] += 1
+    return ti, cls_c[1], cls_c[2], cls_c[3]
+
+
+def _query_sum_f64_fused(col) -> float:
+    """Exact f64 SUM with the superaccumulator FUSED into the decode
+    kernels (docstring: :func:`query_sum`)."""
+    from .kernels import falp as kfalp
+    plan = col.plan()
+    total_int = 0
+    nan_c = pinf = ninf = 0
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
+    last_fellback = False
+    for g in plan.groups:
+        args = kdecode.group_arrays(g)
+        patched = False
+        if g.scheme == C.SCHEME_ALP_RD or g.variant == "const":
+            out = kdecode.group_decode(g, np.float64)(*args)
+            if (g.scheme == C.SCHEME_ALP_RD and g.exc_g is not None
+                    and g.exc_g.shape[0]):
+                idx = (g.exc_g, g.exc_slot, g.exc_lane)
+                out = (out[0].at[idx].set(g.exc_hi),
+                       out[1].at[idx].set(g.exc_lo))
+                patched = True
+            rows = kfalp.exact_sum_planes_f64(out[0], out[1])
+        else:
+            rows = kfalp.falp_decode_f64_variant_exact_sum(
+                args[0], tuple(args[1:]), variant=g.variant, bw=g.bw,
+                flags=g.flags)
+        # zero the pad-vector lanes of the bucket's last group, then
+        # reduce the [G, 16, 128] rows to [16] exactly on device (i64)
+        used = g.n_vectors % 8 or 8
+        lane_ok = jnp.arange(128) < used * 16
+        rows = rows.at[-1].set(
+            jnp.where(lane_ok[None, :], rows[-1], jnp.int32(0)))
+        t = np.asarray(rows.astype(jnp.int64).sum(axis=(0, 2)))
+        if int(t[15]):
+            # out-of-envelope nonzero mantissas (raw ALP_RD patterns,
+            # e.g. subnormals): the general path for just this bucket
+            sub = kdecode.DecodePlan(plan.dtype, plan.n_vectors, [g], 0)
+            outs = sub.run(patch=True)
+            ti, nc, pi, ni = _exact_sum_ints(col, sub, outs)
+            total_int += ti
+            nan_c += nc; pinf += pi; ninf += ni
+            if v_last in g.vec_indices:
+                last_fellback = True    # pads already masked there
+            continue
+        for w in range(kfalp._SUM_NWIN):
+            tw = int(t[w]) + (int(t[w + kfalp._SUM_NWIN]) << 16)
+            if tw:
+                total_int += tw << (32 * (kfalp._SUM_W0 + w))
+        nan_c += int(t[12]); pinf += int(t[13]); ninf += int(t[14])
+        if not patched:
+            ti, nc, pi, ni = _exception_sum_correction(col, g)
+            total_int += ti
+            nan_c += nc; pinf += pi; ninf += ni
+    # padded tail of a partial last vector: after the exception
+    # corrections every pad slot was accounted as exactly the column's
+    # final value (the container pads with it; round-trip is bit-exact)
+    pad_count = C.VECTOR_SIZE - n_valid_last
+    if pad_count and not last_fellback:
+        pos = np.int64(n_valid_last - 1)
+        exc_pos = col.exc_positions[v_last]
+        hit = np.nonzero(exc_pos == pos)[0]
+        rg = v_last // C.N_VECTORS_PER_ROWGROUP
+        if col.rg_scheme[rg] == C.SCHEME_ALP_RD:
+            left = (int(col.exc_values[v_last][hit[0]]) if hit.size
+                    else None)
+            bits = _rd_bits_at(col, int(v_last), int(pos), left)
+        elif hit.size:
+            bits = int(np.asarray(col.exc_values[v_last][hit[0]],
+                                  np.float64).view(np.uint64))
+        else:
+            bits = int(_decode_positions(col, np.array([v_last]),
+                                         np.array([pos]))[0])
+        v, cls = _f64_fixed(int(bits))
+        if cls == 0:
+            total_int -= pad_count * v
+        elif cls == 1:
+            nan_c -= pad_count
+        elif cls == 2:
+            pinf -= pad_count
+        else:
+            ninf -= pad_count
+    return _finish_sum(total_int, nan_c, pinf, ninf, 1075)
+
+
+def _exact_sum_ints(col, plan, outs):
+    """Masked-bits + chunked segment-sum accumulation: returns raw
+    (total_int, nan, pinf, ninf) for the plan's buckets."""
     chunks = []
     for bits, last in _masked_bits(col, plan, outs):
         # zero out pad slots in the last group (+0.0 contributes nothing)
@@ -75,9 +236,9 @@ def query_sum(col) -> float:
             [bits[:-1].reshape(-1),
              jnp.where(last, bits[-1], zero).reshape(-1)]))
     # ONE reduction call on the concatenated buckets, padded to the next
-    # power of two with +0.0 (sum-neutral): the jit cache is keyed on a
-    # handful of total sizes instead of one entry per bucket shape, and
-    # only one [W, 3] partial crosses to the host.
+    # chunk multiple with +0.0 (sum-neutral): the jit cache is keyed on
+    # a handful of total sizes instead of one entry per bucket shape,
+    # and only one [W, 3] partial crosses to the host.
     bits_all = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     n = bits_all.shape[0]
     CH = 1 << 20          # fixed chunk: ONE compile for any column size
@@ -91,30 +252,15 @@ def query_sum(col) -> float:
                                       col.dtype)
         d = dc if d is None else d + dc      # i64 partial adds: exact,
         sp = spc if sp is None else sp + spc  # no overflow for n < 2^31
-    nan_c = pinf = ninf = 0
     total_int = 0
-    if col.dtype == np.float64:
-        scale_pow = 1075
-    else:
-        scale_pow = 150
     dn = np.asarray(d)
     spn = np.asarray(sp)
-    nan_c += int(spn[0]); pinf += int(spn[1]); ninf += int(spn[2])
     for j in range(dn.shape[0]):
         for k in range(dn.shape[1]):
             v = int(dn[j, k])
             if v:
                 total_int += v << (32 * j + 32 * k)
-    if nan_c or (pinf and ninf):
-        return float("nan")
-    if pinf:
-        return float("inf")
-    if ninf:
-        return float("-inf")
-    if total_int == 0:
-        return 0.0
-    from fractions import Fraction
-    return float(Fraction(total_int, 1 << scale_pow))
+    return total_int, int(spn[0]), int(spn[1]), int(spn[2])
 
 
 def _exact_sum_partials(bits, dtype):
@@ -232,6 +378,42 @@ def make_sum_step(plan):
                 total = total + out.view(jnp.float32).sum()
                 acc = acc ^ out[0, 0, 0]
         return acc ^ total.view(jnp.uint32).astype(jnp.uint32)
+
+    metas = [a for args in arg_tuples for a in args]
+    return step, tuple(metas)
+
+
+def make_exact_sum_step(plan):
+    """Throughput step for the EXACT-SUM pipeline (f64): fused decode +
+    superaccumulator partials for every ALP bucket
+    (kernels.falp.falp_decode_f64_variant_exact_sum; the planes kernel
+    for ALP_RD/const buckets) in ONE jittable program — the
+    steady-state shape of :func:`query_sum`, which additionally applies
+    the tiny host-side exception/pad corrections once per query."""
+    from .kernels import falp as kfalp
+    assert plan.dtype == np.float64
+    groups = plan.groups
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts = [len(a) for a in arg_tuples]
+
+    def step(carry, *metas):
+        tot = jnp.zeros((kfalp._SUM_ROWS,), jnp.int64)
+        acc = carry
+        i = 0
+        for g, n in zip(groups, counts):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            if g.scheme == C.SCHEME_ALP_RD or g.variant == "const":
+                out = kdecode.group_decode(g, plan.dtype)(*args)
+                rows = kfalp.exact_sum_planes_f64(out[0], out[1])
+            else:
+                rows = kfalp.falp_decode_f64_variant_exact_sum(
+                    args[0], tuple(args[1:]), variant=g.variant,
+                    bw=g.bw, flags=g.flags)
+            tot = tot + rows.astype(jnp.int64).sum(axis=(0, 2))
+            acc = acc ^ rows[0, 0, 0].astype(jnp.uint32)
+        return acc ^ tot.sum().astype(jnp.uint32)
 
     metas = [a for args in arg_tuples for a in args]
     return step, tuple(metas)

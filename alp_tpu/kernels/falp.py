@@ -105,30 +105,11 @@ def _falp_f64_kernel(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
     # m = u * FACT + base * FACT, and base*FACT is per-vector constant, so
     # the bf planes carry it precomputed — one add64 replaces the base add
     # AND, for bw <= 32, u.hi == 0 halves the 64-bit multiply.
-    basefact = U64(bf_hi[:][:, None, :], bf_lo[:][:, None, :])
-    fact = U64(fact_hi[:][:, None, :], fact_lo[:][:, None, :])
-    # FRAC = 10^-e is always normal and positive: split bits into
-    # significand (implicit bit restored) + biased exponent once per block.
-    fr_hi = frac_hi[:][:, None, :]
-    fsig = U64((fr_hi & _U32(0xFFFFF)) | _U32(1 << 20),
-               frac_lo[:][:, None, :])
-    f_biased = (fr_hi >> _U32(20)) & _U32(0x7FF)
-    if bw == 0:
-        shape = out_hi.shape
-        m = U64(jnp.broadcast_to(basefact.hi, shape),
-                jnp.broadcast_to(basefact.lo, shape))
-    else:
-        u = _unpack_all(packed_ref, bw, 64, 2)
-        if fact1:
-            # FACT = 10^0 = 1 for the whole bucket: m = u + base directly
-            prod = u
-        elif bw <= 32:
-            p = sf.umul32_wide(u.lo, fact.lo)
-            prod = U64(p.hi + u.lo * fact.hi, p.lo)
-        else:
-            prod = sf.mul64_low(u, fact)
-        m = _u64_add(prod, basefact)
-    r = sf.i64_to_f64_times_normal(m, fsig, f_biased)
+    # FRAC = 10^-e is always normal and positive: _gen_value_f64 splits its
+    # bits into significand (implicit bit restored) + biased exponent once
+    # per block.
+    r = _gen_value_f64(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
+                       frac_lo, frac_hi, bw=bw, fact1=fact1)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
@@ -463,6 +444,164 @@ def _f64_bits_to_f32(hi, lo):
     return (sign | (e32 << 23) | m).view(jnp.float32)
 
 
+# Exact-SUM epilogue: fixed-point superaccumulator windows.  A decoded
+# f64 is m' * 2^(e_eff - 1075) with m' the 53-bit mantissa (implicit bit
+# restored) and e_eff = max(biased exponent, 1); the integer m' << e_eff
+# is accumulated exactly and the host rounds ONCE (engine.query_sum).
+# ALP-decoded doubles always satisfy 10^-18 <= |v| < 2^63 when nonzero
+# (FRAC = 10^-e <= 1 bounds the magnitude by the int64 range; the
+# smallest nonzero |m * FRAC| is 1 * 10^-18), so e_eff lives in
+# [963, 1085] and the 32-bit window index j = e_eff >> 5 in [30, 33] —
+# a STATIC 4-window envelope, 6 accumulator windows after digit spill.
+# Out-of-envelope nonzero mantissas (possible only for raw ALP_RD bit
+# patterns, e.g. subnormals) are counted in a 'rare' row and the caller
+# falls back to the general path for that bucket.
+_SUM_W0 = 30          # first value window (e_eff 960)
+_SUM_JMAX = 33        # last value window (e_eff 1087)
+_SUM_NWIN = _SUM_JMAX - _SUM_W0 + 3   # accumulator windows incl. spill
+_SUM_ROWS = 16        # 2 * 6 digit-half rows + nan/pinf/ninf/rare
+
+
+def _exact_sum_rows(r: U64, out_ref):
+    """Write the 16 exact-SUM rows for a block of decoded f64 bits:
+    rows [0, 6): signed i32 sums of the LOW 16-bit digit halves per
+    accumulator window; rows [6, 12): the HIGH halves; rows 12-14:
+    nan / +inf / -inf counts; row 15: out-of-envelope count.  Per-lane
+    half-sums are exact in i32 (<= 64 slots * (2^16 - 1) < 2^23)."""
+    hi, lo = r.hi, r.lo
+    e = (hi >> _U32(20)) & _U32(0x7FF)
+    sign = (hi >> _U32(31)) != 0
+    is_special = e == _U32(2047)
+    mant_nz = ((hi & _U32(0xFFFFF)) | lo) != 0
+    mh = jnp.where(e != 0, (hi & _U32(0xFFFFF)) | _U32(1 << 20),
+                   hi & _U32(0xFFFFF))
+    mh = jnp.where(is_special, _U32(0), mh)
+    ml = jnp.where(is_special, _U32(0), lo)
+    e_eff = jnp.maximum(e, _U32(1))
+    j = (e_eff >> _U32(5)).astype(jnp.int32)
+    sh = e_eff & _U32(31)
+    # c = (mh:ml) << sh, three u32 digits (sh == 0 safe via >>1 >>31-sh)
+    d0 = ml << sh
+    d1 = ((ml >> _U32(1)) >> (_U32(31) - sh)) | (mh << sh)
+    d2 = (mh >> _U32(1)) >> (_U32(31) - sh)
+
+    def halves(d):
+        dl = (d & _U32(0xFFFF)).astype(jnp.int32)
+        dh = (d >> _U32(16)).astype(jnp.int32)
+        return (jnp.where(sign, -dl, dl), jnp.where(sign, -dh, dh))
+
+    digs = [halves(d) for d in (d0, d1, d2)]
+    eq = {k: j == jnp.int32(k) for k in range(_SUM_W0, _SUM_JMAX + 1)}
+    zero = jnp.zeros_like(digs[0][0])
+    for w in range(_SUM_W0, _SUM_W0 + _SUM_NWIN):
+        accl = acch = None
+        for p in range(3):
+            k = w - p
+            if _SUM_W0 <= k <= _SUM_JMAX:
+                tl = jnp.where(eq[k], digs[p][0], zero)
+                th = jnp.where(eq[k], digs[p][1], zero)
+                accl = tl if accl is None else accl + tl
+                acch = th if acch is None else acch + th
+        out_ref[:, w - _SUM_W0, :] = accl.sum(axis=1, dtype=jnp.int32)
+        out_ref[:, w - _SUM_W0 + _SUM_NWIN, :] = acch.sum(
+            axis=1, dtype=jnp.int32)
+
+    def count(mask):
+        return mask.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+    out_ref[:, 12, :] = count(is_special & mant_nz)
+    out_ref[:, 13, :] = count(is_special & ~mant_nz & ~sign)
+    out_ref[:, 14, :] = count(is_special & ~mant_nz & sign)
+    rare = (((j < jnp.int32(_SUM_W0)) | (j > jnp.int32(_SUM_JMAX)))
+            & ((mh | ml) != 0))
+    out_ref[:, 15, :] = count(rare)
+
+
+def _exact_sum_planes_kernel(hi_ref, lo_ref, out_ref):
+    _exact_sum_rows(U64(hi_ref[:], lo_ref[:]), out_ref)
+
+
+@jax.jit
+def exact_sum_planes_f64(hi, lo):
+    """Exact-SUM partials over decoded f64 bit planes [G, 64, 128]:
+    returns [G, 16, 128] i32 superaccumulator rows (_exact_sum_rows
+    layout).  Used for buckets whose decode is not fused with the
+    epilogue (ALP_RD, const) — the planes stay in VMEM per block."""
+    G = hi.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        hi, lo = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                  for a in (hi, lo))
+    Gp = G + pad
+    out = pl.pallas_call(
+        _exact_sum_planes_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((gb, _SUM_ROWS, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, _SUM_ROWS, 128), jnp.int32),
+        interpret=_interpret(),
+    )(hi, lo)
+    return out[:G]
+
+
+def _falp_f64_variant_exact_sum_kernel(packed_ref, *refs, variant: str,
+                                       bw: int, fl: int, n_meta: int):
+    metas = refs[:n_meta]
+    out_ref = refs[-1]
+    shape = (out_ref.shape[0], 64, 128)
+    if variant == "gen":
+        r = _gen_value_f64(packed_ref, *metas, bw=bw,
+                           fact1=bool(fl & 16))
+    else:
+        r = _variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                               fl=fl)
+    _exact_sum_rows(r, out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags"))
+def falp_decode_f64_variant_exact_sum(packed, metas, *, variant: str,
+                                      bw: int, flags: int = 0):
+    """Fused decode + EXACT-SUM partials for any f64 ALP variant
+    (gen/small/mid/mid64/midc96): the variant's exact value computation
+    plus the superaccumulator epilogue; [G, 16, 128] i32 rows out, no
+    decoded-plane traffic.  engine.query_sum combines the windows with
+    bignum arithmetic and rounds once — bit-identical to math.fsum."""
+    G = metas[0].shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed,) + tuple(metas)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_variant_exact_sum_kernel,
+                          variant=variant, bw=bw, fl=flags,
+                          n_meta=len(metas)),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * len(metas),
+        out_specs=pl.BlockSpec((gb, _SUM_ROWS, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, _SUM_ROWS, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
+    return out[:G]
+
+
 def _key_in_range_count(r: U64, klo_hi, klo_lo, khi_hi, khi_lo):
     """Per-lane count of decoded doubles whose IEEE-754 total-order key
     lies in [klo, khi] (engine semantics: -0.0 canonicalised to +0.0,
@@ -637,10 +776,11 @@ def falp_decode_f64_variant_sum(packed, metas, *, variant: str, bw: int,
     return out[:G]
 
 
-def _falp_f64_gen_count_kernel(packed_ref, bf_lo, bf_hi, fact_lo,
-                               fact_hi, frac_lo, frac_hi, klo_hi, klo_lo,
-                               khi_hi, khi_lo, out_cnt, *, bw: int,
-                               fact1: bool):
+def _gen_value_f64(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi, frac_lo,
+                   frac_hi, *, bw: int, fact1: bool) -> U64:
+    """Decoded f64 bits of the GENERIC variant (two-rounding softfloat,
+    reference src/falp.cpp semantics) — the ONE value computation shared
+    by the plane, fused-count and fused-exact-sum kernels."""
     basefact = U64(bf_hi[:][:, None, :], bf_lo[:][:, None, :])
     fact = U64(fact_hi[:][:, None, :], fact_lo[:][:, None, :])
     fr_hi = frac_hi[:][:, None, :]
@@ -661,7 +801,15 @@ def _falp_f64_gen_count_kernel(packed_ref, bf_lo, bf_hi, fact_lo,
         else:
             prod = sf.mul64_low(u, fact)
         m = _u64_add(prod, basefact)
-    r = sf.i64_to_f64_times_normal(m, fsig, f_biased)
+    return sf.i64_to_f64_times_normal(m, fsig, f_biased)
+
+
+def _falp_f64_gen_count_kernel(packed_ref, bf_lo, bf_hi, fact_lo,
+                               fact_hi, frac_lo, frac_hi, klo_hi, klo_lo,
+                               khi_hi, khi_lo, out_cnt, *, bw: int,
+                               fact1: bool):
+    r = _gen_value_f64(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi,
+                       frac_lo, frac_hi, bw=bw, fact1=fact1)
     out_cnt[:] = _key_in_range_count(
         r, klo_hi[:][:, None, :], klo_lo[:][:, None, :],
         khi_hi[:][:, None, :], khi_lo[:][:, None, :])

@@ -189,6 +189,75 @@ def test_sum_exact_matches_fsum():
     assert engine.query_sum(cc) == math.fsum(f32.astype(np.float64))
 
 
+def test_sum_exact_fused_wide_variants():
+    """The fused exact-SUM kernels on wide-bit-width buckets (mid64 /
+    midc96 single-rounding variants) stay bit-identical to math.fsum."""
+    import math
+    wide = np.round(np.random.default_rng(311).uniform(0, 1e10, 3000),
+                    2)                                   # mid64 bw ~40
+    cc = container.compress(wide)
+    assert any(g.variant == "mid64" and g.bw > 32
+               for g in cc.plan().groups)
+    assert engine.query_sum(cc) == math.fsum(wide)
+
+    deep = np.round(np.random.default_rng(320).uniform(-1e9, 1e9, 3000),
+                    2)                                   # midc96 bw ~38
+    cc = container.compress(deep)
+    assert any(g.variant == "midc96" and g.bw > 32
+               for g in cc.plan().groups)
+    assert engine.query_sum(cc) == math.fsum(deep)
+
+
+def test_sum_exact_rd_subnormals_and_specials():
+    """ALP_RD buckets carry raw bit patterns: subnormal values fall
+    outside the fused superaccumulator envelope (rare-row fallback) and
+    patched exceptions can be NaN/Inf; both must stay exact."""
+    import math
+    rng = np.random.default_rng(32)
+    data = rng.standard_normal(2048)                    # high precision
+    data[17] = 5e-324                                   # subnormals
+    data[900] = -3e-310
+    cc = container.compress(data)
+    assert (cc.rg_scheme == 1).any()
+    assert engine.query_sum(cc) == math.fsum(data)
+
+    data2 = rng.standard_normal(1500)
+    data2[3] = np.inf
+    cc2 = container.compress(data2)
+    assert engine.query_sum(cc2) == np.inf
+
+
+def test_sum_exact_partial_vector_exception_tail():
+    """A partial last vector whose final value is itself an exception:
+    the pad copies are exceptions too, and the pad subtraction must use
+    the true stored value."""
+    import math
+    rng = np.random.default_rng(33)
+    data = np.round(rng.uniform(-5, 5, 1500), 2)
+    data[-1] = np.pi                                    # not encodable
+    cc = container.compress(data)
+    assert engine.query_sum(cc) == math.fsum(data)
+    data[-1] = -0.0                                     # signed zero tail
+    cc = container.compress(data)
+    assert engine.query_sum(cc) == math.fsum(data)
+
+
+def test_make_exact_sum_step_consistent():
+    """The one-program throughput step reduces to the same window
+    totals the query API consumes (carry-folded checksum runs)."""
+    rng = np.random.default_rng(34)
+    data = np.round(rng.uniform(-100, 100, 4096), 2)
+    cc = container.compress(data)
+    step, metas = engine.make_exact_sum_step(cc.plan())
+    import jax.numpy as jnp
+    c1 = step(jnp.uint32(0), *metas)
+    c2 = step(jnp.uint32(0), *metas)
+    assert int(c1) == int(c2)          # deterministic
+    # and the exact API agrees with fsum on the same column
+    import math
+    assert engine.query_sum(cc) == math.fsum(data)
+
+
 def test_sum_exact_specials():
     inf = np.zeros(1024)
     inf[7] = np.inf
