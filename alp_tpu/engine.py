@@ -73,7 +73,7 @@ def query_sum(col) -> float:
         return 0.0
     if col.dtype == np.float64:
         return _query_sum_f64_fused(col)
-    return _query_sum_xla(col)
+    return _query_sum_f32_fused(col)
 
 
 def _query_sum_xla(col, plan=None) -> float:
@@ -223,6 +223,116 @@ def _query_sum_f64_fused(col) -> float:
         else:
             ninf -= pad_count
     return _finish_sum(total_int, nan_c, pinf, ninf, 1075)
+
+
+def _f32_fixed(bits: int):
+    """f32 twin of :func:`_f64_fixed` (scale 2^-150)."""
+    e = (bits >> 23) & 0xFF
+    m = bits & ((1 << 23) - 1)
+    s = bits >> 31
+    if e == 255:
+        return 0, (1 if m else (3 if s else 2))
+    mp = m | (1 << 23) if e else m
+    v = mp << max(e, 1)
+    return (-v if s else v), 0
+
+
+def _exception_sum_correction32(col, g):
+    """f32 twin of :func:`_exception_sum_correction`."""
+    if g.exc_g is None or not g.exc_g.shape[0]:
+        return 0, 0, 0, 0
+    exc_g = np.asarray(g.exc_g)
+    exc_slot = np.asarray(g.exc_slot)
+    exc_lane = np.asarray(g.exc_lane)
+    true_bits = np.asarray(g.exc_lo, np.uint32)
+    r = exc_g * 4 + exc_lane // 32
+    vec_ids = g.vec_indices[r]
+    positions = exc_slot * 32 + exc_lane % 32
+    dec_bits = _decode_positions(col, vec_ids, positions)
+    ti = 0
+    cls_c = [0, 0, 0, 0]
+    for tb, db in zip(true_bits, dec_bits):
+        dv, _ = _f32_fixed(int(db))
+        ti -= dv
+        tv, cls = _f32_fixed(int(tb))
+        ti += tv
+        cls_c[cls] += 1
+    return ti, cls_c[1], cls_c[2], cls_c[3]
+
+
+def _query_sum_f32_fused(col) -> float:
+    """Exact f32 SUM with the superaccumulator FUSED into the decode
+    kernel (f32 twin of :func:`_query_sum_f64_fused`; scale 2^-150)."""
+    from .kernels import falp as kfalp
+    plan = col.plan()
+    total_int = 0
+    nan_c = pinf = ninf = 0
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
+    last_fellback = False
+    for g in plan.groups:
+        args = kdecode.group_arrays(g)
+        patched = False
+        if g.scheme == C.SCHEME_ALP_RD:
+            out = kdecode.group_decode(g, np.float32)(*args)
+            if g.exc_g is not None and g.exc_g.shape[0]:
+                out = out.at[g.exc_g, g.exc_slot, g.exc_lane].set(
+                    g.exc_lo)
+                patched = True
+            rows = kfalp.exact_sum_planes_f32(out)
+        else:
+            tiles, base, fact, frac = args
+            rows = kfalp.falp_decode_f32_exact_sum(tiles, base, fact,
+                                                   frac, bw=g.bw)
+        used = g.n_vectors % 4 or 4
+        lane_ok = jnp.arange(128) < used * 32
+        rows = rows.at[-1].set(
+            jnp.where(lane_ok[None, :], rows[-1], jnp.int32(0)))
+        t = np.asarray(rows.astype(jnp.int64).sum(axis=(0, 2)))
+        if int(t[15]):
+            sub = kdecode.DecodePlan(plan.dtype, plan.n_vectors, [g], 0)
+            outs = sub.run(patch=True)
+            ti, nc, pi, ni = _exact_sum_ints(col, sub, outs)
+            total_int += ti
+            nan_c += nc; pinf += pi; ninf += ni
+            if v_last in g.vec_indices:
+                last_fellback = True
+            continue
+        for w in range(kfalp._SUM32_NWIN):
+            tw = int(t[w]) + (int(t[w + kfalp._SUM32_NWIN]) << 16)
+            if tw:
+                total_int += tw << (32 * (kfalp._SUM32_W0 + w))
+        nan_c += int(t[12]); pinf += int(t[13]); ninf += int(t[14])
+        if not patched:
+            ti, nc, pi, ni = _exception_sum_correction32(col, g)
+            total_int += ti
+            nan_c += nc; pinf += pi; ninf += ni
+    pad_count = C.VECTOR_SIZE - n_valid_last
+    if pad_count and not last_fellback:
+        pos = np.int64(n_valid_last - 1)
+        exc_pos = col.exc_positions[v_last]
+        hit = np.nonzero(exc_pos == pos)[0]
+        rg = v_last // C.N_VECTORS_PER_ROWGROUP
+        if col.rg_scheme[rg] == C.SCHEME_ALP_RD:
+            left = (int(col.exc_values[v_last][hit[0]]) if hit.size
+                    else None)
+            bits = _rd_bits_at(col, int(v_last), int(pos), left)
+        elif hit.size:
+            bits = int(np.asarray(col.exc_values[v_last][hit[0]],
+                                  np.float32).view(np.uint32))
+        else:
+            bits = int(_decode_positions(col, np.array([v_last]),
+                                         np.array([pos]))[0])
+        v, cls = _f32_fixed(int(bits))
+        if cls == 0:
+            total_int -= pad_count * v
+        elif cls == 1:
+            nan_c -= pad_count
+        elif cls == 2:
+            pinf -= pad_count
+        else:
+            ninf -= pad_count
+    return _finish_sum(total_int, nan_c, pinf, ninf, 150)
 
 
 def _exact_sum_ints(col, plan, outs):

@@ -477,7 +477,9 @@ def _exact_sum_rows(r: U64, out_ref):
                    hi & _U32(0xFFFFF))
     mh = jnp.where(is_special, _U32(0), mh)
     ml = jnp.where(is_special, _U32(0), lo)
-    e_eff = jnp.maximum(e, _U32(1))
+    # unsigned max has no Mosaic lowering; e < 2048 is i32-safe
+    e_eff = jnp.maximum(e.astype(jnp.int32),
+                        jnp.int32(1)).astype(_U32)
     j = (e_eff >> _U32(5)).astype(jnp.int32)
     sh = e_eff & _U32(31)
     # c = (mh:ml) << sh, three u32 digits (sh == 0 safe via >>1 >>31-sh)
@@ -545,6 +547,137 @@ def exact_sum_planes_f64(hi, lo):
         out_shape=jax.ShapeDtypeStruct((Gp, _SUM_ROWS, 128), jnp.int32),
         interpret=_interpret(),
     )(hi, lo)
+    return out[:G]
+
+
+# f32 twin of the superaccumulator epilogue.  ALP-decoded floats
+# satisfy 10^-10 <= |v| < 2^31 when nonzero (FRAC = 10^-e <= 1, e <= 10
+# for floats; wrapped i32 product bounds the magnitude), so e_eff lives
+# in [93, 157] and j = e_eff >> 5 in [2, 4]; mp < 2^24 means c = mp <<
+# sh < 2^55 needs only TWO u32 digits -> 4 accumulator windows.
+_SUM32_W0 = 2
+_SUM32_JMAX = 4
+_SUM32_NWIN = _SUM32_JMAX - _SUM32_W0 + 2     # digit spill is 1 window
+
+
+def _exact_sum_rows_f32(bits, out_ref):
+    """f32 exact-SUM rows: rows [0, 4): signed i32 sums of LOW 16-bit
+    digit halves per window; rows [4, 8): HIGH halves; rows 8-11 zero;
+    rows 12-14: nan/+inf/-inf counts; row 15: out-of-envelope count.
+    Value = m' * 2^(e_eff - 150)."""
+    e = (bits >> _U32(23)) & _U32(0xFF)
+    sign = (bits >> _U32(31)) != 0
+    is_special = e == _U32(255)
+    mant_nz = (bits & _U32((1 << 23) - 1)) != 0
+    mp = jnp.where(e != 0, (bits & _U32((1 << 23) - 1)) | _U32(1 << 23),
+                   bits & _U32((1 << 23) - 1))
+    mp = jnp.where(is_special, _U32(0), mp)
+    # unsigned max has no Mosaic lowering; e < 256 is i32-safe
+    e_eff = jnp.maximum(e.astype(jnp.int32),
+                        jnp.int32(1)).astype(_U32)
+    j = (e_eff >> _U32(5)).astype(jnp.int32)
+    sh = e_eff & _U32(31)
+    d0 = mp << sh
+    d1 = (mp >> _U32(1)) >> (_U32(31) - sh)
+
+    def halves(d):
+        dl = (d & _U32(0xFFFF)).astype(jnp.int32)
+        dh = (d >> _U32(16)).astype(jnp.int32)
+        return (jnp.where(sign, -dl, dl), jnp.where(sign, -dh, dh))
+
+    digs = [halves(d) for d in (d0, d1)]
+    eq = {k: j == jnp.int32(k)
+          for k in range(_SUM32_W0, _SUM32_JMAX + 1)}
+    zero = jnp.zeros_like(digs[0][0])
+    zrow = jnp.zeros((out_ref.shape[0], out_ref.shape[2]), jnp.int32)
+    for w in range(_SUM32_W0, _SUM32_W0 + _SUM32_NWIN):
+        accl = acch = None
+        for p in range(2):
+            k = w - p
+            if _SUM32_W0 <= k <= _SUM32_JMAX:
+                tl = jnp.where(eq[k], digs[p][0], zero)
+                th = jnp.where(eq[k], digs[p][1], zero)
+                accl = tl if accl is None else accl + tl
+                acch = th if acch is None else acch + th
+        out_ref[:, w - _SUM32_W0, :] = accl.sum(axis=1, dtype=jnp.int32)
+        out_ref[:, w - _SUM32_W0 + _SUM32_NWIN, :] = acch.sum(
+            axis=1, dtype=jnp.int32)
+    for row in range(2 * _SUM32_NWIN, 12):
+        out_ref[:, row, :] = zrow
+
+    def count(mask):
+        return mask.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+    out_ref[:, 12, :] = count(is_special & mant_nz)
+    out_ref[:, 13, :] = count(is_special & ~mant_nz & ~sign)
+    out_ref[:, 14, :] = count(is_special & ~mant_nz & sign)
+    rare = (((j < jnp.int32(_SUM32_W0)) | (j > jnp.int32(_SUM32_JMAX)))
+            & (mp != 0))
+    out_ref[:, 15, :] = count(rare)
+
+
+def _exact_sum_planes_f32_kernel(bits_ref, out_ref):
+    _exact_sum_rows_f32(bits_ref[:], out_ref)
+
+
+@jax.jit
+def exact_sum_planes_f32(bits):
+    """Exact-SUM partials over decoded f32 bit planes [G, 32, 128] ->
+    [G, 16, 128] i32 rows (_exact_sum_rows_f32 layout)."""
+    G = bits.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        bits = jnp.pad(bits, ((0, pad), (0, 0), (0, 0)))
+    Gp = G + pad
+    out = pl.pallas_call(
+        _exact_sum_planes_f32_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((gb, _SUM_ROWS, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, _SUM_ROWS, 128), jnp.int32),
+        interpret=_interpret(),
+    )(bits)
+    return out[:G]
+
+
+def _falp_f32_exact_sum_kernel(packed_ref, base, fact, frac, out_ref, *,
+                               bw: int):
+    bits = _f32_decode_bits(packed_ref, base, fact, frac,
+                            (out_ref.shape[0], 32, 128), bw=bw)
+    _exact_sum_rows_f32(bits, out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("bw",))
+def falp_decode_f32_exact_sum(packed, base, fact, frac_bits, *, bw: int):
+    """Fused f32 decode + EXACT-SUM partials: [G, 16, 128] i32 rows out
+    (the f32 twin of falp_decode_f64_variant_exact_sum)."""
+    G = base.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed, base, fact, frac_bits.view(jnp.float32))
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_exact_sum_kernel, bw=bw),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 3,
+        out_specs=pl.BlockSpec((gb, _SUM_ROWS, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, _SUM_ROWS, 128), jnp.int32),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
     return out[:G]
 
 

@@ -57,6 +57,16 @@ def main():
                  round(gbps, 2), 1.0))
     print(rows[-1], flush=True)
 
+    # EXACT SUM (bit-identical to math.fsum): fused decode +
+    # superaccumulator window partials (engine.make_exact_sum_step);
+    # decoded planes never leave VMEM — the correct-answer SUM at
+    # fused-scan speed
+    stepx, metasx = engine.make_exact_sum_step(plan)
+    dtx = loop_bench(stepx, metasx, 20)
+    rows.append(("SUM (exact == math.fsum, fused)", "ALP", "1 chip",
+                 round(plan.decoded_bytes / dtx / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+
     # predicate pushdown: fused decode + total-order-key range COUNT —
     # no decoded planes are written (engine.make_filter_step)
     stepf, metasf = engine.make_filter_step(plan, -15.0, 25.0)
@@ -116,9 +126,10 @@ def main():
         print(rows[-1], flush=True)
 
     # correctness companions (never timed through the tunnel):
+    import math
     small = container.compress(base)
     s = engine.query_sum(small)
-    assert abs(s - base.sum()) < 1e-9 * abs(base.sum()) + 1e-9
+    assert s == math.fsum(base), (s, math.fsum(base))
     assert engine.query_min(small) == base.min()
     assert engine.query_max(small) == base.max()
     assert engine.query_topk(small, 3)[0] == base.max()

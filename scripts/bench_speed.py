@@ -282,6 +282,20 @@ def main():
     results.append(("falp_sum_fused_f64_bw16", ITERS, out_gb / dt, "GB/s"))
     print(results[-1], flush=True)
 
+    # fused decode + EXACT SUM (superaccumulator epilogue): the
+    # correct-answer SUM partials produced inside the kernel — same
+    # shape as above but every digit accounted exactly
+    def step_xsum(carry, packed16):
+        rows = kf.falp_decode_f64_variant_exact_sum(
+            packed16, (zero + carry, c2p, c1p, c0p, fb2p), variant="mid",
+            bw=16, flags=1 | 2 | 4)
+        return rows[0, 0, 0].astype(jnp.uint32)
+
+    dt = loop_bench(step_xsum, (packed16,), ITERS)
+    results.append(("falp_sum_exact_fused_f64_bw16", ITERS, out_gb / dt,
+                    "GB/s"))
+    print(results[-1], flush=True)
+
     # float kernels (4 vectors/group; 256 MiB decoded)
     Gf = 4 * G
     out_gb_f = Gf * 32 * 128 * 4 / 1e9
@@ -313,6 +327,12 @@ def main():
     dt = loop_bench(step, metas, 20)
     results.append(("e2e_sum_query_64MiB", 20, big.nbytes / dt / 1e9,
                     "GB/s"))
+    print(results[-1], flush=True)
+
+    stepx, metasx = engine.make_exact_sum_step(plan)
+    dt = loop_bench(stepx, metasx, 20)
+    results.append(("e2e_exact_sum_query_64MiB", 20,
+                    big.nbytes / dt / 1e9, "GB/s"))
     print(results[-1], flush=True)
 
     speed_report(results, os.path.join(ROOT, "results", "speed_tpu.csv"))

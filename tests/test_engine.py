@@ -258,6 +258,28 @@ def test_make_exact_sum_step_consistent():
     assert engine.query_sum(cc) == math.fsum(data)
 
 
+def test_sum_exact_f32_fused_paths():
+    """f32 exact SUM via the fused superaccumulator: ALP buckets,
+    ALP_RD buckets (patched planes kernel), subnormal fallback and
+    special exceptions."""
+    import math
+    rng = np.random.default_rng(35)
+    rd32 = rng.standard_normal(2048).astype(np.float32)
+    cc = container.compress(rd32)
+    assert (cc.rg_scheme == 1).any()
+    assert engine.query_sum(cc) == math.fsum(rd32.astype(np.float64))
+
+    sub32 = rd32.copy()
+    sub32[11] = np.float32(1e-44)                       # subnormal
+    cc = container.compress(sub32)
+    assert engine.query_sum(cc) == math.fsum(sub32.astype(np.float64))
+
+    alp32 = np.round(rng.uniform(-50, 50, 1500), 2).astype(np.float32)
+    alp32[7] = np.float32(np.inf)                       # exception
+    cc = container.compress(alp32)
+    assert engine.query_sum(cc) == np.inf
+
+
 def test_sum_exact_specials():
     inf = np.zeros(1024)
     inf[7] = np.inf
