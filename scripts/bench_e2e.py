@@ -125,6 +125,47 @@ def main():
                      round(plan.decoded_bytes / dtq / 1e9, 2), ""))
         print(rows[-1], flush=True)
 
+    # cold path: compressed column in RAM -> first answered query.
+    # build_plan pays staging (payload walk, eligibility proofs, plane
+    # construction, per-bucket transfers); a plan snapshot
+    # (alp_tpu.plan_store) replaces all of it with ONE device transfer
+    # + device-side slices.  Timed cold per run (fresh plan objects;
+    # kernels themselves are compile-cached, as in steady state).
+    from alp_tpu import plan_store
+    from alp_tpu.kernels import falp as kfalp
+    import jax as _jax
+    blob = plan_store.snapshot(plan)
+    red16 = _jax.jit(lambda r: r.astype(_jnp.int64).sum(axis=(0, 2)))
+
+    def cold_sum(p):
+        # first exact-SUM answer from a fresh plan, via the module-level
+        # jitted kernels (compile-cached across plans, as in production)
+        t = np.zeros(16, np.int64)
+        for g in p.groups:
+            args = kdecode.group_arrays(g)
+            if g.scheme == _C.SCHEME_ALP_RD or g.variant == "const":
+                out = kdecode.group_decode(g, np.float64)(*args)
+                r = kfalp.exact_sum_planes_f64(out[0], out[1])
+            else:
+                r = kfalp.falp_decode_f64_variant_exact_sum(
+                    args[0], tuple(args[1:]), variant=g.variant,
+                    bw=g.bw, flags=g.flags)
+            t = t + np.asarray(red16(r))
+        return t
+
+    for label, mk in (
+            ("COLD first SUM (build_plan)",
+             lambda: kdecode.build_plan(cc)),
+            ("COLD first SUM (plan snapshot)",
+             lambda: plan_store.restore(blob))):
+        cold_sum(mk())                         # warm the jit caches only
+        t0 = time.perf_counter()
+        cold_sum(mk())
+        dtc = time.perf_counter() - t0
+        rows.append((label, "ALP", "1 chip",
+                     round(plan.decoded_bytes / dtc / 1e9, 2), ""))
+        print(rows[-1], flush=True)
+
     # correctness companions (never timed through the tunnel):
     import math
     small = container.compress(base)
