@@ -55,6 +55,20 @@ def decompress(col):
     return container.decompress(col)
 
 
+def save_plan(col, path):
+    """Snapshot ``col``'s device decode plan to ``path`` (the
+    load -> first-query cold-path artifact; plan_store docstring)."""
+    from . import plan_store
+    return plan_store.save_plan(col, path)
+
+
+def load_plan(path):
+    """Restore a decode plan snapshot: one device transfer, ready to
+    serve queries."""
+    from . import plan_store
+    return plan_store.load_plan(path)
+
+
 def __getattr__(name):
     # public re-export of the compressed-column type without importing
     # the (jax-heavy) container module at package import time

@@ -40,11 +40,23 @@ _UPPER_BITS = int(np.float64(C.ENCODING_UPPER_LIMIT).view(np.uint64))
 
 
 def encode_verify_f64(vbits: U64, c1sig: U64, c1b, c2sig: U64, c2b,
-                      fact: U64, frsig: U64, frb):
+                      fact: U64, frsig: U64, frb, *,
+                      skip_wide: bool = False):
     """Unpacked-softfloat ALP encode + verify; elementwise on U64 bits.
 
     c1 = 10^exp (significand/biased-exp), c2 = 10^-fac, fact = FACT[fac]
     (int64), fr = FRAC[exp] decomposed.  Returns (n, exc, rare).
+
+    ``skip_wide=True`` statically drops the magic round's region-B
+    arithmetic (|x| in [2^52, 2^104)): non-special values landing there
+    raise ``rare`` instead (exact host re-encode, same plumbing as
+    subnormals).  With the FINAL (e, f) those values imply bit widths
+    in ALP_RD territory, so real columns essentially never hit the
+    fixup; the (e, f) SEARCH must keep the default False — candidate
+    exponents routinely push x past 2^52.  Special values (NaN/Inf/-0.0
+    replaced by ENCODING_UPPER_LIMIT, encoder.hpp:324-338) are exempt:
+    whatever n they get, the verify always flags them as exceptions and
+    the pack patches their slot, so their n never persists.
     """
     # replace_specials (encoder.hpp:324-338)
     mag_hi = vbits.hi & _U32(0x7FFFFFFF)
@@ -62,7 +74,9 @@ def encode_verify_f64(vbits: U64, c1sig: U64, c1b, c2sig: U64, c2b,
 
     sig1, e1 = sf.mul_by_normal_unpacked(sig_v, e_v, c1sig, c1b)
     sig2, e2 = sf.mul_by_normal_unpacked(sig1, e1, c2sig, c2b)
-    n = sf.magic_round_to_i64(sign, e2, sig2)
+    n = sf.magic_round_to_i64(sign, e2, sig2, skip_wide=skip_wide)
+    if skip_wide:
+        rare = rare | ((e2 >= 52) & (e2 <= 103) & ~special & ~is_zero)
     zero32 = jnp.zeros_like(n.lo)
     n = U64(jnp.where(is_zero, zero32, n.hi),
             jnp.where(is_zero, zero32, n.lo))
@@ -92,7 +106,7 @@ def _encode_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo, fhi,
     frsig, frb = dec_const(frlo, frhi)
 
     n, exc, rare = encode_verify_f64(vbits, c1sig, c1b, c2sig, c2b,
-                                     fact, frsig, frb)
+                                     fact, frsig, frb, skip_wide=True)
     out_hi[:] = n.hi
     out_lo[:] = n.lo
     out_exc[:] = exc.astype(_U32)
@@ -269,7 +283,7 @@ def _encode_stats_kernel(vhi_ref, vlo_ref, c1lo, c1hi, c2lo, c2hi, flo,
     fact = U64(fhi[:][:, None, :], flo[:][:, None, :])
     frsig, frb = dec_const(frlo, frhi)
     n, exc, rare = encode_verify_f64(vbits, c1sig, c1b, c2sig, c2b,
-                                     fact, frsig, frb)
+                                     fact, frsig, frb, skip_wide=True)
     out_hi[:] = n.hi
     out_lo[:] = n.lo
     out_exc[:] = exc.astype(_U32)

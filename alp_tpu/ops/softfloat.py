@@ -1008,7 +1008,8 @@ def mul_by_normal_unpacked(sig_a: U64, e_a: jnp.ndarray,
     return sig, e_out
 
 
-def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64):
+def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64,
+                       *, skip_wide: bool = False):
     """Exact ``(int64)((x + MAGIC) - MAGIC)`` for x = ±sig2·2^(e2-52)
     (normal), with x86 cast semantics, as pure integer arithmetic.
 
@@ -1016,8 +1017,16 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64):
     encode kernel): |x| < 2^52 via 1/8-fixed-point around M; e2 in
     [52, 103] via ulp-scaled integer add (M is a multiple of ulp(x)
     there); e2 >= 104 gives |result| >= 2^103 -> INT64_MIN regardless
-    of the ±ulp wobble of the two additions."""
+    of the ±ulp wobble of the two additions.
+
+    ``skip_wide=True`` statically drops the region-B arithmetic
+    (~70 vector ops) and returns INT64_MIN for 52 <= e2 <= 103 — the
+    caller MUST treat those values as needing exact host fixup (the
+    encode kernel's ``rare`` flag).  Correct only where |x| >= 2^52
+    non-special values are escape-hatched; the (e, f) SEARCH must not
+    use it (candidate exponents routinely push x past 2^52)."""
     zero = jnp.zeros_like(sig2.lo)
+    int_min = U64(_u32(0x80000000) + zero, zero)
     # ---- region A: e2 <= 51 (|x| < 2^52): T8 = M*8 ± x*8 -------------
     sh = 49 - e2                                   # x*8 = sig2 >> sh
     shr_amt = _u32(jnp.minimum(jnp.maximum(sh, _I32(0)), _I32(63)))
@@ -1056,6 +1065,11 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64):
     nA = U64(jnp.where(negA, neg_nA.hi, nA_mag.hi),
              jnp.where(negA, neg_nA.lo, nA_mag.lo))
 
+    if skip_wide:
+        in_A = e2 <= 51
+        return U64(jnp.where(in_A, nA.hi, int_min.hi),
+                   jnp.where(in_A, nA.lo, int_min.lo))
+
     # ---- region B: 52 <= e2 <= 103 ------------------------------------
     # M is an exact multiple of ulp(x) = 2^(e2-52) here.  Negative x:
     # x + M cancels (|x| in [M/2, 2M] or |x| - M fits), both adds are
@@ -1093,7 +1107,6 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64):
     neg_nB = neg64(nB_mag)
     nB = U64(jnp.where(sign == 1, neg_nB.hi, nB_mag.hi),
              jnp.where(sign == 1, neg_nB.lo, nB_mag.lo))
-    int_min = U64(_u32(0x80000000) + zero, zero)
     nB = U64(jnp.where(ofB, int_min.hi, nB.hi),
              jnp.where(ofB, int_min.lo, nB.lo))
 

@@ -63,6 +63,60 @@ def test_encode_verify_matches_oracle(e, f):
                              & (vals != 0) & np.isfinite(vals)).sum()
 
 
+@pytest.mark.parametrize("e,f", [(14, 12), (18, 0), (0, 0)])
+def test_encode_verify_skip_wide(e, f):
+    """skip_wide drops region-B arithmetic: non-special values with
+    |x| >= 2^52 must come back flagged rare; everything else matches
+    the oracle exactly."""
+    vals = np.concatenate([
+        np.round(rng.uniform(-1e4, 1e4, 1000), 3),
+        rng.uniform(-1e16, 1e16, 500),
+        np.array([0.0, -0.0, np.nan, np.inf, 2.0**52, 2.0**60, 1e308]),
+    ])
+    c1 = _const(np.float64(tc.exp_arr[e]).view(np.uint64))
+    c2 = _const(np.float64(tc.frac_arr[f]).view(np.uint64))
+    fact = np.uint64(np.int64(tc.fact_arr[f]).view(np.uint64))
+    fr = _const(np.float64(tc.frac_arr[e]).view(np.uint64))
+    factu = U64(jnp.uint32(int(fact) >> 32),
+                jnp.uint32(int(fact) & 0xFFFFFFFF))
+    n, exc, rare = jax.jit(lambda vb: encode_verify_f64(
+        vb, *c1, *c2, factu, *fr, skip_wide=True))(
+            _split(vals.view(np.uint64)))
+    n_np = u64_to_np(n).view(np.int64)
+    rare_np = np.asarray(rare)
+    n_exp, exc_exp = _oracle(vals, f, e)
+    special = ~np.isfinite(vals) | (vals.view(np.uint64)
+                                    == np.uint64(1 << 63))
+    ok = (n_np == n_exp) | rare_np | special
+    assert ok.all(), np.nonzero(~ok)
+    assert ((np.asarray(exc) == exc_exp) | rare_np).all()
+    assert np.asarray(exc)[special].all()
+    # any non-special value whose scaled |x| >= 2^52 must be rare (or
+    # exactly INT64_MIN-territory, region D, which needs no fixup)
+    with np.errstate(over="ignore", invalid="ignore"):
+        x = np.abs(vals * tc.exp_arr[e] * tc.frac_arr[f])
+    wide = (x >= 2.0**52) & (x < 2.0**104) & ~special & (vals != 0)
+    assert (rare_np | ~wide | special).all()
+
+
+def test_compress_device_wide_rare_fixup():
+    """A column mixing normal decimals with |x| >= 2^52 values: the
+    device path must re-encode the affected vectors host-side and stay
+    byte-identical to the host engine."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        pytest.skip("interpret-mode test")
+    from alp_tpu import container
+    from alp_tpu.device_compress import compress_device
+    rng2 = np.random.default_rng(77)
+    data = np.round(rng2.uniform(-100, 100, 3000), 2)
+    data[100] = 2.0**53          # huge integer: wide region, encodable
+    data[2500] = -(2.0**55)
+    dev = compress_device(data)
+    host = container.compress(data)
+    assert dev.to_bytes() == host.to_bytes()
+
+
 def test_encode_kernel_tiles():
     n = 16
     vals = np.round(rng.uniform(-500, 500, (n, 1024)), 2)
@@ -100,7 +154,15 @@ def test_encode_kernel_tiles():
 
     n_exp, exc_exp = _oracle(vals.reshape(-1), f, e)
     assert not np.asarray(rarep).any()
-    np.testing.assert_array_equal(got_n.reshape(-1), n_exp)
+    # special values (NaN/Inf/-0.0) land in the magic round's skipped
+    # wide region: their n is a don't-care by contract (always flagged
+    # exceptions, patched before pack/analyze) — compare the rest
+    flat = vals.reshape(-1)
+    special = ~np.isfinite(flat) | (flat.view(np.uint64)
+                                    == np.uint64(1 << 63))
+    np.testing.assert_array_equal(got_n.reshape(-1)[~special],
+                                  n_exp[~special])
+    assert got_exc.reshape(-1)[special].all()
     np.testing.assert_array_equal(got_exc.reshape(-1), exc_exp)
 
 
