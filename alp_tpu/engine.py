@@ -71,9 +71,35 @@ def query_sum(col) -> float:
     """
     if col.n_values == 0:
         return 0.0
+    total_int, nan_c, pinf, ninf, scale = _query_sum_raw(col)
+    return _finish_sum(total_int, nan_c, pinf, ninf, scale)
+
+
+def query_mean(col) -> float:
+    """MEAN(column), correctly rounded: the exact rational
+    ``sum / n`` (superaccumulator total over ``n``) rounded ONCE to
+    float — one step beyond even ``math.fsum(x) / n``, which rounds
+    twice."""
+    if col.n_values == 0:
+        return float("nan")
+    total_int, nan_c, pinf, ninf, scale = _query_sum_raw(col)
+    if nan_c or (pinf and ninf):
+        return float("nan")
+    if pinf:
+        return float("inf")
+    if ninf:
+        return float("-inf")
+    if total_int == 0:
+        return 0.0
+    from fractions import Fraction
+    return float(Fraction(total_int, col.n_values << scale))
+
+
+def _query_sum_raw(col):
+    """(total_int, nan, pinf, ninf, scale_pow) of the exact SUM."""
     if col.dtype == np.float64:
-        return _query_sum_f64_fused(col)
-    return _query_sum_f32_fused(col)
+        return _query_sum_f64_fused(col) + (1075,)
+    return _query_sum_f32_fused(col) + (150,)
 
 
 def _query_sum_xla(col, plan=None) -> float:
@@ -141,9 +167,9 @@ def _exception_sum_correction(col, g):
     return ti, cls_c[1], cls_c[2], cls_c[3]
 
 
-def _query_sum_f64_fused(col) -> float:
-    """Exact f64 SUM with the superaccumulator FUSED into the decode
-    kernels (docstring: :func:`query_sum`)."""
+def _query_sum_f64_fused(col):
+    """Exact f64 SUM raws (total_int, nan, pinf, ninf) with the
+    superaccumulator FUSED into the decode kernels (:func:`query_sum`)."""
     from .kernels import falp as kfalp
     plan = col.plan()
     total_int = 0
@@ -222,7 +248,7 @@ def _query_sum_f64_fused(col) -> float:
             pinf -= pad_count
         else:
             ninf -= pad_count
-    return _finish_sum(total_int, nan_c, pinf, ninf, 1075)
+    return total_int, nan_c, pinf, ninf
 
 
 def _f32_fixed(bits: int):
@@ -260,9 +286,9 @@ def _exception_sum_correction32(col, g):
     return ti, cls_c[1], cls_c[2], cls_c[3]
 
 
-def _query_sum_f32_fused(col) -> float:
-    """Exact f32 SUM with the superaccumulator FUSED into the decode
-    kernel (f32 twin of :func:`_query_sum_f64_fused`; scale 2^-150)."""
+def _query_sum_f32_fused(col):
+    """Exact f32 SUM raws (f32 twin of :func:`_query_sum_f64_fused`;
+    scale 2^-150)."""
     from .kernels import falp as kfalp
     plan = col.plan()
     total_int = 0
@@ -332,7 +358,7 @@ def _query_sum_f32_fused(col) -> float:
             pinf -= pad_count
         else:
             ninf -= pad_count
-    return _finish_sum(total_int, nan_c, pinf, ninf, 150)
+    return total_int, nan_c, pinf, ninf
 
 
 def _exact_sum_ints(col, plan, outs):
@@ -715,13 +741,35 @@ def query_topk(col, k: int, largest: bool = True) -> np.ndarray:
 def query_histogram(col, edges) -> np.ndarray:
     """GROUP-BY-bin COUNT over the compressed column on device,
     ``np.histogram``-compatible: ``len(edges) - 1`` bins
-    ``[edges[i], edges[i+1])`` with the last bin closed.  Binning runs
-    as one searchsorted + segment-sum over exact total-order keys per
-    bucket (bounds rounded to the column dtype, ±0 canonicalized), so
-    an E-bin histogram costs one scan — not E filter passes."""
+    ``[edges[i], edges[i+1])`` with the last bin closed (bounds rounded
+    to the column dtype, ±0 canonicalized).
+
+    Bins come from PREFIX COUNTS through the fused predicate-pushdown
+    kernels: one fused scan per edge (each at full pushdown speed, no
+    decoded-plane traffic), differenced host-side — integer total-order
+    keys make "< edge" exactly "<= key(edge) - 1".  For many edges the
+    one-scan searchsorted + segment-sum path wins instead; the
+    crossover is ~2 orders of magnitude above typical bin counts."""
     edges = [float(e) for e in edges]
     if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
         raise ValueError("edges must be >= 2 strictly increasing values")
+    if len(edges) <= 64:
+        kt = np.uint64 if col.dtype == np.float64 else np.uint32
+        keys = [kt(_float_key(e, col.dtype)) for e in edges]
+        # prefix P_i = COUNT(key < key(e_i)); last bin closes with
+        # P_le = COUNT(key <= key(e_last))
+        p = [_filter_count_keys(col, kt(0), kt(int(k) - 1))
+             for k in keys]
+        p_le = _filter_count_keys(col, kt(0), keys[-1])
+        out = np.diff(np.array(p, np.int64))
+        out[-1] += p_le - p[-1]
+        return out
+    return _query_histogram_scan(col, edges)
+
+
+def _query_histogram_scan(col, edges) -> np.ndarray:
+    """One-scan histogram: searchsorted + segment-sum over exact
+    total-order keys of the decoded planes (for large edge counts)."""
     E = len(edges)
     kt = np.uint64 if col.dtype == np.float64 else np.uint32
     keys_e = np.array([_float_key(e, col.dtype) for e in edges], kt)
@@ -785,11 +833,16 @@ def query_filter_count(col, lo: float, hi: float) -> int:
     Bound semantics: ``lo``/``hi`` are rounded to the column dtype
     before comparing (an f32 column compares against ``f32(lo)``), and
     ±0.0 compare equal (keys canonicalize -0.0 to +0.0)."""
+    kt = np.uint64 if col.dtype == np.float64 else np.uint32
+    return _filter_count_keys(col, kt(_float_key(lo, col.dtype)),
+                              kt(_float_key(hi, col.dtype)))
+
+
+def _filter_count_keys(col, klo, khi) -> int:
+    """Fused-pushdown COUNT of values whose total-order key lies in
+    [klo, khi] (integer keys; query_filter_count's engine)."""
     from .kernels import falp as kfalp
     plan = col.plan()
-    kt = np.uint64 if col.dtype == np.float64 else np.uint32
-    klo = kt(_float_key(lo, col.dtype))
-    khi = kt(_float_key(hi, col.dtype))
     fusable = ("mid", "gen", "const", "small", "mid64", "midc96")
     total = 0
     dev_total = None                    # device accumulator, one fetch

@@ -129,3 +129,30 @@ def sharded_filter_count_f64(mesh: Mesh, bw: int, variant: str = "gen",
     specs = (P("rg"),) * (1 + n_meta + 4)
     return jax.jit(shard_map(local, mesh=mesh, in_specs=specs,
                              out_specs=P(), check_rep=False))
+
+
+def sharded_exact_sum_f64(mesh: Mesh, bw: int, variant: str = "gen",
+                          flags: int = 0):
+    """Mesh-sharded EXACT SUM partials: each device runs the fused
+    decode + superaccumulator kernel
+    (kernels.falp.falp_decode_f64_variant_exact_sum) on its shard of
+    tile groups and the [16] i64 window totals combine with ONE
+    ``psum`` over ICI.  Integer window partials are exactly additive,
+    so the distributed sum stays bit-identical to the single-device
+    result — a correctly-rounded SUM that scales with chips.  Returns
+    a jitted callable over the bucket's packed tiles + metadata planes
+    (sharded over ``rg``) yielding the replicated [16] i64 totals
+    (engine's window combine applies host-side)."""
+    from ..kernels import falp as kfalp
+
+    def local(packed, *metas):
+        rows = kfalp.falp_decode_f64_variant_exact_sum(
+            packed, tuple(metas), variant=variant, bw=bw, flags=flags)
+        return jax.lax.psum(
+            rows.astype(jnp.int64).sum(axis=(0, 2)), "rg")
+
+    n_meta = {"gen": 6, "mid": 5, "small": 5, "mid64": 5,
+              "midc96": 6}[variant]
+    specs = (P("rg"),) * (1 + n_meta)
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=specs,
+                             out_specs=P(), check_rep=False))

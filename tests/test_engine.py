@@ -428,6 +428,39 @@ def test_histogram():
         engine.query_histogram(cc, [1.0, 1.0])
 
 
+def test_histogram_scan_path_matches_fused():
+    """The >64-edge one-scan path and the fused prefix-count path bin
+    identically."""
+    rng = np.random.default_rng(57)
+    d = np.round(rng.normal(0, 30, 3000), 2)
+    cc = container.compress(d)
+    edges = list(np.linspace(-90, 90, 10))
+    fused = engine.query_histogram(cc, edges)
+    scan = engine._query_histogram_scan(cc, [float(e) for e in edges])
+    np.testing.assert_array_equal(fused, scan)
+    want, _ = np.histogram(d, bins=np.array(edges))
+    np.testing.assert_array_equal(fused, want)
+
+
+def test_mean_correctly_rounded():
+    """query_mean rounds the exact rational sum/n once."""
+    import math
+    from fractions import Fraction
+    rng = np.random.default_rng(58)
+    d = np.round(rng.uniform(-10, 10, 5000), 2)
+    cc = container.compress(d)
+    got = engine.query_mean(cc)
+    exact = sum(Fraction(x) for x in map(float, d)) / len(d)
+    assert got == float(exact)
+    # f32 path and NaN propagation
+    f32 = np.round(rng.uniform(0, 9, 1500), 1).astype(np.float32)
+    cc32 = container.compress(f32)
+    exact32 = sum(Fraction(float(x)) for x in f32) / len(f32)
+    assert engine.query_mean(cc32) == float(exact32)
+    assert math.isnan(engine.query_mean(
+        container.compress(np.array([np.nan, 1.0]))))
+
+
 def test_make_sum_step_f32():
     """The throughput SUM step handles f32 plans (dtype dispatch)."""
     import jax.numpy as jnp

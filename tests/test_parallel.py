@@ -199,3 +199,27 @@ def test_sharded_filter_count_matches_single_device():
             bw=g.bw, flags=g.flags)
     assert got == int(np.asarray(cnt).sum())
     assert want >= 0   # engine count sanity on the same column
+
+
+def test_sharded_exact_sum_matches_single_device():
+    """Mesh-sharded exact-SUM window partials (one ICI psum) equal the
+    unsharded kernel's totals — the distributed correctly-rounded SUM."""
+    import jax.numpy as jnp
+    from alp_tpu import container, engine
+    from alp_tpu.parallel import make_mesh
+    from alp_tpu.parallel.sharded import sharded_exact_sum_f64
+    from alp_tpu.kernels import falp as kfalp
+    rng = np.random.default_rng(59)
+    d = np.round(rng.normal(40, 20, 64 * 1024), 2)   # 8 tile groups
+    cc = container.compress(d)
+    [g] = [g for g in cc.plan().groups if g.variant != "const"]
+    args = engine.kdecode.group_arrays(g)
+    if args[1].shape[0] % 8:
+        import pytest
+        pytest.skip("bucket groups not divisible by mesh")
+    fn = sharded_exact_sum_f64(make_mesh(8), g.bw, g.variant, g.flags)
+    got = np.asarray(fn(args[0], *args[1:]))
+    want = np.asarray(kfalp.falp_decode_f64_variant_exact_sum(
+        args[0], tuple(args[1:]), variant=g.variant, bw=g.bw,
+        flags=g.flags).astype(jnp.int64).sum(axis=(0, 2)))
+    np.testing.assert_array_equal(got, want)
