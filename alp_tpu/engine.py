@@ -17,6 +17,8 @@ the trailing pad lanes of the last group before reducing.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,15 +149,7 @@ def _exception_sum_correction(col, g):
     Returns (total_int delta, nan, pinf, ninf deltas)."""
     if g.exc_g is None or not g.exc_g.shape[0]:
         return 0, 0, 0, 0
-    exc_g = np.asarray(g.exc_g)
-    exc_slot = np.asarray(g.exc_slot)
-    exc_lane = np.asarray(g.exc_lane)
-    true_bits = ((np.asarray(g.exc_hi, np.uint64) << np.uint64(32))
-                 | np.asarray(g.exc_lo, np.uint64))
-    r = exc_g * 8 + exc_lane // 16
-    vec_ids = g.vec_indices[r]
-    positions = exc_slot * 16 + exc_lane % 16
-    dec_bits = _decode_positions(col, vec_ids, positions)
+    true_bits, dec_bits = _group_exception_bits(col, g)
     ti = 0
     cls_c = [0, 0, 0, 0]
     for tb, db in zip(true_bits, dec_bits):
@@ -267,14 +261,7 @@ def _exception_sum_correction32(col, g):
     """f32 twin of :func:`_exception_sum_correction`."""
     if g.exc_g is None or not g.exc_g.shape[0]:
         return 0, 0, 0, 0
-    exc_g = np.asarray(g.exc_g)
-    exc_slot = np.asarray(g.exc_slot)
-    exc_lane = np.asarray(g.exc_lane)
-    true_bits = np.asarray(g.exc_lo, np.uint32)
-    r = exc_g * 4 + exc_lane // 32
-    vec_ids = g.vec_indices[r]
-    positions = exc_slot * 32 + exc_lane % 32
-    dec_bits = _decode_positions(col, vec_ids, positions)
+    true_bits, dec_bits = _group_exception_bits(col, g)
     ti = 0
     cls_c = [0, 0, 0, 0]
     for tb, db in zip(true_bits, dec_bits):
@@ -754,17 +741,109 @@ def query_histogram(col, edges) -> np.ndarray:
     if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
         raise ValueError("edges must be >= 2 strictly increasing values")
     if len(edges) <= 64:
-        kt = np.uint64 if col.dtype == np.float64 else np.uint32
-        keys = [kt(_float_key(e, col.dtype)) for e in edges]
-        # prefix P_i = COUNT(key < key(e_i)); last bin closes with
-        # P_le = COUNT(key <= key(e_last))
-        p = [_filter_count_keys(col, kt(0), kt(int(k) - 1))
-             for k in keys]
-        p_le = _filter_count_keys(col, kt(0), keys[-1])
-        out = np.diff(np.array(p, np.int64))
-        out[-1] += p_le - p[-1]
-        return out
+        plan = col.plan()
+        fusable = ("mid", "gen", "const", "small", "mid64", "midc96")
+        if all(g.scheme == C.SCHEME_ALP_RD or col.dtype == np.float32
+               or g.variant in fusable for g in plan.groups):
+            return _query_histogram_fused(col, plan, edges)
     return _query_histogram_scan(col, edges)
+
+
+def _query_histogram_fused(col, plan, edges) -> np.ndarray:
+    """Prefix counts through the fused pushdown kernels: ONE jitted
+    program per bucket evaluates every threshold (the per-edge kernel
+    sweep is traced together, so a bucket costs one dispatch + one [E+1]
+    fetch), then the cached exception/pad corrections apply per
+    threshold host-side."""
+    E = len(edges)
+    f32 = col.dtype == np.float32
+    kt = np.uint32 if f32 else np.uint64
+    keys = np.array([_float_key(e, col.dtype) for e in edges], kt)
+    # prefix thresholds: "< e_i" is "<= key(e_i) - 1"; the last bin
+    # closes with one extra "<= key(e_last)"
+    khis = np.concatenate([keys - kt(1), keys[-1:]])      # [E+1]
+    khis_dev = jnp.asarray(khis)
+    per = 4 if f32 else 8
+    total = None
+    for g in plan.groups:
+        args = kdecode.group_arrays(g)
+        t = _group_prefix_counts(
+            khis_dev, *args, variant=g.variant, bw=g.bw, flags=g.flags,
+            rd=g.scheme == C.SCHEME_ALP_RD,
+            lbw=(g.meta[1] if g.scheme == C.SCHEME_ALP_RD else 0),
+            f32=f32, n_mod=g.n_vectors % per)
+        total = t if total is None else total + t
+    p = np.asarray(total).astype(np.int64)
+    # host corrections per threshold (vectorised over the cached
+    # exception bit patterns; klo = 0 covers the whole lower range)
+    for i, khi in enumerate(khis):
+        c = 0
+        for g in plan.groups:
+            c += _exception_count_correction(col, g, kt(0), khi)
+        c += _partial_vector_correction(
+            col, plan, kt(0), khi,
+            ("mid", "gen", "const", "small", "mid64", "midc96"))
+        p[i] += c
+    out = np.diff(p[:E])
+    out[-1] += p[E] - p[E - 1]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "variant", "bw", "flags", "rd", "lbw", "f32", "n_mod"))
+def _group_prefix_counts(khis, *args, variant, bw, flags, rd, lbw, f32,
+                         n_mod):
+    """[E+1] i64 prefix counts of one bucket: for each threshold key,
+    the fused decode+COUNT kernel with bounds [0, khis[i]], pad-vector
+    lanes of the last group zeroed — all in ONE traced program."""
+    from .kernels import falp as kfalp
+    E1 = khis.shape[0]
+    G = args[1].shape[0] if len(args) > 1 else args[0].shape[0]
+    L = 32 if f32 else 16
+    used = n_mod or (128 // L)
+    lane_ok = jnp.arange(128) < used * L
+    zero32 = jnp.zeros((G, 128), jnp.uint32)
+    tot = jnp.zeros(E1, jnp.int64)
+    for i in range(E1):
+        khi = khis[i]
+        if f32:
+            kp = jnp.broadcast_to(khi.astype(jnp.uint32), (G, 128))
+            if rd:
+                cnt = kfalp.rd_decode_dict_f32_count(
+                    args[0], args[1], args[2:], zero32, kp,
+                    rbw=bw, lbw=lbw)
+            else:
+                tiles, base, fact, frac = args
+                cnt = kfalp.falp_decode_f32_count(
+                    tiles, base, fact, frac, zero32, kp, bw=bw)
+        else:
+            khi_hi = jnp.broadcast_to(
+                (khi >> jnp.uint64(32)).astype(jnp.uint32), (G, 128))
+            khi_lo = jnp.broadcast_to(
+                (khi & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                (G, 128))
+            bounds = (zero32, zero32, khi_hi, khi_lo)
+            if rd:
+                cnt = kfalp.rd_decode_dict_f64_count(
+                    args[0], args[1], args[2:], bounds, rbw=bw, lbw=lbw)
+            elif variant == "const":
+                hi_p, lo_p = args
+                key = _key_from_limbs(hi_p, lo_p)
+                khi64 = ((khi_hi.astype(jnp.uint64) << jnp.uint64(32))
+                         | khi_lo.astype(jnp.uint64))
+                cnt = (key <= khi64).astype(jnp.int32) * jnp.int32(64)
+            elif variant == "gen":
+                tiles, bl, bh, flo, fhi, frl, frh = args
+                cnt = kfalp.falp_decode_f64_count(
+                    tiles, bl, bh, flo, fhi, frl, frh, *bounds,
+                    bw=bw, fact1=bool(flags & 16))
+            else:
+                cnt = kfalp.falp_decode_f64_variant_count(
+                    args[0], tuple(args[1:]), bounds, variant=variant,
+                    bw=bw, flags=flags)
+        cnt = cnt.at[-1].set(jnp.where(lane_ok, cnt[-1], jnp.int32(0)))
+        tot = tot.at[i].set(cnt.sum(dtype=jnp.int64))
+    return tot
 
 
 def _query_histogram_scan(col, edges) -> np.ndarray:
@@ -981,25 +1060,51 @@ def _unpack_at(words_flat, bw: int, pos: int, eb: int) -> int:
 
 def _decode_positions(col, vec_ids: np.ndarray,
                       positions: np.ndarray) -> np.ndarray:
-    """Decoded (pre-exception-patch) f64 bits at specific positions of
+    """Decoded (pre-exception-patch) value bits at specific positions of
     specific vectors, straight from the stored format: unpack the FFOR
     delta at the position and decode with the vector's (fac, exp) —
-    exact host doubles (decoder.hpp:128-131)."""
+    exact host floats (decoder.hpp:128-131).  Vectorised over the
+    positions (Python touches only the unique vectors' payload views)."""
     from .constants import constants_for
     tc = constants_for(col.dtype)
     f64 = np.dtype(col.dtype) == np.float64
     eb = 64 if f64 else 32
-    wt = np.uint64 if f64 else np.uint32
-    out = np.empty(len(vec_ids), wt)
-    for i, (v, pos) in enumerate(zip(vec_ids, positions)):
-        delta = _unpack_at(col.packed[v].view(wt), int(col.bit_width[v]),
-                           pos, eb)
-        n = tc.st.type(col.base[v]) + tc.ut.type(delta).astype(tc.st)
-        with np.errstate(over="ignore"):
-            m = n * tc.fact_arr[col.fac[v]]
-        d = m.astype(col.dtype) * tc.frac_arr[col.exp[v]]
-        out[i] = np.dtype(col.dtype).type(d).view(wt)
-    return out
+    wt = np.dtype(np.uint64 if f64 else np.uint32)
+    L = 1024 // eb
+    vec_ids = np.asarray(vec_ids, np.int64)
+    positions = np.asarray(positions, np.int64)
+    uniq, inv = np.unique(vec_ids, return_inverse=True)
+    packs = [col.packed[int(v)].view(wt) for v in uniq]
+    sizes = np.array([p.size for p in packs], np.int64)
+    word_off = np.zeros(len(uniq) + 1, np.int64)
+    np.cumsum(sizes, out=word_off[1:])
+    flat = (np.concatenate(packs) if packs else np.empty(0, wt))
+    if flat.size == 0:
+        flat = np.zeros(1, wt)                 # all-bw-0 guard
+    bw = col.bit_width[vec_ids].astype(np.int64)
+    lane = positions % L
+    slot = positions // L
+    off = slot * bw
+    w0, s0 = off // eb, off % eb
+    base_w = word_off[inv]
+    clamp = flat.size - 1
+    ia = np.minimum(base_w + w0 * L + lane, clamp)
+    need2 = s0 + bw > eb
+    ib = np.minimum(base_w + np.where(need2, w0 + 1, w0) * L + lane,
+                    clamp)
+    delta = flat[ia] >> s0.astype(wt)
+    sh2 = np.where(need2, eb - s0, 0).astype(wt)
+    delta = delta | np.where(need2, flat[ib] << sh2, wt.type(0))
+    mask = np.where(bw >= eb, ~wt.type(0),
+                    (wt.type(1) << np.minimum(bw, eb - 1).astype(wt))
+                    - wt.type(1))
+    delta = np.where(bw > 0, delta & mask, wt.type(0))
+    with np.errstate(over="ignore"):
+        n = (col.base[vec_ids].astype(tc.st)
+             + delta.astype(tc.ut, copy=False).view(tc.st))
+        m = n * tc.fact_arr[col.fac[vec_ids]]
+    d = m.astype(col.dtype) * tc.frac_arr[col.exp[vec_ids]]
+    return d.astype(col.dtype).view(wt)
 
 
 def _rd_bits_at(col, v: int, pos: int, left: int | None = None) -> int:
@@ -1021,12 +1126,14 @@ def _rd_bits_at(col, v: int, pos: int, left: int | None = None) -> int:
     return (left << rbw) | right
 
 
-def _exception_count_correction(col, g, klo, khi) -> int:
-    """Exact fused-count correction for a group's exceptions: the kernel
-    counted the PATCHED slot value (the vector's fill), so add
-    pred(true stored value) - pred(decoded slot value) per exception."""
-    if g.exc_g is None or not g.exc_g.shape[0]:
-        return 0
+def _group_exception_bits(col, g):
+    """(true stored bits, kernel-decoded slot bits) of a group's
+    exceptions, computed ONCE and cached on the group — the corrections
+    for every subsequent query (filter/histogram prefix scans/SUM) are
+    then vectorised predicate/contribution evaluations."""
+    cached = getattr(g, "_exc_bits_cache", None)
+    if cached is not None:
+        return cached
     exc_g = np.asarray(g.exc_g)
     exc_slot = np.asarray(g.exc_slot)
     exc_lane = np.asarray(g.exc_lane)
@@ -1047,6 +1154,17 @@ def _exception_count_correction(col, g, klo, khi) -> int:
             true_bits.dtype, count=len(vec_ids))
     else:
         dec_bits = _decode_positions(col, vec_ids, positions)
+    g._exc_bits_cache = (true_bits, dec_bits)
+    return g._exc_bits_cache
+
+
+def _exception_count_correction(col, g, klo, khi) -> int:
+    """Exact fused-count correction for a group's exceptions: the kernel
+    counted the PATCHED slot value (the vector's fill), so add
+    pred(true stored value) - pred(decoded slot value) per exception."""
+    if g.exc_g is None or not g.exc_g.shape[0]:
+        return 0
+    true_bits, dec_bits = _group_exception_bits(col, g)
     return int(_pred_key(true_bits, klo, khi).sum()
                - _pred_key(dec_bits, klo, khi).sum())
 
