@@ -333,13 +333,12 @@ def _compress(data: np.ndarray) -> CompressedColumn:
 
     # --- planning: per-rowgroup sampling & scheme/candidate selection -----
     nat = None
-    if data.dtype == np.float64:
-        try:
-            from . import native as _nat
-            _nat.build()
-            nat = _nat
-        except Exception:
-            nat = None
+    try:
+        from . import native as _nat
+        _nat.build()
+        nat = _nat
+    except Exception:
+        nat = None
 
     flat = vectors.reshape(-1)
     rg_scheme = np.zeros(n_rg, np.uint8)
@@ -348,7 +347,10 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     rd_states = {}
     if nat is not None:
         # whole-column planning in one native call (OpenMP over rowgroups)
-        schemes, combos_rg, k_rg = nat.init_f64_multi(flat, n_rg)
+        if data.dtype == np.float64:
+            schemes, combos_rg, k_rg = nat.init_f64_multi(flat, n_rg)
+        else:
+            schemes, combos_rg, k_rg = nat.init_f32_multi(flat, n_rg)
         for rg in range(n_rg):
             lo_v = rg * C.N_VECTORS_PER_ROWGROUP
             hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
@@ -395,7 +397,7 @@ def _compress(data: np.ndarray) -> CompressedColumn:
     rd_idx = np.nonzero(rg_scheme[vec_rg] == C.SCHEME_ALP_RD)[0]
 
     use_native = False
-    if alp_idx.size and data.dtype == np.float64:
+    if alp_idx.size:
         try:
             from . import native as nat
             nat.build()
@@ -411,8 +413,12 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         combos_rg = combos[::C.N_VECTORS_PER_ROWGROUP].astype(np.int32)
         k_rg = np.maximum(k_count[::C.N_VECTORS_PER_ROWGROUP], 1).astype(
             np.int32)
-        res = nat.encode_f64_multi(vectors, combos_rg, k_rg,
-                                   C.N_VECTORS_PER_ROWGROUP)
+        if data.dtype == np.float64:
+            res = nat.encode_f64_multi(vectors, combos_rg, k_rg,
+                                       C.N_VECTORS_PER_ROWGROUP)
+        else:
+            res = nat.encode_f32_multi(vectors, combos_rg, k_rg,
+                                       C.N_VECTORS_PER_ROWGROUP)
         encoded = res["encoded"]
         fac[alp_idx] = res["fac"][alp_idx]
         exp[alp_idx] = res["exp"][alp_idx]
@@ -433,7 +439,10 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         # (RD vectors pack at bw 0 here and are overwritten below)
         bw_pack = bit_width.copy()
         bw_pack[rd_idx] = 0
-        flat_pk, off = nat.ffor_ragged(encoded, bw_pack, base)
+        if data.dtype == np.float64:
+            flat_pk, off = nat.ffor_ragged(encoded, bw_pack, base)
+        else:
+            flat_pk, off = nat.ffor_ragged32(encoded, bw_pack, base)
         for v in alp_idx:
             packed[v] = flat_pk[off[v]:off[v + 1]]
     elif alp_idx.size:
@@ -547,24 +556,36 @@ def _decompress(col: CompressedColumn) -> np.ndarray:
         nat = None
 
     alp_idx = np.nonzero(scheme == C.SCHEME_ALP)[0]
-    if alp_idx.size and nat is not None and col.dtype == np.float64:
+    if alp_idx.size and nat is not None:
         # native fused falp decode, mixed bit widths in one call,
         # straight into the output buffer; exceptions patched with one
         # vectorised scatter (decoder::patch_exceptions analog)
+        f64 = col.dtype == np.float64
+        L = 16 if f64 else 32
         packed_flat = np.concatenate(
             [col.packed[v] for v in alp_idx] or
-            [np.empty(0, np.uint64)]).astype(np.uint64, copy=False)
-        sizes = col.bit_width[alp_idx].astype(np.int64) * 16
+            [np.empty(0, tc.ut)]).astype(tc.ut, copy=False)
+        sizes = col.bit_width[alp_idx].astype(np.int64) * L
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(
             np.int32)
         full = alp_idx.size == n_vec
         dest = out if full else np.empty((len(alp_idx), C.VECTOR_SIZE),
                                          col.dtype)
-        nat.falp_f64(
-            packed_flat, offsets, col.bit_width[alp_idx],
-            col.base[alp_idx].astype(np.int64),
-            tc.fact_arr[col.fac[alp_idx]],
-            tc.frac_arr[col.exp[alp_idx]], out=dest)
+        # the float FACT table is only MAX_EXPONENT long (reference OOB
+        # quirk); a stored fac index can never exceed it for values
+        # that round-tripped, but guard the table read anyway
+        facts = tc.fact_arr[np.minimum(col.fac[alp_idx],
+                                       len(tc.fact_arr) - 1)]
+        if f64:
+            nat.falp_f64(
+                packed_flat, offsets, col.bit_width[alp_idx],
+                col.base[alp_idx].astype(np.int64), facts,
+                tc.frac_arr[col.exp[alp_idx]], out=dest)
+        else:
+            nat.falp_f32(
+                packed_flat, offsets, col.bit_width[alp_idx],
+                col.base[alp_idx].astype(np.int32), facts,
+                tc.frac_arr[col.exp[alp_idx]], out=dest)
         exc_vecs = alp_idx[col.exc_count[alp_idx] > 0]
         if exc_vecs.size:
             rows = exc_vecs if full else np.searchsorted(alp_idx, exc_vecs)

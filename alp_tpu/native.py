@@ -30,6 +30,7 @@ class NativeUnavailable(RuntimeError):
 
 _lib = None
 _clib = None
+_built: dict = {}
 
 
 def _build_lib(src: pathlib.Path, name: str,
@@ -46,6 +47,11 @@ def _build_lib(src: pathlib.Path, name: str,
     the cache key includes the flags AND the machine, so artifact
     directories shared between machines stay safe.
     """
+    # memoised per process: the hash inputs (source bytes, gcc target
+    # probe subprocess, cpuinfo) cost ~10 ms — far too much to re-run
+    # on every compress/decompress call
+    if not force and (str(src), name) in _built:
+        return _built[(str(src), name)]
     cmd_flags = ["-O3", "-march=native", "-ffp-contract=off", "-fopenmp"]
     # key on the ACTUAL instruction-set capability (-march=native output
     # depends on it): gcc's resolved -march plus the kernel's cpuinfo
@@ -67,6 +73,7 @@ def _build_lib(src: pathlib.Path, name: str,
         + march.encode() + flags.encode()).hexdigest()[:16]
     lib_file = _CACHE_DIR / f"lib{name}-{digest}.so"
     if lib_file.exists() and not force:
+        _built[(str(src), name)] = lib_file
         return lib_file
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tmp = lib_file.with_suffix(".so.tmp")
@@ -77,6 +84,7 @@ def _build_lib(src: pathlib.Path, name: str,
         os.replace(tmp, lib_file)
     except (OSError, subprocess.CalledProcessError) as e:
         raise NativeUnavailable(f"failed to build {name}: {e}") from e
+    _built[(str(src), name)] = lib_file
     return lib_file
 
 
@@ -346,6 +354,107 @@ def ffor_ragged(encoded: np.ndarray, bw: np.ndarray, base: np.ndarray):
         _ptr(np.ascontiguousarray(base).view(np.uint64), ctypes.c_uint64),
         _ptr(off, ctypes.c_int64), ctypes.c_long(n))
     return flat, off
+
+
+def encode_f32_multi(vectors: np.ndarray, combos_rg: np.ndarray,
+                     k_rg: np.ndarray,
+                     vectors_per_rg: int = 100):
+    """Whole-column ALP float encode (the f32 twin of
+    :func:`encode_f64_multi`; float reference semantics incl. the
+    FACT_ARR OOB quirk and INT32_MIN safe-encode fallback)."""
+    from . import constants as C
+    tc = C.FLOAT
+    n = vectors.shape[0]
+    max_k = combos_rg.shape[1]
+    fac = np.empty(n, np.uint8)
+    exp = np.empty(n, np.uint8)
+    bw = np.empty(n, np.uint8)
+    base = np.empty(n, np.int32)
+    encoded = np.empty((n, 1024), np.int32)
+    exc_values = np.empty((n, 1024), np.float32)
+    exc_positions = np.empty((n, 1024), np.uint16)
+    exc_count = np.empty(n, np.uint16)
+    enc_max = np.empty(n, np.uint64)
+    lib().alp_encode_f32_multi(
+        _ptr(np.ascontiguousarray(vectors, np.float32), ctypes.c_float),
+        ctypes.c_long(n),
+        _ptr(np.ascontiguousarray(combos_rg), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(k_rg), ctypes.c_int32),
+        int(max_k), int(vectors_per_rg),
+        _ptr(tc.exp_arr, ctypes.c_float), _ptr(tc.frac_arr, ctypes.c_float),
+        _ptr(tc.fact_arr, ctypes.c_int32), int(len(tc.fact_arr)),
+        ctypes.c_float(tc.magic_number),
+        ctypes.c_float(tc.encoding_upper_limit_pt),
+        _ptr(fac, ctypes.c_uint8), _ptr(exp, ctypes.c_uint8),
+        _ptr(bw, ctypes.c_uint8), _ptr(base, ctypes.c_int32),
+        _ptr(encoded, ctypes.c_int32), _ptr(exc_values, ctypes.c_float),
+        _ptr(exc_positions, ctypes.c_uint16),
+        _ptr(exc_count, ctypes.c_uint16),
+        _ptr(enc_max, ctypes.c_uint64))
+    return {"fac": fac, "exp": exp, "bit_width": bw, "base": base,
+            "encoded": encoded, "exc_values": exc_values,
+            "exc_positions": exc_positions, "exc_count": exc_count,
+            "enc_max": enc_max}
+
+
+def ffor_ragged32(encoded: np.ndarray, bw: np.ndarray, base: np.ndarray):
+    """Whole-column ragged FFOR pack, u32 lanes (f32 twin of
+    :func:`ffor_ragged`; per-vector word size = bw * 32)."""
+    n = encoded.shape[0]
+    bw = np.ascontiguousarray(bw, np.uint8)
+    sizes = bw.astype(np.int64) * 32
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    flat = np.empty(int(off[-1]), np.uint32)
+    lib().alp_ffor_ragged_u32(
+        _ptr(np.ascontiguousarray(encoded).view(np.uint32),
+             ctypes.c_uint32),
+        _ptr(flat, ctypes.c_uint32), _ptr(bw, ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(base).view(np.uint32), ctypes.c_uint32),
+        _ptr(off, ctypes.c_int64), ctypes.c_long(n))
+    return flat, off
+
+
+def init_f32_multi(data: np.ndarray, n_rg: int):
+    """Whole-column float rowgroup planning (f32 twin of
+    :func:`init_f64_multi`)."""
+    from . import constants as C
+    tc = C.FLOAT
+    schemes = np.empty(n_rg, np.int32)
+    combos = np.zeros((n_rg, C.MAX_K_COMBINATIONS, 2), np.int32)
+    k = np.zeros(n_rg, np.int32)
+    lib().alp_init_f32_multi(
+        _ptr(np.ascontiguousarray(data, np.float32), ctypes.c_float),
+        ctypes.c_long(len(data)), ctypes.c_long(n_rg),
+        int(C.N_VECTORS_PER_ROWGROUP), int(C.MAX_K_COMBINATIONS),
+        _ptr(tc.exp_arr, ctypes.c_float), _ptr(tc.frac_arr, ctypes.c_float),
+        _ptr(tc.fact_arr, ctypes.c_int32), int(len(tc.fact_arr)),
+        ctypes.c_float(tc.magic_number),
+        ctypes.c_float(tc.encoding_upper_limit_pt),
+        int(tc.max_exponent), ctypes.c_long(int(tc.rd_size_threshold_limit)),
+        _ptr(schemes, ctypes.c_int32), _ptr(combos, ctypes.c_int32),
+        _ptr(k, ctypes.c_int32))
+    return schemes, combos, k
+
+
+def falp_f32(packed_flat: np.ndarray, offsets: np.ndarray, bws: np.ndarray,
+             bases: np.ndarray, facts: np.ndarray,
+             fracs: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """Fused float decode of n vectors with per-vector metadata (f32
+    twin of :func:`falp_f64`)."""
+    n = len(bws)
+    if out is None:
+        out = np.empty((n, 1024), np.float32)
+    assert out.shape == (n, 1024) and out.flags.c_contiguous
+    lib().alp_falp_f32(
+        _ptr(np.ascontiguousarray(packed_flat), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(offsets), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(bws), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(bases), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(facts), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(fracs), ctypes.c_float),
+        _ptr(out, ctypes.c_float), n)
+    return out
 
 
 def init_f64_multi(data: np.ndarray, n_rg: int):

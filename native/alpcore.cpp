@@ -580,6 +580,302 @@ void alp_init_f64_multi(const double* data, long data_size, long n_rg,
 
 }  // extern "C"
 
+// ---------------------------------------------------------------------
+// float32 encode engine (the float instantiation of encoder.hpp:241-418;
+// mirrors the f64 functions above with float arithmetic and the
+// reference's float quirks: the out-of-range ENCODING limits compare as
+// DOUBLE, the fallback cast of ENCODING_UPPER_LIMIT to int32 is
+// INT32_MIN, and FACT_ARR has only fact_len entries so factor ==
+// fact_len reads out of bounds in the reference — modeled as NaN
+// (never round-trips), exactly like alp_tpu.oracle.core.decode_value.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct EncCtx32 {
+  const float* exp_arr;     // 10^i
+  const float* frac_arr;    // 10^-i
+  const int32_t* fact_arr;  // 10^i
+  int fact_len;
+  float magic;              // 2^23 + 2^22
+  float upper_pt;           // float(ENCODING_UPPER_LIMIT)
+};
+
+inline int32_t encode_value32(float v, int f, int e, const EncCtx32& c) {
+  float tmp = v * c.exp_arr[e] * c.frac_arr[f];
+  tmp = tmp + c.magic - c.magic;
+  // cvttss2si semantics, branchless (float compares; NaN -> false)
+  const bool in_range = tmp >= -2147483648.0f && tmp < 2147483648.0f;
+  const int32_t cast = int32_t(in_range ? tmp : 0.0f);
+  return in_range ? cast : INT32_MIN;
+}
+
+inline float decode_value32(int32_t n, int f, int e, const EncCtx32& c) {
+  if (f >= c.fact_len) return NAN;  // reference OOB factor read, modeled
+  return float(int32_t(uint32_t(n) * uint32_t(c.fact_arr[f]))) *
+         c.frac_arr[e];
+}
+
+inline bool is_special32(float v) {
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  return ((bits & 0x7FFFFFFFu) >= 0x7F800000u) || bits == 0x80000000u;
+}
+
+// SAFE=true encode for the (e, f) search: the range guard compares the
+// scaled value as DOUBLE against the int64 ENCODING limits (the C++
+// reference promotes; encoder.hpp:82-89 float instantiation), and the
+// fallback ENCODING_UPPER_LIMIT cast to int32 is INT32_MIN.
+inline int32_t encode_value32_safe(float v, int f, int e,
+                                   const EncCtx32& c) {
+  const double tmp = double(v * c.exp_arr[e] * c.frac_arr[f]);
+  if (!std::isfinite(tmp) || tmp > 9223372036854774784.0 ||
+      tmp < -9223372036854774784.0 ||
+      (tmp == 0.0 && std::signbit(tmp))) {
+    return INT32_MIN;
+  }
+  return encode_value32(v, f, e, c);
+}
+
+inline void encode_vector32(const float* data, long vi,
+                            const int32_t* combos, int k,
+                            const EncCtx32& ctx,
+                            uint8_t* out_fac, uint8_t* out_exp,
+                            uint8_t* out_bw, int32_t* out_base,
+                            int32_t* out_encoded, float* out_exc_values,
+                            uint16_t* out_exc_positions,
+                            uint16_t* out_exc_count,
+                            uint64_t* out_encmax) {
+    const float* vec = data + size_t(vi) * kVec;
+    // --- second-level choice (encoder.hpp:241-305) -------------------
+    int fe = combos[0], ff = combos[1];
+    if (k > 1) {
+      int found_e = 0, found_f = 0;
+      long best = 0;
+      int worse = 0;
+      for (int ki = 0; ki < k; ++ki) {
+        const int e = combos[2 * ki], f = combos[2 * ki + 1];
+        int32_t mx = INT32_MIN, mn = INT32_MAX;
+        int exc = 0;
+        for (int s = 0; s < kVec; s += 32) {
+          const int32_t n = encode_value32_safe(vec[s], f, e, ctx);
+          if (decode_value32(n, f, e, ctx) == vec[s]) {
+            if (n > mx) mx = n;
+            if (n < mn) mn = n;
+          } else {
+            ++exc;
+          }
+        }
+        int bits = 0;
+        {
+          uint32_t delta = uint32_t(mx) - uint32_t(mn);
+          while (delta) { ++bits; delta >>= 1; }
+        }
+        const long est = 32L * bits + exc * (32L + 16L);
+        if (ki == 0) {
+          best = est; found_e = e; found_f = f;
+        } else if (est < best) {
+          best = est; found_e = e; found_f = f; worse = 0;
+        } else if (++worse == 2) {
+          break;
+        }
+      }
+      fe = found_e; ff = found_f;
+    }
+    out_fac[vi] = uint8_t(ff);
+    out_exp[vi] = uint8_t(fe);
+
+    // --- encode_simdized (encoder.hpp:307-400) -----------------------
+    int32_t* enc = out_encoded + size_t(vi) * kVec;
+    float* excv = out_exc_values + size_t(vi) * kVec;
+    uint16_t* excp = out_exc_positions + size_t(vi) * kVec;
+    uint8_t ok[kVec];
+    const float upper = ctx.upper_pt;
+#pragma omp simd
+    for (int j = 0; j < kVec; ++j) {
+      const float v = vec[j];
+      const float vr = is_special32(v) ? upper : v;
+      const int32_t n = encode_value32(vr, ff, fe, ctx);
+      enc[j] = n;
+      ok[j] = decode_value32(n, ff, fe, ctx) == vr;
+    }
+    int n_exc = 0;
+    int32_t first_ok = 0;
+    bool any_ok = false;
+    for (int j = 0; j < kVec; ++j) {
+      if (!ok[j]) {
+        excv[n_exc] = vec[j];
+        excp[n_exc] = uint16_t(j);
+        ++n_exc;
+      } else if (!any_ok) {
+        first_ok = enc[j];
+        any_ok = true;
+      }
+    }
+    for (int x = 0; x < n_exc; ++x) enc[excp[x]] = first_ok;
+    out_exc_count[vi] = uint16_t(n_exc);
+
+    // --- analyze_ffor (encoder.hpp:109-120) --------------------------
+    int32_t mx = enc[0], mn = enc[0];
+#pragma omp simd reduction(max:mx) reduction(min:mn)
+    for (int j = 1; j < kVec; ++j) {
+      if (enc[j] > mx) mx = enc[j];
+      if (enc[j] < mn) mn = enc[j];
+    }
+    uint32_t delta = uint32_t(mx) - uint32_t(mn);
+    if (out_encmax) out_encmax[vi] = delta;
+    int bits = 0;
+    while (delta) { ++bits; delta >>= 1; }
+    out_bw[vi] = uint8_t(bits);
+    out_base[vi] = mn;
+}
+
+// Rowgroup planning, float (sampler.hpp + encoder.hpp:139-235 float
+// instantiation; same structure as alp_init_f64 with the f32 cost
+// model: exception cost 32+16 bits, FACT OOB quirk in the decode).
+int alp_init_f32_one(const float* data, long data_size, long offset,
+                     const EncCtx32& ctx, int max_exponent,
+                     long rd_threshold, int32_t* out_combos,
+                     int32_t* out_k) {
+  constexpr int kRowgroupSize = 100 * kVec;
+  constexpr int kSamplesPerVec = 32;
+  constexpr int kRowgroupSamples = 8;
+  float sample[kRowgroupSamples * 2 * kSamplesPerVec];
+  int n_sample = 0;
+  {
+    const long left = data_size - offset;
+    const long portion = left < kRowgroupSize ? left : kRowgroupSize;
+    const long avail_vec = (portion + kVec - 1) / kVec;
+    long idx = offset;
+    for (long vi = 0; vi < avail_vec; ++vi) {
+      const long cur = (data_size - idx) < kVec ? (data_size - idx) : kVec;
+      if (vi % (100 / kRowgroupSamples) != 0) { idx += cur; continue; }
+      const long inc =
+          (cur + kSamplesPerVec - 1) / kSamplesPerVec > 0
+              ? (cur + kSamplesPerVec - 1) / kSamplesPerVec : 1;
+      if (cur < kSamplesPerVec && n_sample > 0) { idx += cur; continue; }
+      for (long j = 0; j < cur; j += inc) sample[n_sample++] = data[idx + j];
+      idx += cur;
+    }
+  }
+  const int ss = n_sample < kSamplesPerVec ? n_sample : kSamplesPerVec;
+  const int n_vec = ss ? (n_sample + ss - 1) / ss : 0;
+  const long worst = ss * (32L + 16L) + ss * 32L;
+  long best_estimated = worst;
+  int counts[32][32] = {};
+  for (int vi = 0; vi < n_vec; ++vi) {
+    const float* chunk = sample + vi * ss;
+    const int cn = (vi + 1) * ss <= n_sample ? ss : (n_sample - vi * ss);
+    int found_e = 0, found_f = 0;
+    long best = worst;
+    for (int e = max_exponent; e >= 0; --e) {
+      for (int f = e; f >= 0; --f) {
+        int32_t mx = INT32_MIN, mn = INT32_MAX;
+        int non_exc = 0;
+        for (int s = 0; s < cn; ++s) {
+          const float v = chunk[s];
+          const int32_t n = encode_value32_safe(v, f, e, ctx);
+          if (decode_value32(n, f, e, ctx) == v) {
+            ++non_exc;
+            if (n > mx) mx = n;
+            if (n < mn) mn = n;
+          }
+        }
+        if (non_exc < 2) continue;
+        int bits = 0;
+        uint32_t delta = uint32_t(mx) - uint32_t(mn);
+        while (delta) { ++bits; delta >>= 1; }
+        const long est = long(ss) * bits + (ss - non_exc) * (32L + 16L);
+        if (est < best || (est == best && found_e < e) ||
+            (est == best && found_e == e && found_f < f)) {
+          best = est; found_e = e; found_f = f;
+          if (best < best_estimated) best_estimated = best;
+        }
+      }
+    }
+    ++counts[found_e][found_f];
+  }
+  if (best_estimated >= rd_threshold) return 1;  // SCHEME_ALP_RD
+  int k = 0;
+  for (int rank = 0; rank < 5; ++rank) {
+    int be = -1, bf = -1, bc = 0;
+    for (int e = max_exponent; e >= 0; --e)
+      for (int f = e; f >= 0; --f)
+        if (counts[e][f] > bc) { bc = counts[e][f]; be = e; bf = f; }
+    if (bc == 0) break;
+    out_combos[2 * rank] = be;
+    out_combos[2 * rank + 1] = bf;
+    counts[be][bf] = 0;
+    ++k;
+  }
+  if (k == 0) { out_combos[0] = 0; out_combos[1] = 0; k = 1; }
+  *out_k = k;
+  return 2;  // SCHEME_ALP
+}
+
+}  // namespace
+
+extern "C" {
+
+void alp_encode_f32_multi(const float* data, long n_vectors,
+                          const int32_t* combos_all, const int32_t* k_all,
+                          int max_k, int vectors_per_rg,
+                          const float* exp_arr, const float* frac_arr,
+                          const int32_t* fact_arr, int fact_len,
+                          float magic, float upper_pt,
+                          uint8_t* out_fac, uint8_t* out_exp,
+                          uint8_t* out_bw, int32_t* out_base,
+                          int32_t* out_encoded, float* out_exc_values,
+                          uint16_t* out_exc_positions,
+                          uint16_t* out_exc_count,
+                          uint64_t* out_encmax) {
+  EncCtx32 ctx{exp_arr, frac_arr, fact_arr, fact_len, magic, upper_pt};
+  #pragma omp parallel for schedule(dynamic, 16) if (n_vectors > 8)
+  for (long vi = 0; vi < n_vectors; ++vi) {
+    const long rg = vi / vectors_per_rg;
+    encode_vector32(data, vi, combos_all + rg * 2 * max_k,
+                    k_all[rg], ctx, out_fac, out_exp, out_bw, out_base,
+                    out_encoded, out_exc_values, out_exc_positions,
+                    out_exc_count, out_encmax);
+  }
+}
+
+void alp_init_f32_multi(const float* data, long data_size, long n_rg,
+                        int vectors_per_rg, int max_k,
+                        const float* exp_arr, const float* frac_arr,
+                        const int32_t* fact_arr, int fact_len,
+                        float magic, float upper_pt, int max_exponent,
+                        long rd_threshold, int32_t* out_schemes,
+                        int32_t* out_combos, int32_t* out_k) {
+  EncCtx32 ctx{exp_arr, frac_arr, fact_arr, fact_len, magic, upper_pt};
+  #pragma omp parallel for schedule(dynamic) if (n_rg > 2)
+  for (long rg = 0; rg < n_rg; ++rg) {
+    int32_t combos[10] = {};
+    int32_t k = 0;
+    out_schemes[rg] = alp_init_f32_one(
+        data, data_size, rg * long(vectors_per_rg) * kVec, ctx,
+        max_exponent, rd_threshold, combos, &k);
+    if (k > max_k) k = max_k;
+    out_k[rg] = k;
+    for (int i = 0; i < 2 * k; ++i) out_combos[rg * 2L * max_k + i] = combos[i];
+  }
+}
+
+// Whole-column ragged FFOR pack, u32 lanes (the f32 twin of
+// alp_ffor_ragged_u64; word offsets = bw * 32 per vector).
+void alp_ffor_ragged_u32(const uint32_t* in, uint32_t* out,
+                         const uint8_t* bw, const uint32_t* base,
+                         const int64_t* word_off, long n_vectors) {
+  #pragma omp parallel for schedule(dynamic, 64) if (n_vectors > 8)
+  for (long vi = 0; vi < n_vectors; ++vi) {
+    if (bw[vi] == 0) continue;
+    ffor_vec<uint32_t>(in + size_t(vi) * kVec, out + word_off[vi],
+                       bw[vi], base[vi]);
+  }
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Binary-file loader (mmap-free simple read; mirrors
