@@ -186,23 +186,64 @@ def main():
     for name in ("gorillas", "chimp", "chimp128", "patas"):
         stream, nbits = native.competitor_encode(name, data)
         native.competitor_decode(name, stream, len(data), out=scratch)
-        t0 = time.perf_counter()
-        out = native.competitor_decode(name, stream, len(data),
-                                       out=scratch)
-        t1 = time.perf_counter()
+        best = float("inf")
+        for _ in range(3):        # best-of-3: host timings share cores
+            t0 = time.perf_counter()
+            out = native.competitor_decode(name, stream, len(data),
+                                           out=scratch)
+            best = min(best, time.perf_counter() - t0)
         assert (out.view(np.uint64) == data.view(np.uint64)).all()
-        g = data.nbytes / (t1 - t0) / 1e9
+        g = data.nbytes / best / 1e9
         rows.append(("SUM-scan decode", name, "1 core", round(g, 2),
                      round(alp_gbps / g, 1)))
         print(rows[-1], flush=True)
 
-    # ---- COMPRESSION query (steady state: second full run timed) ------
-    engine.query_compression(data)
-    _, stats = engine.query_compression(data)
+    # ---- COMPRESSION query (steady state: best of 3 full runs — the
+    # host shares its cores with the terminal process) ------------------
     import multiprocessing
+    engine.query_compression(data)
+    best = float("inf")
+    for _ in range(3):
+        _, stats = engine.query_compression(data)
+        best = min(best, stats["seconds"])
     rows.append(("COMPRESSION", "ALP host engine (OpenMP)",
                  f"{multiprocessing.cpu_count()} cores",
-                 round(stats["throughput_gbps"], 2), ""))
+                 round(data.nbytes / best / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+    from alp_tpu import container as _ct
+    cch = _ct.compress(data)
+    _ct.decompress(cch)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outh = _ct.decompress(cch)
+        best = min(best, time.perf_counter() - t0)
+    assert np.array_equal(outh.view(np.uint64), data.view(np.uint64))
+    rows.append(("DECOMPRESSION", "ALP host engine (OpenMP)",
+                 f"{multiprocessing.cpu_count()} cores",
+                 round(data.nbytes / best / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+
+    # f32 host engine (native float instantiation)
+    data32 = np.tile(base, REPS // 2).astype(np.float32)   # ~100 MiB
+    from alp_tpu import container as _ct
+    cc32 = _ct.compress(data32)
+    best_c = best_d = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ct.compress(data32)
+        best_c = min(best_c, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out32 = _ct.decompress(cc32)
+        best_d = min(best_d, time.perf_counter() - t0)
+    assert np.array_equal(out32.view(np.uint32), data32.view(np.uint32))
+    rows.append(("COMPRESSION", "ALP host engine f32",
+                 f"{multiprocessing.cpu_count()} cores",
+                 round(data32.nbytes / best_c / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+    rows.append(("DECOMPRESSION", "ALP host engine f32",
+                 f"{multiprocessing.cpu_count()} cores",
+                 round(data32.nbytes / best_d / 1e9, 2), ""))
     print(rows[-1], flush=True)
     if on_tpu:
         # device e2e compression on DEVICE-RESIDENT data: synthesize
