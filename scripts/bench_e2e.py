@@ -63,7 +63,7 @@ def main():
     # fused-scan speed
     stepx, metasx = engine.make_exact_sum_step(plan)
     dtx = loop_bench(stepx, metasx, 20)
-    rows.append(("SUM (exact == math.fsum, fused)", "ALP", "1 chip",
+    rows.append(("SUM exact (== math.fsum; fused)", "ALP", "1 chip",
                  round(plan.decoded_bytes / dtx / 1e9, 2), ""))
     print(rows[-1], flush=True)
 
@@ -104,7 +104,7 @@ def main():
 
     metas_u = [a for t in arg_tuples for a in t]
     dtu = loop_bench(step_unfused, tuple(metas_u), 20)
-    rows.append(("FILTER COUNT (plane decode, no pushdown)", "ALP",
+    rows.append(("FILTER COUNT (plane decode; no pushdown)", "ALP",
                  "1 chip", round(plan.decoded_bytes / dtu / 1e9, 2), ""))
     print(rows[-1], flush=True)
 
@@ -114,8 +114,8 @@ def main():
     # same exact total-order-key semantics as MIN/MAX/FILTER
     cc.plan()                                      # stage once
     for label, q in (
-            ("TOP-K (k=10, warm)", lambda: engine.query_topk(cc, 10)),
-            ("HISTOGRAM (6 bins, warm)", lambda: engine.query_histogram(
+            ("TOP-K (k=10; warm)", lambda: engine.query_topk(cc, 10)),
+            ("HISTOGRAM (6 bins; warm)", lambda: engine.query_histogram(
                 cc, [-40.0, -15.0, 0.0, 10.0, 25.0, 45.0]))):
         q()
         t0 = time.perf_counter()
