@@ -430,10 +430,22 @@ def _compress(data: np.ndarray) -> CompressedColumn:
         for v in alp_idx:
             exc_positions[v] = empty_u16
             exc_values[v] = empty_val
-        for v in alp_idx[np.nonzero(res["exc_count"][alp_idx])[0]]:
-            cnt = int(res["exc_count"][v])
-            exc_positions[v] = res["exc_positions"][v, :cnt].copy()
-            exc_values[v] = res["exc_values"][v, :cnt].copy()
+        # vectorised ragged exception gather: one fancy-index into the
+        # [n, 1024] scratch, then zero-copy np.split views (the former
+        # per-vector .copy() loop was ~15% of host compress at 128 MiB)
+        nz = alp_idx[np.nonzero(res["exc_count"][alp_idx])[0]]
+        if nz.size:
+            cnts = res["exc_count"][nz].astype(np.int64)
+            rows = np.repeat(nz, cnts)
+            ends = np.cumsum(cnts)
+            cols = np.arange(int(ends[-1])) - np.repeat(ends - cnts, cnts)
+            pos_flat = res["exc_positions"][rows, cols]
+            val_flat = res["exc_values"][rows, cols]
+            splits = ends[:-1]
+            for v, p, w in zip(nz, np.split(pos_flat, splits),
+                               np.split(val_flat, splits)):
+                exc_positions[v] = p
+                exc_values[v] = w
         enc_max[alp_idx] = res["enc_max"][alp_idx]
         # whole-column ragged pack: one native call, zero-copy views
         # (RD vectors pack at bw 0 here and are overwritten below)

@@ -314,6 +314,19 @@ def main():
         results.append((f"falp_f32_bw{bw}", ITERS, out_gb_f / dt, "GB/s"))
         print(results[-1], flush=True)
 
+    # fused f32 decode + EXACT-SUM partials (superaccumulator epilogue)
+    packedf20 = devbits((Gf, 20, 128), seed=120)
+
+    def step_xsum32(carry, packedf20, fr32):
+        rows = kf.falp_decode_f32_exact_sum(packedf20, zf + carry, onef,
+                                            fr32, bw=20)
+        return rows[0, 0, 0].astype(jnp.uint32)
+
+    dt = loop_bench(step_xsum32, (packedf20, fr32), ITERS)
+    results.append(("falp_sum_exact_fused_f32_bw20", ITERS, out_gb_f / dt,
+                    "GB/s"))
+    print(results[-1], flush=True)
+
     # end-to-end SUM query over a real compressed column (q1 analog):
     # plan staged once, fused decode + reduction timed as one program
     from alp_tpu.kernels import decode as kdecode
