@@ -692,11 +692,91 @@ def _keys_biased(key, dtype):
                                         jnp.int32)
 
 
+def _key_words_from_limbs(hi, lo):
+    """The u64 total-order key of ``_key_from_limbs`` split into native
+    u32 words — (key >> 32, key & 0xFFFFFFFF) without ever forming the
+    emulated u64."""
+    negz = (hi == jnp.uint32(1 << 31)) & (lo == 0)
+    hb = jnp.where(negz, jnp.uint32(0), hi)
+    lb = jnp.where(negz, jnp.uint32(0), lo)
+    sign = (hb >> jnp.uint32(31)) != 0
+    return (jnp.where(sign, ~hb, hb | jnp.uint32(1 << 31)),
+            jnp.where(sign, ~lb, lb))
+
+
+def _biased_i32(u):
+    """Monotone SIGNED reinterpretation of a u32 key word (the form
+    the native lax.top_k consumes)."""
+    return jax.lax.bitcast_convert_type(u ^ jnp.uint32(1 << 31),
+                                        jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "largest"))
+def _topk_f64_program(his, los, masks, *, k: int, largest: bool):
+    """ONE traced program: per-bucket key-word build + mask + concat,
+    then exact top-k on (HI, LO) u32 word pairs using only NATIVE i32
+    ``lax.top_k`` — never emulated-i64 sorts.
+
+    Threshold scheme: h_k = k-th largest HI word.  Every element with
+    HI > h_k is in the top-k (there are m <= k-1 of them); the
+    remaining k-m winners are the largest LO words among HI == h_k.
+    Returns (h_k, m, gv[k], glo[k], tlo[k]) — the host assembles and
+    sorts <= k pairs.
+    """
+    khs, kls = [], []
+    z = jnp.uint32(0)
+    for hi, lo, mask in zip(his, los, masks):
+        kh, kl = _key_words_from_limbs(hi, lo)
+        if not largest:
+            kh, kl = ~kh, ~kl            # reversed total order
+        # pad slots get the minimal key (0, 0): can only tie an equal
+        # real key, in which case the assembled float is identical
+        khs.append(jnp.concatenate(
+            [kh[:-1].reshape(-1), jnp.where(mask, kh[-1], z).reshape(-1)]))
+        kls.append(jnp.concatenate(
+            [kl[:-1].reshape(-1), jnp.where(mask, kl[-1], z).reshape(-1)]))
+    kh = khs[0] if len(khs) == 1 else jnp.concatenate(khs)
+    kl = kls[0] if len(kls) == 1 else jnp.concatenate(kls)
+    hib = _biased_i32(kh)
+    hk = jax.lax.top_k(hib, k)[0][k - 1]
+    gt = hib > hk
+    m = gt.sum(dtype=jnp.int32)
+    neg = jnp.int32(-(2 ** 31))
+    gv, gi = jax.lax.top_k(jnp.where(gt, hib, neg), k)
+    glo = jnp.take(kl, gi)
+    tlo = jax.lax.top_k(jnp.where(hib == hk, _biased_i32(kl), neg), k)[0]
+    return hk, m, gv, glo, tlo
+
+
+@functools.partial(jax.jit, static_argnames=("k", "largest"))
+def _topk_f32_program(bits, masks, *, k: int, largest: bool):
+    """ONE traced program for the f32 single-word top-k (native i32)."""
+    parts = []
+    z = jnp.uint32(0)
+    for b, mask in zip(bits, masks):
+        vb = jnp.where(b == jnp.uint32(1 << 31), z, b)     # -0.0 -> +0.0
+        sign = (vb >> jnp.uint32(31)) != 0
+        key = jnp.where(sign, ~vb, vb | jnp.uint32(1 << 31))
+        if not largest:
+            key = ~key
+        parts.append(jnp.concatenate(
+            [key[:-1].reshape(-1),
+             jnp.where(mask, key[-1], z).reshape(-1)]))
+    flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return jax.lax.top_k(_biased_i32(flat), k)[0]
+
+
 def query_topk(col, k: int, largest: bool = True) -> np.ndarray:
     """TOP-K(column): the k largest (or smallest) values, sorted, from
-    the fused scan on device — the ORDER-BY ... LIMIT k building block
-    (per-bucket ``lax.top_k`` on exact total-order keys, then one final
-    top-k over the bucket winners; never emulated-f64 compares).
+    the fused scan on device — the ORDER-BY ... LIMIT k building block.
+
+    All comparisons run on exact IEEE-754 total-order integer keys
+    (never emulated-f64 compares), and — the hot part — all device
+    sorting runs on NATIVE i32 words: f64 keys stay as (HI, LO) u32
+    word pairs, top-k'd by a HI-word threshold pass plus a LO-word
+    tiebreak (``_topk_f64_program``), instead of ``lax.top_k`` on
+    emulated i64 (which decomposes into multi-word comparator sorts and
+    dominated the query at ~1 GB/s).
 
     Ordering is the IEEE-754 total order with ±0 canonicalized: -NaN <
     -inf < finite < +inf < +NaN.  ``k`` is clamped to the column length.
@@ -704,25 +784,44 @@ def query_topk(col, k: int, largest: bool = True) -> np.ndarray:
     plan = col.plan()
     outs = plan.run(patch=True)
     k = min(int(k), col.n_values)
-    kt = np.uint64 if col.dtype == np.float64 else np.uint32
-    fill = kt(0) if largest else kt(np.iinfo(kt).max)
-    parts = []
-    for key, last in _masked_keys(col, plan, outs):
-        flat = jnp.concatenate([key[:-1].reshape(-1),
-                                jnp.where(last, key[-1], fill).reshape(-1)])
+    if col.dtype == np.float64:
+        slots, L, per_group = 64, 16, 8
+    else:
+        slots, L, per_group = 32, 32, 4
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
+    masks = []
+    for g in plan.groups:
+        has_partial = (n_valid_last < C.VECTOR_SIZE
+                       and v_last in g.vec_indices)
+        masks.append(_last_group_mask(g, slots, L, per_group,
+                                      n_valid_last, has_partial))
+    if col.dtype == np.float32:
+        top = _topk_f32_program(tuple(outs), tuple(masks),
+                                k=k, largest=largest)
+        keys = np.asarray(top).view(np.uint32) ^ np.uint32(1 << 31)
         if not largest:
-            flat = ~flat            # reversed total order, still exact
-        top, _ = jax.lax.top_k(_keys_biased(flat, col.dtype),
-                               min(k, flat.shape[0]))
-        parts.append(top)
-    allp = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    top, _ = jax.lax.top_k(allp, k)
-    sbit = np.iinfo(kt).max // 2 + 1              # 2^63 / 2^31
-    keys = np.asarray(top).view(kt) ^ kt(sbit)
-    if not largest:
-        keys = ~keys
-    return np.array([_key_float(int(x), col.dtype) for x in keys],
-                    col.dtype)
+            keys = ~keys
+        return np.array([_key_float(int(x), col.dtype) for x in keys],
+                        col.dtype)
+    his = tuple(out[0] for out in outs)
+    los = tuple(out[1] for out in outs)
+    hk, m, gv, glo, tlo = _topk_f64_program(his, los, tuple(masks),
+                                            k=k, largest=largest)
+    m = min(int(m), k)                       # m <= k-1 by construction
+    hk_u = int(np.uint32(np.asarray(hk).view(np.uint32))) ^ (1 << 31)
+    gv = np.asarray(gv).view(np.uint32)
+    glo = np.asarray(glo)
+    tlo = np.asarray(tlo).view(np.uint32)
+    pairs = [(int(gv[i]) ^ (1 << 31), int(glo[i])) for i in range(m)]
+    pairs += [(hk_u, int(tlo[j]) ^ (1 << 31)) for j in range(k - m)]
+    pairs.sort(reverse=True)
+    out = np.empty(k, np.float64)
+    for i, (ph, pl) in enumerate(pairs):
+        if not largest:
+            ph, pl = ~ph & 0xFFFFFFFF, ~pl & 0xFFFFFFFF
+        out[i] = _key_float((ph << 32) | pl, np.float64)
+    return out
 
 
 def query_histogram(col, edges) -> np.ndarray:

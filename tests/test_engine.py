@@ -406,6 +406,33 @@ def test_topk():
         engine.query_topk(cc32, 7, largest=False), s32[:7])
 
 
+def test_topk_hi_word_ties():
+    """The two-word threshold pass must break ties on the LO key word:
+    values sharing the upper 32 key bits (same sign/exponent/high
+    mantissa) differ only in LO, and specials (±inf, NaN, -0.0) sort in
+    the canonical total order."""
+    rng = np.random.default_rng(7)
+    base = 1.0 + rng.integers(0, 2 ** 20, 4000) * 2.0 ** -52
+    d = base.copy()                              # dense HI-word ties
+    d[100] = np.inf
+    d[101] = -np.inf
+    d[102] = np.nan
+    d[103] = -0.0
+    d[104:110] = d[200]                          # exact duplicates
+    cc = container.compress(d)
+    key = np.array([engine._float_key(x, np.float64) for x in d],
+                   np.uint64)
+    order = np.argsort(key, kind="stable")
+    s = np.where(d[order] == 0.0, 0.0, d[order])   # -0.0 canonicalized
+    for k in (1, 3, 17, 500):
+        got = engine.query_topk(cc, k)
+        np.testing.assert_array_equal(got.view(np.uint64),
+                                      s[::-1][:k].view(np.uint64))
+        got_s = engine.query_topk(cc, k, largest=False)
+        np.testing.assert_array_equal(got_s.view(np.uint64),
+                                      s[:k].view(np.uint64))
+
+
 def test_histogram():
     """query_histogram == np.histogram (last bin closed) over mixed
     ALP/RD columns and both dtypes."""
