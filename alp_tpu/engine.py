@@ -766,24 +766,328 @@ def _topk_f32_program(bits, masks, *, k: int, largest: bool):
     return jax.lax.top_k(_biased_i32(flat), k)[0]
 
 
+_SBIT32 = 1 << 31
+_I32_MIN = -(2 ** 31)
+
+
+def _np_work_keys(bits: np.ndarray, largest: bool) -> np.ndarray:
+    """Working-order total-order keys of host bit patterns (canonical
+    IEEE-754 total-order keys, -0.0 canonicalised; complemented for
+    smallest-k) — the host mirror of kernels.falp._key_words_f64."""
+    ut = bits.dtype.type
+    sbit = ut(1) << ut(bits.dtype.itemsize * 8 - 1)
+    b = np.where(bits == sbit, ut(0), bits)
+    sign = (b & sbit) != 0
+    key = np.where(sign, ~b, b | sbit)
+    return key if largest else ~key
+
+
+def _bucket_prefix_counts(g, args, thr_hi, thr_lo, *, n_thr: int,
+                          invert: bool, f32: bool):
+    """[G, E_pad, 128] i32 multi-threshold prefix counts of one bucket
+    (count of working-order key <= thr_e per threshold, ONE fused scan),
+    dispatching the bucket kind's kernel; const buckets compare their
+    per-vector key in XLA (64 equal values per lane column)."""
+    from .kernels import falp as kfalp
+    if f32:
+        if g.scheme == C.SCHEME_ALP_RD:
+            return kfalp.rd_decode_dict_f32_prefix_counts(
+                args[0], args[1], args[2:], thr_hi, rbw=g.bw,
+                lbw=g.meta[1], invert=invert, n_thr=n_thr)
+        return kfalp.falp_decode_f32_prefix_counts(
+            args[0], args[1], args[2], args[3], thr_hi, bw=g.bw,
+            invert=invert, n_thr=n_thr)
+    if g.scheme == C.SCHEME_ALP_RD:
+        return kfalp.rd_decode_dict_f64_prefix_counts(
+            args[0], args[1], args[2:], thr_hi, thr_lo, rbw=g.bw,
+            lbw=g.meta[1], invert=invert, n_thr=n_thr)
+    if g.variant == "const":
+        kh, kl = _key_words_from_limbs(args[0], args[1])
+        if invert:
+            kh, kl = ~kh, ~kl
+        ah, al = _biased_i32(kh), _biased_i32(kl)
+        th = _biased_i32(thr_hi)
+        tl = _biased_i32(thr_lo)
+        rows = []
+        for e in range(thr_hi.shape[0]):
+            if e < n_thr:
+                le = (ah < th[e, 0]) | ((ah == th[e, 0])
+                                        & (al <= tl[e, 0]))
+                rows.append(le.astype(jnp.int32) * jnp.int32(64))
+            else:
+                rows.append(jnp.zeros_like(ah))
+        return jnp.stack(rows, axis=1)
+    return kfalp.falp_decode_f64_variant_prefix_counts(
+        args[0], tuple(args[1:]), thr_hi, thr_lo, variant=g.variant,
+        bw=g.bw, flags=g.flags, invert=invert, n_thr=n_thr)
+
+
+def _plan_prog_cache(plan) -> dict:
+    cache = getattr(plan, "_prog_cache", None)
+    if cache is None:
+        cache = plan._prog_cache = {}
+    return cache
+
+
+def _plan_geometry(plan):
+    """(f32, values-per-vector-lane-group, lanes-per-vector, slots)."""
+    f32 = plan.dtype == np.float32
+    return (f32, 4, 32, 32) if f32 else (f32, 8, 16, 64)
+
+
+def _lane_oks(plan, per: int, L: int):
+    """Per-bucket [128] bool masks of valid lanes in the LAST group row
+    (pad-vector lanes false) — static numpy, traced as constants."""
+    return [np.arange(128) < ((g.n_vectors % per or per) * L)
+            for g in plan.groups]
+
+
+def _topk_fused_program(plan, k: int, largest: bool):
+    """Build (and cache on the plan) the ONE-program TOP-K phase: a
+    fused per-lane-column KEY-MAX scan -> exact k-th largest column max
+    ``t`` (lexicographic, native i32 top_k on the tiny [n/64] candidate
+    array) -> candidate column indices (<= k-1 columns exceed ``t``)
+    -> a second fused scan of two-threshold prefix counts at [t, t-1]
+    with ``t`` as a traced value.  Returns (jitted fn, flat column
+    offsets per bucket).  The ``carry`` argument XORs into each
+    bucket's first metadata plane (loop_bench data dependence; the
+    query passes 0)."""
+    cache = _plan_prog_cache(plan)
+    ckey = ("topk", k, largest)
+    if ckey in cache:
+        return cache[ckey]
+    from .kernels import falp as kfalp
+    inv = not largest
+    f32, per, L, _ = _plan_geometry(plan)
+    groups = plan.groups
+    arg_counts = [len(kdecode.group_arrays(g)) for g in groups]
+    lane_oks = _lane_oks(plan, per, L)
+    col_counts = [(-(-g.n_vectors // per)) * 128 for g in groups]
+    imin = jnp.int32(_I32_MIN)
+
+    def keymax(g, args):
+        if f32:
+            if g.scheme == C.SCHEME_ALP_RD:
+                mh = kfalp.rd_decode_dict_f32_keymax(
+                    args[0], args[1], args[2:], rbw=g.bw,
+                    lbw=g.meta[1], invert=inv)
+            else:
+                mh = kfalp.falp_decode_f32_keymax(
+                    args[0], args[1], args[2], args[3], bw=g.bw,
+                    invert=inv)
+            return mh, jnp.zeros_like(mh)
+        if g.scheme == C.SCHEME_ALP_RD:
+            return kfalp.rd_decode_dict_f64_keymax(
+                args[0], args[1], args[2:], rbw=g.bw, lbw=g.meta[1],
+                invert=inv)
+        if g.variant == "const":
+            kh, kl = _key_words_from_limbs(args[0], args[1])
+            if inv:
+                kh, kl = ~kh, ~kl
+            return _biased_i32(kh), _biased_i32(kl)
+        return kfalp.falp_decode_f64_variant_keymax(
+            args[0], tuple(args[1:]), variant=g.variant, bw=g.bw,
+            flags=g.flags, invert=inv)
+
+    def prog(carry, *metas):
+        mhs, mls, bucket_args = [], [], []
+        i = 0
+        for g, n, lane_ok in zip(groups, arg_counts, lane_oks):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            bucket_args.append(args)
+            mh, ml = keymax(g, args)
+            ok = jnp.asarray(lane_ok)
+            mh = mh.at[-1].set(jnp.where(ok, mh[-1], imin))
+            ml = ml.at[-1].set(jnp.where(ok, ml[-1], imin))
+            mhs.append(mh.reshape(-1))
+            mls.append(ml.reshape(-1))
+        mh = mhs[0] if len(mhs) == 1 else jnp.concatenate(mhs)
+        ml = mls[0] if len(mls) == 1 else jnp.concatenate(mls)
+        # exact lexicographic k-th largest column max t = (hk, t_lo)
+        hk = jax.lax.top_k(mh, k)[0][k - 1]
+        gt_h = mh > hk
+        m = gt_h.sum(dtype=jnp.int32)             # <= k-1
+        tlo_vals = jax.lax.top_k(jnp.where(mh == hk, ml, imin), k)[0]
+        t_lo = tlo_vals[jnp.maximum(k - m - 1, 0)]
+        cand = gt_h | ((mh == hk) & (ml > t_lo))  # <= k-1 columns
+        c = cand.sum(dtype=jnp.int32)
+        # all candidate indices land in the top-k of the 0/1 score
+        ci = jax.lax.top_k(cand.astype(jnp.int32), k)[1]
+        sb = jnp.uint32(_SBIT32)
+        th_u = jax.lax.bitcast_convert_type(hk, jnp.uint32) ^ sb
+        tl_u = jax.lax.bitcast_convert_type(t_lo, jnp.uint32) ^ sb
+        if f32:
+            thr_hi = jnp.zeros((8, 128), jnp.uint32).at[0, :].set(
+                th_u).at[1, :].set(th_u - jnp.uint32(1))
+            thr_lo = thr_hi
+        else:
+            tm1_l = tl_u - jnp.uint32(1)
+            tm1_h = th_u - (tl_u == 0).astype(jnp.uint32)
+            thr_hi = jnp.zeros((8, 128), jnp.uint32).at[0, :].set(
+                th_u).at[1, :].set(tm1_h)
+            thr_lo = jnp.zeros((8, 128), jnp.uint32).at[0, :].set(
+                tl_u).at[1, :].set(tm1_l)
+        tot = jnp.zeros((2,), jnp.int64)
+        for g, args, lane_ok in zip(groups, bucket_args, lane_oks):
+            pc = _bucket_prefix_counts(g, args, thr_hi, thr_lo,
+                                       n_thr=2, invert=inv, f32=f32)
+            ok = jnp.asarray(lane_ok)
+            pc = pc.at[-1].set(jnp.where(ok[None, :], pc[-1],
+                                         jnp.int32(0)))
+            tot = tot + pc[:, :2, :].astype(jnp.int64).sum(axis=(0, 2))
+        return th_u, tl_u, c, ci, tot[0], tot[1]
+
+    entry = (jax.jit(prog), np.cumsum([0] + col_counts))
+    cache[ckey] = entry
+    return entry
+
+
+def _pred_corrections(col, plan, klo, khi) -> int:
+    """Exact host corrections of a fused count over [klo, khi]:
+    exception slots (true vs decoded fill/garbage) + the padded tail."""
+    c = sum(_exception_count_correction(col, g, klo, khi)
+            for g in plan.groups)
+    return c + _partial_vector_correction(
+        col, plan, klo, khi,
+        ("mid", "gen", "const", "small", "mid64", "midc96"))
+
+
+def _query_topk_fused(col, plan, k: int, largest: bool):
+    """ONE-program TOP-K (see query_topk).  Returns None when the
+    threshold was inflated past the true k-th value by patched fill
+    values (pathological duplicate-fill columns) — the caller then
+    takes the decoded-plane path."""
+    f32, per, L, slots = _plan_geometry(plan)
+    total_cols = sum((-(-g.n_vectors // per)) * 128 for g in plan.groups)
+    if total_cols < k:
+        return None
+    prog, offs = _topk_fused_program(plan, k, largest)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+    th_u, tl_u, c, ci, le_t_dev, le_tm1_dev = prog(jnp.uint32(0), *metas)
+    kt = np.uint32 if f32 else np.uint64
+    width = 32 if f32 else 64
+    mask_all = (1 << width) - 1
+    t_work = int(th_u) if f32 else ((int(th_u) << 32) | int(tl_u))
+    tw = kt(t_work)
+
+    def bounds(thr: int):
+        if largest:
+            return kt(0), kt(thr)
+        return kt((~thr) & mask_all), kt(mask_all)
+
+    le_t = int(le_t_dev) + _pred_corrections(col, plan, *bounds(t_work))
+    if t_work == 0:
+        le_tm1 = 0
+    else:
+        le_tm1 = int(le_tm1_dev) + _pred_corrections(
+            col, plan, *bounds(t_work - 1))
+    gt_t = col.n_values - le_t
+    eq_t = le_t - le_tm1
+    if gt_t < 0 or eq_t < 0 or gt_t + eq_t < k:
+        return None                      # fill-inflated threshold
+    # exact host decode of the candidate pool: all true values > t are
+    # exceptions (their stored bits) or live in a candidate column
+    n_valid_last = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    v_last = col.n_vectors - 1
+    pool = []
+    for g in plan.groups:
+        if g.exc_g is None or not g.exc_g.shape[0]:
+            continue
+        wk = _np_work_keys(_group_exception_bits(col, g)[0], largest)
+        pool.append(wk[wk > tw])
+    ci = np.asarray(ci)[:min(int(c), k)]
+    b_of = np.searchsorted(offs, ci, side="right") - 1
+    for b in np.unique(b_of):
+        g = plan.groups[b]
+        rel = ci[b_of == b] - offs[b]
+        lane = rel % 128
+        vecs = g.vec_indices[(rel // 128) * per + lane // L]
+        vec_rep = np.repeat(vecs, slots)
+        pos = (np.tile(np.arange(slots) * L, len(rel))
+               + np.repeat(lane % L, slots))
+        if g.scheme == C.SCHEME_ALP_RD:
+            bits = np.fromiter(
+                (_rd_bits_at(col, int(v), int(p))
+                 for v, p in zip(vec_rep, pos)), np.uint64,
+                count=len(vec_rep)).astype(kt)
+        else:
+            bits = _decode_positions(col, vec_rep, pos).astype(kt)
+        keep = np.ones(len(bits), bool)
+        for j, v in enumerate(vecs):
+            ep = col.exc_positions[int(v)]
+            if len(ep):
+                s = slice(j * slots, (j + 1) * slots)
+                keep[s] &= ~np.isin(pos[s], ep)
+        if n_valid_last < C.VECTOR_SIZE:
+            keep &= ~((vec_rep == v_last) & (pos >= n_valid_last))
+        wk = _np_work_keys(bits[keep], largest)
+        pool.append(wk[wk > tw])
+    pool = np.concatenate(pool) if pool else np.empty(0, kt)
+    if len(pool) != gt_t:
+        return None                      # inconsistent (not expected)
+    pool[::-1].sort()
+    keys = list(pool[:k]) + [tw] * max(k - gt_t, 0)
+    out = np.empty(k, col.dtype)
+    for i, w in enumerate(keys):
+        canon = int(w) if largest else (~int(w)) & mask_all
+        out[i] = _key_float(canon, col.dtype)
+    return out
+
+
+def make_topk_step(plan, k: int, largest: bool = True):
+    """Throughput step for the fused TOP-K pipeline: the one-program
+    key-max + two-threshold count phase (two fused scans, no decoded
+    planes) — query_topk adds only the <= 64k-value host candidate
+    decode and corrections per query."""
+    prog, _ = _topk_fused_program(plan, k, largest)
+
+    def step(carry, *metas):
+        th_u, tl_u, c, ci, le_t, le_tm1 = prog(carry, *metas)
+        return (th_u ^ tl_u ^ c.astype(jnp.uint32)
+                ^ ci.sum(dtype=jnp.int32).astype(jnp.uint32)
+                ^ le_t.astype(jnp.uint32) ^ le_tm1.astype(jnp.uint32))
+
+    metas = tuple(a for g in plan.groups for a in kdecode.group_arrays(g))
+    return step, metas
+
+
 def query_topk(col, k: int, largest: bool = True) -> np.ndarray:
     """TOP-K(column): the k largest (or smallest) values, sorted, from
     the fused scan on device — the ORDER-BY ... LIMIT k building block.
 
     All comparisons run on exact IEEE-754 total-order integer keys
-    (never emulated-f64 compares), and — the hot part — all device
-    sorting runs on NATIVE i32 words: f64 keys stay as (HI, LO) u32
-    word pairs, top-k'd by a HI-word threshold pass plus a LO-word
-    tiebreak (``_topk_f64_program``), instead of ``lax.top_k`` on
-    emulated i64 (which decomposes into multi-word comparator sorts and
-    dominated the query at ~1 GB/s).
+    (never emulated-f64 compares) and all device sorting on NATIVE i32
+    words.  For k <= 128 the query is ONE jitted program of two fused
+    scans (no decoded planes ever leave VMEM): a per-lane-column KEY-MAX
+    pass yields the exact k-th-largest column max ``t`` (a valid
+    threshold: >= k columns then witness a kernel value >= t), plus a
+    two-threshold prefix-count pass at [t, t-1] with ``t`` as a traced
+    input; the host then exactly decodes the <= 64*(k-1) values of the
+    columns whose max exceeds ``t`` and assembles the answer from them,
+    the exception values, and the tie counts (``_query_topk_fused``).
+    Larger k falls back to decoding planes + native-i32 threshold top-k
+    (``_query_topk_plane``).
 
     Ordering is the IEEE-754 total order with ±0 canonicalized: -NaN <
     -inf < finite < +inf < +NaN.  ``k`` is clamped to the column length.
     """
-    plan = col.plan()
-    outs = plan.run(patch=True)
     k = min(int(k), col.n_values)
+    if k == 0:
+        return np.empty(0, col.dtype)
+    plan = col.plan()
+    if k <= 128:
+        out = _query_topk_fused(col, plan, k, largest)
+        if out is not None:
+            return out
+    return _query_topk_plane(col, plan, k, largest)
+
+
+def _query_topk_plane(col, plan, k: int, largest: bool) -> np.ndarray:
+    """TOP-K over decoded planes (native-i32 HI-threshold + LO tiebreak,
+    ``_topk_f64_program``) — the large-k / fallback path."""
+    outs = plan.run(patch=True)
     if col.dtype == np.float64:
         slots, L, per_group = 64, 16, 8
     else:
@@ -848,11 +1152,66 @@ def query_histogram(col, edges) -> np.ndarray:
     return _query_histogram_scan(col, edges)
 
 
+def _histogram_program(plan, n_thr: int):
+    """Build (and cache on the plan) the ONE-program histogram phase:
+    every bucket's multi-threshold prefix counts in one traced program
+    (one fused scan per bucket per QUERY — previously one scan per
+    THRESHOLD), [n_thr] i64 totals out.  ``carry`` XORs into each
+    bucket's first metadata plane (loop_bench shape; queries pass 0)."""
+    cache = _plan_prog_cache(plan)
+    ckey = ("hist", n_thr)
+    if ckey in cache:
+        return cache[ckey]
+    f32, per, L, _ = _plan_geometry(plan)
+    groups = plan.groups
+    arg_counts = [len(kdecode.group_arrays(g)) for g in groups]
+    lane_oks = _lane_oks(plan, per, L)
+
+    def prog(carry, thr_hi, thr_lo, *metas):
+        tot = jnp.zeros((n_thr,), jnp.int64)
+        i = 0
+        for g, n, lane_ok in zip(groups, arg_counts, lane_oks):
+            args = list(metas[i:i + n])
+            i += n
+            args[1] = args[1] ^ carry
+            pc = _bucket_prefix_counts(g, args, thr_hi, thr_lo,
+                                       n_thr=n_thr, invert=False,
+                                       f32=f32)
+            ok = jnp.asarray(lane_ok)
+            pc = pc.at[-1].set(jnp.where(ok[None, :], pc[-1],
+                                         jnp.int32(0)))
+            tot = tot + pc[:, :n_thr, :].astype(jnp.int64).sum(
+                axis=(0, 2))
+        return tot
+
+    fn = jax.jit(prog)
+    cache[ckey] = fn
+    return fn
+
+
+def _histogram_thresholds(khis: np.ndarray, f32: bool):
+    """[E_pad, 128] u32 lane-replicated threshold key-word planes
+    (hi, lo; the f32 single word rides the hi plane)."""
+    n_thr = len(khis)
+    E_pad = -(-n_thr // 8) * 8
+    thr = np.zeros(E_pad, khis.dtype)
+    thr[:n_thr] = khis
+
+    def rep(words):
+        return jnp.asarray(np.broadcast_to(
+            words.astype(np.uint32)[:, None], (E_pad, 128)).copy())
+
+    if f32:
+        plane = rep(thr)
+        return plane, plane
+    return (rep(thr >> np.uint64(32)),
+            rep(thr & np.uint64(0xFFFFFFFF)))
+
+
 def _query_histogram_fused(col, plan, edges) -> np.ndarray:
-    """Prefix counts through the fused pushdown kernels: ONE jitted
-    program per bucket evaluates every threshold (the per-edge kernel
-    sweep is traced together, so a bucket costs one dispatch + one [E+1]
-    fetch), then the cached exception/pad corrections apply per
+    """Prefix counts through ONE fused multi-threshold scan per bucket,
+    all buckets traced into ONE program (one dispatch + one [E+1] fetch
+    per query), then the cached exception/pad corrections apply per
     threshold host-side."""
     E = len(edges)
     f32 = col.dtype == np.float32
@@ -861,88 +1220,38 @@ def _query_histogram_fused(col, plan, edges) -> np.ndarray:
     # prefix thresholds: "< e_i" is "<= key(e_i) - 1"; the last bin
     # closes with one extra "<= key(e_last)"
     khis = np.concatenate([keys - kt(1), keys[-1:]])      # [E+1]
-    khis_dev = jnp.asarray(khis)
-    per = 4 if f32 else 8
-    total = None
-    for g in plan.groups:
-        args = kdecode.group_arrays(g)
-        t = _group_prefix_counts(
-            khis_dev, *args, variant=g.variant, bw=g.bw, flags=g.flags,
-            rd=g.scheme == C.SCHEME_ALP_RD,
-            lbw=(g.meta[1] if g.scheme == C.SCHEME_ALP_RD else 0),
-            f32=f32, n_mod=g.n_vectors % per)
-        total = t if total is None else total + t
-    p = np.asarray(total).astype(np.int64)
+    thr_hi, thr_lo = _histogram_thresholds(khis, f32)
+    prog = _histogram_program(plan, E + 1)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+    p = np.asarray(prog(jnp.uint32(0), thr_hi, thr_lo,
+                        *metas)).astype(np.int64)
     # host corrections per threshold (vectorised over the cached
     # exception bit patterns; klo = 0 covers the whole lower range)
     for i, khi in enumerate(khis):
-        c = 0
-        for g in plan.groups:
-            c += _exception_count_correction(col, g, kt(0), khi)
-        c += _partial_vector_correction(
-            col, plan, kt(0), khi,
-            ("mid", "gen", "const", "small", "mid64", "midc96"))
-        p[i] += c
+        p[i] += _pred_corrections(col, plan, kt(0), khi)
     out = np.diff(p[:E])
     out[-1] += p[E] - p[E - 1]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "variant", "bw", "flags", "rd", "lbw", "f32", "n_mod"))
-def _group_prefix_counts(khis, *args, variant, bw, flags, rd, lbw, f32,
-                         n_mod):
-    """[E+1] i64 prefix counts of one bucket: for each threshold key,
-    the fused decode+COUNT kernel with bounds [0, khis[i]], pad-vector
-    lanes of the last group zeroed — all in ONE traced program."""
-    from .kernels import falp as kfalp
-    E1 = khis.shape[0]
-    G = args[1].shape[0] if len(args) > 1 else args[0].shape[0]
-    L = 32 if f32 else 16
-    used = n_mod or (128 // L)
-    lane_ok = jnp.arange(128) < used * L
-    zero32 = jnp.zeros((G, 128), jnp.uint32)
-    tot = jnp.zeros(E1, jnp.int64)
-    for i in range(E1):
-        khi = khis[i]
-        if f32:
-            kp = jnp.broadcast_to(khi.astype(jnp.uint32), (G, 128))
-            if rd:
-                cnt = kfalp.rd_decode_dict_f32_count(
-                    args[0], args[1], args[2:], zero32, kp,
-                    rbw=bw, lbw=lbw)
-            else:
-                tiles, base, fact, frac = args
-                cnt = kfalp.falp_decode_f32_count(
-                    tiles, base, fact, frac, zero32, kp, bw=bw)
-        else:
-            khi_hi = jnp.broadcast_to(
-                (khi >> jnp.uint64(32)).astype(jnp.uint32), (G, 128))
-            khi_lo = jnp.broadcast_to(
-                (khi & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-                (G, 128))
-            bounds = (zero32, zero32, khi_hi, khi_lo)
-            if rd:
-                cnt = kfalp.rd_decode_dict_f64_count(
-                    args[0], args[1], args[2:], bounds, rbw=bw, lbw=lbw)
-            elif variant == "const":
-                hi_p, lo_p = args
-                key = _key_from_limbs(hi_p, lo_p)
-                khi64 = ((khi_hi.astype(jnp.uint64) << jnp.uint64(32))
-                         | khi_lo.astype(jnp.uint64))
-                cnt = (key <= khi64).astype(jnp.int32) * jnp.int32(64)
-            elif variant == "gen":
-                tiles, bl, bh, flo, fhi, frl, frh = args
-                cnt = kfalp.falp_decode_f64_count(
-                    tiles, bl, bh, flo, fhi, frl, frh, *bounds,
-                    bw=bw, fact1=bool(flags & 16))
-            else:
-                cnt = kfalp.falp_decode_f64_variant_count(
-                    args[0], tuple(args[1:]), bounds, variant=variant,
-                    bw=bw, flags=flags)
-        cnt = cnt.at[-1].set(jnp.where(lane_ok, cnt[-1], jnp.int32(0)))
-        tot = tot.at[i].set(cnt.sum(dtype=jnp.int64))
-    return tot
+def make_histogram_step(plan, edges):
+    """Throughput step for the fused HISTOGRAM pipeline: the
+    one-program multi-threshold scan over every bucket (loop_bench
+    shape) — query_histogram adds only tiny host corrections."""
+    f32 = plan.dtype == np.float32
+    kt = np.uint32 if f32 else np.uint64
+    dt = np.float32 if f32 else np.float64
+    keys = np.array([_float_key(float(e), dt) for e in edges], kt)
+    khis = np.concatenate([keys - kt(1), keys[-1:]])
+    thr_hi, thr_lo = _histogram_thresholds(khis, f32)
+    prog = _histogram_program(plan, len(khis))
+
+    def step(carry, thr_hi, thr_lo, *metas):
+        tot = prog(carry, thr_hi, thr_lo, *metas)
+        return tot.sum().astype(jnp.uint32) ^ carry
+
+    metas = tuple(a for g in plan.groups for a in kdecode.group_arrays(g))
+    return step, (thr_hi, thr_lo) + metas
 
 
 def _query_histogram_scan(col, edges) -> np.ndarray:

@@ -909,6 +909,190 @@ def falp_decode_f64_variant_sum(packed, metas, *, variant: str, bw: int,
     return out[:G]
 
 
+def _any_variant_value_f64(variant, packed_ref, metas, shape, *, bw: int,
+                           fl: int) -> U64:
+    """Decoded f64 bits for ANY ALP variant including the generic one —
+    the dispatch shared by every fused epilogue (exact-sum / count /
+    key-max / prefix-counts) so each epilogue is written once."""
+    if variant == "gen":
+        return _gen_value_f64(packed_ref, *metas, bw=bw,
+                              fact1=bool(fl & 16))
+    return _variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                              fl=fl)
+
+
+def _key_words_f64(r: U64, invert: bool):
+    """Biased-signed i32 words (hi, lo) of the IEEE-754 total-order key
+    of decoded f64 bits (-0.0 canonicalised, engine._key_from_limbs
+    semantics).  ``invert`` complements the key first: smallest-k /
+    reversed-order consumers run on the complement so every comparison
+    stays a native signed-i32 max/compare."""
+    negz = (r.hi == _U32(0x80000000)) & (r.lo == 0)
+    hi = jnp.where(negz, _U32(0), r.hi)
+    lo = jnp.where(negz, _U32(0), r.lo)
+    sign = (hi >> _U32(31)) != 0
+    kh = jnp.where(sign, ~hi, hi | _U32(0x80000000))
+    kl = jnp.where(sign, ~lo, lo)
+    if invert:
+        kh = ~kh
+        kl = ~kl
+    return _bias_i32(kh), _bias_i32(kl)
+
+
+def _bias_i32(x):
+    """Monotone signed reinterpretation of a u32 key word (the form the
+    native i32 vector max / compare consume)."""
+    return (x ^ _U32(0x80000000)).astype(jnp.int32)
+
+
+_I32_MIN = -(2 ** 31)
+
+
+def _keymax_rows(ah, al, out_h, out_l):
+    """Per-lane lexicographic max of (hi, lo) biased key words over the
+    slot axis: [gb, S, 128] -> two [gb, 128] i32 rows (the max hi word
+    and the max lo word among slots achieving it)."""
+    mh = jnp.max(ah, axis=1)
+    ml = jnp.max(jnp.where(ah == mh[:, None, :], al,
+                           jnp.int32(_I32_MIN)), axis=1)
+    out_h[:] = mh
+    out_l[:] = ml
+
+
+def _prefix_count_rows(ah, al, th_ref, tl_ref, out_ref, n_thr: int):
+    """Multi-threshold prefix-count epilogue: for each of ``n_thr``
+    thresholds (u32 working-order key words in [E_pad, 128] planes,
+    lane-replicated), the per-lane count of values whose key is <= the
+    threshold — every threshold in ONE fused scan (the histogram /
+    TOP-K verify shape), ~5 VPU ops per value per threshold."""
+    th = _bias_i32(th_ref[:])
+    tl = _bias_i32(tl_ref[:])
+    zero = jnp.zeros((out_ref.shape[0], 128), jnp.int32)
+    for e in range(out_ref.shape[1]):
+        if e < n_thr:
+            bh = th[e, :][None, None, :]
+            bl = tl[e, :][None, None, :]
+            le = (ah < bh) | ((ah == bh) & (al <= bl))
+            out_ref[:, e, :] = le.astype(jnp.int32).sum(axis=1,
+                                                        dtype=jnp.int32)
+        else:
+            out_ref[:, e, :] = zero
+
+
+def _falp_f64_variant_keymax_kernel(packed_ref, *refs, variant: str,
+                                    bw: int, fl: int, n_meta: int,
+                                    invert: bool):
+    metas = refs[:n_meta]
+    out_h, out_l = refs[-2], refs[-1]
+    shape = (out_h.shape[0], 64, 128)
+    r = _any_variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                               fl=fl)
+    ah, al = _key_words_f64(r, invert)
+    _keymax_rows(ah, al, out_h, out_l)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags",
+                                             "invert"))
+def falp_decode_f64_variant_keymax(packed, metas, *, variant: str,
+                                   bw: int, flags: int = 0,
+                                   invert: bool = False):
+    """Fused decode + per-lane-column KEY MAX for any f64 ALP variant
+    (gen/small/mid/mid64/midc96): two [G, 128] i32 planes (biased hi /
+    lo total-order key words of each lane column's lexicographic max) —
+    the TOP-K threshold pass (engine.query_topk), no decoded-plane
+    traffic.  ``invert`` reverses the order for smallest-k."""
+    G = metas[0].shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed,) + tuple(metas)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_variant_keymax_kernel, variant=variant,
+                          bw=bw, fl=flags, n_meta=len(metas),
+                          invert=invert),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * len(metas),
+        out_specs=[pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 128), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
+    return out[0][:G], out[1][:G]
+
+
+def _falp_f64_variant_prefix_kernel(packed_ref, *refs, variant: str,
+                                    bw: int, fl: int, n_meta: int,
+                                    invert: bool, n_thr: int):
+    metas = refs[:n_meta]
+    th_ref, tl_ref = refs[n_meta:n_meta + 2]
+    out_ref = refs[-1]
+    shape = (out_ref.shape[0], 64, 128)
+    r = _any_variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                               fl=fl)
+    ah, al = _key_words_f64(r, invert)
+    _prefix_count_rows(ah, al, th_ref, tl_ref, out_ref, n_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags",
+                                             "invert", "n_thr"))
+def falp_decode_f64_variant_prefix_counts(packed, metas, thr_hi, thr_lo,
+                                          *, variant: str, bw: int,
+                                          flags: int = 0,
+                                          invert: bool = False,
+                                          n_thr: int):
+    """Fused decode + MULTI-THRESHOLD prefix COUNT for any f64 ALP
+    variant: counts of ``key <= thr_e`` for every threshold in ONE fused
+    scan (one kernel launch per bucket per query — the histogram and
+    TOP-K tie-count shape).  ``thr_hi``/``thr_lo``: [E_pad, 128] u32
+    working-order key words (lane-replicated; E_pad a multiple of 8,
+    rows >= n_thr ignored).  Returns [G, E_pad, 128] i32 counts."""
+    G = metas[0].shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed,) + tuple(metas)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr_hi.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_variant_prefix_kernel, variant=variant,
+                          bw=bw, fl=flags, n_meta=len(metas),
+                          invert=invert, n_thr=n_thr),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * len(metas) + [thr_spec] * 2,
+        out_specs=pl.BlockSpec((gb, E_pad, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:], thr_hi, thr_lo)
+    return out[:G]
+
+
 def _gen_value_f64(packed_ref, bf_lo, bf_hi, fact_lo, fact_hi, frac_lo,
                    frac_hi, *, bw: int, fact1: bool) -> U64:
     """Decoded f64 bits of the GENERIC variant (two-rounding softfloat,
@@ -1369,6 +1553,312 @@ def rd_decode_dict_f64_count(right_packed, left_packed, dict_planes,
     )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       *arrs[2:])
+    return out[:G]
+
+
+def _rd_dict_f64_keymax_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                               d5, d6, d7, out_h, out_l, *, rbw: int,
+                               lbw: int, invert: bool):
+    r = _rd_dict_value_f64(right_ref, left_ref,
+                           (d0, d1, d2, d3, d4, d5, d6, d7),
+                           rbw=rbw, lbw=lbw)
+    ah, al = _key_words_f64(r, invert)
+    _keymax_rows(ah, al, out_h, out_l)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "invert"))
+def rd_decode_dict_f64_keymax(right_packed, left_packed, dict_planes, *,
+                              rbw: int, lbw: int, invert: bool = False):
+    """Fused ALP_RD f64 decode + per-lane-column KEY MAX (the TOP-K
+    threshold pass; exception slots contribute their GARBAGE decoded
+    value — the engine's candidate decode drops exception positions and
+    its exact tie counts are corrected host-side)."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f64_keymax_kernel, rbw=rbw, lbw=lbw,
+                          invert=invert),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(2 * lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 8,
+        out_specs=[pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Gp, 128), jnp.int32)] * 2,
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[0][:G], out[1][:G]
+
+
+def _rd_dict_f64_prefix_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                               d5, d6, d7, th_ref, tl_ref, out_ref, *,
+                               rbw: int, lbw: int, invert: bool,
+                               n_thr: int):
+    r = _rd_dict_value_f64(right_ref, left_ref,
+                           (d0, d1, d2, d3, d4, d5, d6, d7),
+                           rbw=rbw, lbw=lbw)
+    ah, al = _key_words_f64(r, invert)
+    _prefix_count_rows(ah, al, th_ref, tl_ref, out_ref, n_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "invert",
+                                             "n_thr"))
+def rd_decode_dict_f64_prefix_counts(right_packed, left_packed,
+                                     dict_planes, thr_hi, thr_lo, *,
+                                     rbw: int, lbw: int,
+                                     invert: bool = False, n_thr: int):
+    """Fused ALP_RD f64 decode + multi-threshold prefix COUNT
+    ([G, E_pad, 128] i32; falp_decode_f64_variant_prefix_counts
+    semantics with the on-device dictionary)."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr_hi.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f64_prefix_kernel, rbw=rbw, lbw=lbw,
+                          invert=invert, n_thr=n_thr),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(2 * lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 8 + [thr_spec] * 2,
+        out_specs=pl.BlockSpec((gb, E_pad, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:], thr_hi, thr_lo)
+    return out[:G]
+
+
+def _f32_key_biased(bits, invert: bool):
+    """Biased-signed i32 total-order key of f32 bit patterns (-0.0
+    canonicalised; complemented first when ``invert``)."""
+    key = _f32_key(bits)
+    if invert:
+        key = ~key
+    return _bias_i32(key)
+
+
+def _keymax_rows_f32(ak, out_ref):
+    out_ref[:] = jnp.max(ak, axis=1)
+
+
+def _prefix_count_rows_f32(ak, t_ref, out_ref, n_thr: int):
+    t = _bias_i32(t_ref[:])
+    zero = jnp.zeros((out_ref.shape[0], 128), jnp.int32)
+    for e in range(out_ref.shape[1]):
+        if e < n_thr:
+            le = ak <= t[e, :][None, None, :]
+            out_ref[:, e, :] = le.astype(jnp.int32).sum(axis=1,
+                                                        dtype=jnp.int32)
+        else:
+            out_ref[:, e, :] = zero
+
+
+def _falp_f32_keymax_kernel(packed_ref, base, fact, frac, out_ref, *,
+                            bw: int, invert: bool):
+    bits = _f32_decode_bits(packed_ref, base, fact, frac,
+                            (out_ref.shape[0], 32, 128), bw=bw)
+    _keymax_rows_f32(_f32_key_biased(bits, invert), out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "invert"))
+def falp_decode_f32_keymax(packed, base, fact, frac_bits, *, bw: int,
+                           invert: bool = False):
+    """Fused f32 decode + per-lane-column KEY MAX: one [G, 128] i32
+    plane (biased total-order key of each lane column's max)."""
+    G = base.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed, base, fact, frac_bits.view(jnp.float32))
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_keymax_kernel, bw=bw, invert=invert),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 3,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:])
+    return out[:G]
+
+
+def _falp_f32_prefix_kernel(packed_ref, base, fact, frac, t_ref, out_ref,
+                            *, bw: int, invert: bool, n_thr: int):
+    bits = _f32_decode_bits(packed_ref, base, fact, frac,
+                            (out_ref.shape[0], 32, 128), bw=bw)
+    _prefix_count_rows_f32(_f32_key_biased(bits, invert), t_ref, out_ref,
+                           n_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "invert", "n_thr"))
+def falp_decode_f32_prefix_counts(packed, base, fact, frac_bits, thr, *,
+                                  bw: int, invert: bool = False,
+                                  n_thr: int):
+    """Fused f32 decode + multi-threshold prefix COUNT ([G, E_pad, 128]
+    i32 counts of ``key <= thr_e``; ``thr``: [E_pad, 128] u32 keys)."""
+    G = base.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed, base, fact, frac_bits.view(jnp.float32))
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_prefix_kernel, bw=bw, invert=invert,
+                          n_thr=n_thr),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 3 + [thr_spec],
+        out_specs=pl.BlockSpec((gb, E_pad, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:], thr)
+    return out[:G]
+
+
+def _rd_dict_f32_keymax_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                               d5, d6, d7, out_ref, *, rbw: int, lbw: int,
+                               invert: bool):
+    bits = _rd_dict_value_f32(right_ref, left_ref,
+                              (d0, d1, d2, d3, d4, d5, d6, d7),
+                              (out_ref.shape[0], 32, 128), rbw=rbw,
+                              lbw=lbw)
+    _keymax_rows_f32(_f32_key_biased(bits, invert), out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "invert"))
+def rd_decode_dict_f32_keymax(right_packed, left_packed, dict_planes, *,
+                              rbw: int, lbw: int, invert: bool = False):
+    """Fused ALP_RD f32 decode + per-lane-column KEY MAX ([G, 128] i32)."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f32_keymax_kernel, rbw=rbw, lbw=lbw,
+                          invert=invert),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] + [meta_spec] * 8,
+        out_specs=pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 128), jnp.int32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:])
+    return out[:G]
+
+
+def _rd_dict_f32_prefix_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                               d5, d6, d7, t_ref, out_ref, *, rbw: int,
+                               lbw: int, invert: bool, n_thr: int):
+    bits = _rd_dict_value_f32(right_ref, left_ref,
+                              (d0, d1, d2, d3, d4, d5, d6, d7),
+                              (out_ref.shape[0], 32, 128), rbw=rbw,
+                              lbw=lbw)
+    _prefix_count_rows_f32(_f32_key_biased(bits, invert), t_ref, out_ref,
+                           n_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "invert",
+                                             "n_thr"))
+def rd_decode_dict_f32_prefix_counts(right_packed, left_packed,
+                                     dict_planes, thr, *, rbw: int,
+                                     lbw: int, invert: bool = False,
+                                     n_thr: int):
+    """Fused ALP_RD f32 decode + multi-threshold prefix COUNT."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f32_prefix_kernel, rbw=rbw, lbw=lbw,
+                          invert=invert, n_thr=n_thr),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 8 + [thr_spec],
+        out_specs=pl.BlockSpec((gb, E_pad, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:], thr)
     return out[:G]
 
 

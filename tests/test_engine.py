@@ -499,3 +499,89 @@ def test_make_sum_step_f32():
     c1 = step(jnp.uint32(0), *metas)
     c2 = step(jnp.uint32(0), *metas)
     assert int(c1) == int(c2)
+
+
+def test_topk_fused_matches_plane():
+    """The one-program fused TOP-K phase (key-max scan + traced
+    two-threshold count + host candidate decode) answers identically to
+    the decoded-plane path across mixed ALP/RD buckets, specials, and
+    both orders."""
+    rng = np.random.default_rng(77)
+    d = np.round(rng.normal(0, 100, 9000), 2)
+    d[5] = np.inf
+    d[6] = np.nan
+    d[7] = -np.inf
+    d[8] = -0.0
+    d = np.concatenate([d, rng.standard_normal(2000)])     # RD rowgroup
+    cc = container.compress(d)
+    plan = cc.plan()
+    for largest in (True, False):
+        for k in (1, 7, 64, 128):
+            fused = engine._query_topk_fused(cc, plan, k, largest)
+            plane = engine._query_topk_plane(cc, plan, k, largest)
+            assert fused is not None
+            np.testing.assert_array_equal(
+                np.asarray(fused).view(np.uint64),
+                np.asarray(plane).view(np.uint64))
+
+
+def test_topk_fused_f32():
+    """f32 single-word fused TOP-K vs ground truth, both orders."""
+    rng = np.random.default_rng(78)
+    f32 = np.round(rng.normal(0, 5, 6000), 1).astype(np.float32)
+    f32[3] = np.float32(np.inf)
+    cc = container.compress(f32)
+    s = np.sort(f32)
+    for k in (1, 9, 100):
+        np.testing.assert_array_equal(engine.query_topk(cc, k),
+                                      s[::-1][:k])
+        np.testing.assert_array_equal(
+            engine.query_topk(cc, k, largest=False), s[:k])
+
+
+def test_topk_fill_pathology_falls_back():
+    """A vector whose patched fill IS the column max in many lane
+    columns inflates the fused threshold past the true k-th value; the
+    exact tie counts detect it (gt+eq < k) and query_topk falls back to
+    the plane path with the right answer."""
+    rng = np.random.default_rng(80)
+    rest = np.round(rng.uniform(0, 10, 1024 * 9), 2)
+    v0 = np.round(rng.uniform(0, 10, 1024), 2)
+    v0[0] = 100.0                           # the fill (first non-exc)
+    v0[5::5] = -np.nan                      # exceptions in every lane col
+    d = np.concatenate([v0, rest])
+    cc = container.compress(d)
+    plan = cc.plan()
+    from alp_tpu import constants as C
+    assert (cc.rg_scheme == C.SCHEME_ALP).all()     # ALP: fills exist
+    assert engine._query_topk_fused(cc, plan, 3, True) is None
+    want = np.sort(rest)[::-1][:2]
+    np.testing.assert_array_equal(engine.query_topk(cc, 3),
+                                  [100.0, want[0], want[1]])
+
+
+def test_topk_k_zero_and_clamp():
+    """k == 0 returns an empty array for both dtypes (no trace-time
+    top_k on empty operands); k > n clamps."""
+    cc = container.compress(np.array([1.5, 2.5, 3.5] * 400))
+    assert engine.query_topk(cc, 0).shape == (0,)
+    cc32 = container.compress(np.array([1.5, 2.5], np.float32))
+    assert engine.query_topk(cc32, 0).shape == (0,)
+    assert len(engine.query_topk(cc, 10 ** 6)) == 1200
+
+
+def test_query_steps_deterministic():
+    """make_topk_step / make_histogram_step: one-program throughput
+    steps are carry-stable (same checksum for the same carry)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(79)
+    d = np.round(rng.normal(0, 50, 5000), 2)
+    cc = container.compress(d)
+    plan = cc.plan()
+    step, metas = engine.make_topk_step(plan, 10)
+    assert int(step(jnp.uint32(0), *metas)) == int(
+        step(jnp.uint32(0), *metas))
+    steph, metash = engine.make_histogram_step(
+        plan, [-90.0, -10.0, 0.0, 40.0])
+    assert int(steph(jnp.uint32(0), *metash)) == int(
+        steph(jnp.uint32(0), *metash))
