@@ -29,7 +29,9 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SAMPLE = "/root/reference/data/1_rg_data_sample/city_temperature_f_tw.bin"
 REPS = 512          # ~400 MiB of doubles for competitor/host numbers
-TPU_REPS = 512
+TPU_REPS = 2048     # ~1.6 GiB decoded for the device query rows (the
+                    # warm wall-clock rows amortise the ~35 ms/dispatch
+                    # tunnel RPC constant; slope rows are unaffected)
 
 
 def main():
@@ -108,15 +110,30 @@ def main():
                  "1 chip", round(plan.decoded_bytes / dtu / 1e9, 2), ""))
     print(rows[-1], flush=True)
 
-    # ORDER-BY LIMIT k and GROUP-BY-bin histogram: warm wall-clock of
-    # the full query APIs (plan cached on the column; includes the
-    # result fetch) — engine breadth beyond the reference's query set,
-    # same exact total-order-key semantics as MIN/MAX/FILTER
+    # ORDER-BY LIMIT k and GROUP-BY-bin histogram, two measurements
+    # each: the slope-timed ONE-program fused pipeline (tunnel RPC
+    # constant cancelled — the same loop_bench convention as the
+    # SUM/FILTER rows above) and the warm wall-clock of the full query
+    # API (one device dispatch + host assembly; through this
+    # environment's tunnel every dispatch pays a fixed ~35 ms RPC that
+    # dominates single-query wall-clock — docs/DEVNOTES.md)
+    edges6 = [-40.0, -15.0, 0.0, 10.0, 25.0, 45.0]
+    stept, metast = engine.make_topk_step(plan, 10)
+    dtt = loop_bench(stept, metast, 20)
+    rows.append(("TOP-K (k=10; fused pipeline)", "ALP", "1 chip",
+                 round(plan.decoded_bytes / dtt / 1e9, 2), ""))
+    print(rows[-1], flush=True)
+    steph, metash = engine.make_histogram_step(plan, edges6)
+    dth = loop_bench(steph, metash, 20)
+    rows.append(("HISTOGRAM (6 bins; fused pipeline)", "ALP", "1 chip",
+                 round(plan.decoded_bytes / dth / 1e9, 2), ""))
+    print(rows[-1], flush=True)
     cc.plan()                                      # stage once
     for label, q in (
-            ("TOP-K (k=10; warm)", lambda: engine.query_topk(cc, 10)),
-            ("HISTOGRAM (6 bins; warm)", lambda: engine.query_histogram(
-                cc, [-40.0, -15.0, 0.0, 10.0, 25.0, 45.0]))):
+            ("TOP-K (k=10; warm wall-clock incl tunnel RPC)",
+             lambda: engine.query_topk(cc, 10)),
+            ("HISTOGRAM (6 bins; warm wall-clock incl tunnel RPC)",
+             lambda: engine.query_histogram(cc, edges6))):
         q()
         t0 = time.perf_counter()
         q()

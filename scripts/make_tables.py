@@ -13,8 +13,10 @@ Run: python scripts/make_tables.py   (pure CSV -> markdown, no compute)
 
 import csv
 import os
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 RESULTS = os.path.join(ROOT, "results")
 OUT = os.path.join(RESULTS, "tables")
 
@@ -126,11 +128,11 @@ def table_6():
 
 
 def table_7():
+    from alp_tpu.utils import published as pub
     lines = [
         "# Table 7 analog — float (f32) suites (bits/value)",
         "",
     ]
-    wrote_any = False
     for name, label in (("compression_ratio_float_test.csv",
                          "float test set (samples)"),
                         ("compression_ratio_sp.csv", "ML weights (SP)"),
@@ -139,7 +141,6 @@ def table_7():
         rows = read_csv(name)
         if not rows:
             continue
-        wrote_any = True
         gp = "zstd" if "zstd" in rows[0] else "zlib"
         lines += [f"## {label}", "",
                   f"| Dataset | ALP (ours) | Ch128 | Patas | {gp} |",
@@ -151,9 +152,39 @@ def table_7():
                          f"{r['chimp128']}{flag} | {r['patas']}{flag} | "
                          f"{r[gp]}{flag} |")
         lines.append("")
-    if not wrote_any:
-        lines.append("(no float suite results present; SP / "
-                     "hurricane-isabel corpora are data-gated)")
+    # published parity targets — carried unconditionally, like table_4's
+    # *_pub columns, so the SP / hurricane suites have an explicit bar
+    # even while their corpora are data-gated (binaries not in-image)
+    sp_meas = {r["column"]: r
+               for r in (read_csv("compression_ratio_sp.csv") or [])}
+    lines += [
+        "## ML weights (SP) — published parity targets",
+        "",
+        "Reference publication/tables/table_7.md (paper cost model) and "
+        "benchmarks/result/.../sp_dataset.csv (runner cost model).  "
+        "Measured rows appear when the SP corpus is mounted.",
+        "",
+        "| Dataset | alp_pub (paper) | alp_pub (runner) | alp (ours) | "
+        "gor_pub | chimp_pub | ch128_pub | patas_pub | zstd_pub |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for ds, (g, ch, c128, pat, alp, zs) in pub.TABLE_7_SP.items():
+        ours = sp_meas.get(ds, {}).get("alp_bits_per_value", "data-gated")
+        lines.append(f"| {ds} | {alp} | {pub.SP_ALP_RUNNER[ds]} | {ours} "
+                     f"| {g} | {ch} | {c128} | {pat} | {zs} |")
+    hur_meas = {r["column"]: r for r in (read_csv(
+        "compression_ratio_hurricane_isabel.csv") or [])}
+    lines += [
+        "",
+        "## Hurricane Isabel — published parity targets (runner model)",
+        "",
+        "| Dataset | alp_pub | alp (ours) |",
+        "|---|---|---|",
+    ]
+    for ds, alp in pub.HURRICANE_ALP_RUNNER.items():
+        ours = hur_meas.get(ds, {}).get("alp_bits_per_value",
+                                        "data-gated")
+        lines.append(f"| {ds} | {alp} | {ours} |")
     write_md("table_7.md", lines)
 
 

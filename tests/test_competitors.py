@@ -208,3 +208,28 @@ class TestElf:
         assert 8.0 < bits < 40.0
         f32 = data.astype(np.float32)
         assert ALL_CODECS["elf"](f32) is None   # double-only reference
+
+
+def test_pde_roundtrip_and_native():
+    """PDE (BtrBlocks Pseudodecimal behavioral reimpl): bit-exact
+    round-trip incl. specials; the native decode matches numpy."""
+    import numpy as np
+    from alp_tpu.competitors import pde_codec as pde
+    rng = np.random.default_rng(21)
+    d = np.round(rng.normal(0, 100, 50000), 2)
+    d[10] = np.nan
+    d[11] = np.inf
+    d[12] = -0.0
+    d[13] = -np.inf
+    d[14] = 1.23456789e300
+    sig, exp, patches = pde.pde_encode(d)
+    out = pde.pde_decode(sig, exp, patches)
+    assert np.array_equal(out.view(np.uint64), d.view(np.uint64))
+    assert pde.pde_bits(d) > 0
+    try:
+        from alp_tpu import native
+        native.build()
+    except Exception:
+        return
+    outn = native.pde_decode(sig, exp, patches)
+    assert np.array_equal(outn.view(np.uint64), d.view(np.uint64))
