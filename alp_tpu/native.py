@@ -295,6 +295,63 @@ def competitor_decode(name: str, stream: np.ndarray, n: int,
     return out.view(np.float64)
 
 
+_CODEC_IDS = {"gorillas": 0, "chimp": 1, "chimp128": 2, "patas": 3,
+              "pde": 4}
+
+
+def pde_decode(sig: np.ndarray, exp: np.ndarray,
+               patches: np.ndarray) -> np.ndarray:
+    """Native single-core PDE decode (competitors.cpp
+    cmp_pde_decode_f64) + vectorised patch scatter; bit-identical to
+    competitors.pde_codec.pde_decode."""
+    n = len(sig)
+    out = np.empty(n, np.float64)
+    cl = competitors_lib()
+    cl.cmp_pde_decode_f64(
+        _ptr(np.ascontiguousarray(sig), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(exp), ctypes.c_uint8),
+        ctypes.c_long(n), _ptr(out, ctypes.c_double))
+    if len(patches):
+        out[exp == 23] = patches
+    return out
+
+
+def pde_chunk_stream(sig: np.ndarray, exp: np.ndarray) -> np.ndarray:
+    """One PDE chunk as u64 words for the chunked decoder: sig (i32[n])
+    then exp (u8[n]), each padded to whole words."""
+    n = len(sig)
+    sig_words = (n + 1) // 2
+    exp_words = (n + 7) // 8
+    buf = np.zeros(sig_words + exp_words, np.uint64)
+    buf[:sig_words].view(np.int32)[:n] = sig
+    buf[sig_words:].view(np.uint8)[:n] = exp
+    return buf
+
+
+def competitor_decode_chunked(name: str, streams: list, ns: np.ndarray,
+                              out: np.ndarray, threads: int) -> None:
+    """Thread-parallel decode of independent per-chunk streams
+    (competitors.cpp cmp_chunked_decode_f64, OpenMP over chunks — the
+    reference's TBB-morsel analog at threads in {1, 8, 16}).
+
+    ``streams``: list of u64 word arrays (one per chunk); ``ns``: chunk
+    value counts; ``out``: preallocated u64[sum(ns)] (f64 bits; PDE
+    exceptions must be patched by the caller afterwards)."""
+    word_off = np.zeros(len(streams) + 1, np.int64)
+    np.cumsum([len(s) for s in streams], out=word_off[1:])
+    flat = (np.concatenate(streams) if streams
+            else np.zeros(1, np.uint64))
+    out_off = np.zeros(len(streams), np.int64)
+    np.cumsum(ns[:-1], out=out_off[1:])
+    cl = competitors_lib()
+    cl.cmp_chunked_decode_f64(
+        ctypes.c_int(_CODEC_IDS[name]), _ptr(flat, ctypes.c_uint64),
+        _ptr(word_off, ctypes.c_long),
+        _ptr(np.ascontiguousarray(ns, np.int64), ctypes.c_long),
+        _ptr(out_off, ctypes.c_long), ctypes.c_long(len(streams)),
+        _ptr(out, ctypes.c_uint64), ctypes.c_int(threads))
+
+
 def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
                      k_rg: np.ndarray,
                      vectors_per_rg: int = 100):

@@ -366,4 +366,50 @@ void cmp_patas_decode_f64(const uint64_t* stream, long n, uint64_t* out) {
     }
 }
 
+// --------------------- PDE (BtrBlocks Pseudodecimal) ---------------------
+// Decode of alp_tpu/competitors/pde_codec.py's streams: out[i] =
+// sig[i] * 10^-exp[i] (reference publication/.../btrblocks_copy/
+// btrblocks/scheme/double/Pseudodecimal.cpp decompress loop).  Exception
+// slots (exponent code 23) read FRAC[23] = 0.0 here and are patched
+// verbatim by the caller's vectorised scatter — keeps this loop
+// branch-free/autovectorizable, which only HELPS the competitor.
+void cmp_pde_decode_f64(const int32_t* sig, const uint8_t* exp, long n,
+                        double* out) {
+    static const double FRAC[24] = {
+        1.0,   1e-1,  1e-2,  1e-3,  1e-4,  1e-5,  1e-6,  1e-7,
+        1e-8,  1e-9,  1e-10, 1e-11, 1e-12, 1e-13, 1e-14, 1e-15,
+        1e-16, 1e-17, 1e-18, 1e-19, 1e-20, 1e-21, 1e-22, 0.0};
+    for (long i = 0; i < n; i++) {
+        out[i] = (double)sig[i] * FRAC[exp[i]];
+    }
+}
+
+// --------------------- chunked multithreaded decode ----------------------
+// Thread-parallel decode over independent per-chunk streams (the
+// reference's e2e benchmark runs TBB morsels over blocks the same way,
+// bench_end_to_end/include/benchmarks/alp/config.hpp threads_pool
+// {1, 8, 16}); XOR codecs are sequential WITHIN a stream, so the
+// parallel unit is the chunk.
+void cmp_chunked_decode_f64(int codec, const uint64_t* stream_words,
+                            const long* word_off, const long* ns,
+                            const long* out_off, long n_chunks,
+                            uint64_t* out, int threads) {
+#pragma omp parallel for num_threads(threads) schedule(dynamic)
+    for (long c = 0; c < n_chunks; c++) {
+        const uint64_t* s = stream_words + word_off[c];
+        uint64_t* o = out + out_off[c];
+        switch (codec) {
+            case 0: cmp_gorillas_decode_f64(s, ns[c], o); break;
+            case 1: cmp_chimp_decode_f64(s, ns[c], o); break;
+            case 2: cmp_chimp128_decode_f64(s, ns[c], o); break;
+            case 3: cmp_patas_decode_f64(s, ns[c], o); break;
+            case 4:
+                cmp_pde_decode_f64((const int32_t*)s,
+                                   (const uint8_t*)(s + (ns[c] + 1) / 2),
+                                   ns[c], (double*)o);
+                break;
+        }
+    }
+}
+
 }  // extern "C"

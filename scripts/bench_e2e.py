@@ -194,26 +194,114 @@ def main():
     assert engine.query_histogram(small, [-40.0, 0.0, 45.0]).sum() == int(
         ((base >= -40.0) & (base <= 45.0)).sum())
 
-    # ---- competitor decode speed (native single-core C++) -------------
-    # steady-state: decode twice, time the second (first touch of the
-    # output pages costs ~50x on this host — the reference's 30k-iter
-    # cycle benches are steady-state too)
-    alp_gbps = gbps
-    scratch = np.zeros(len(data), np.uint64)      # pre-touched output
-    for name in ("gorillas", "chimp", "chimp128", "patas"):
-        stream, nbits = native.competitor_encode(name, data)
-        native.competitor_decode(name, stream, len(data), out=scratch)
-        best = float("inf")
-        for _ in range(3):        # best-of-3: host timings share cores
-            t0 = time.perf_counter()
-            out = native.competitor_decode(name, stream, len(data),
-                                           out=scratch)
-            best = min(best, time.perf_counter() - t0)
-        assert (out.view(np.uint64) == data.view(np.uint64)).all()
-        g = data.nbytes / best / 1e9
-        rows.append(("SUM-scan decode", name, "1 core", round(g, 2),
-                     round(alp_gbps / g, 1)))
+    # ---- UNCOMPRESSED scan on device (table-6 "Uncompressed" row):
+    # the same SUM-shaped aggregate over raw f64 bit planes resident in
+    # HBM — 8 B/value of memory traffic with no decode (the reference's
+    # uncompressed column scans 2.24x slower than ALP from RAM,
+    # publication/tables/table_6.md:9)
+    if on_tpu:
+        import jax.numpy as _j
+        from alp_tpu.kernels import falp as _kf
+        Gu = plan.decoded_bytes // (64 * 128 * 8)
+        uh = jax.jit(lambda: jax.random.bits(
+            jax.random.PRNGKey(7), (Gu, 64, 128), dtype=_j.uint32))()
+        ul = jax.jit(lambda: jax.random.bits(
+            jax.random.PRNGKey(8), (Gu, 64, 128), dtype=_j.uint32))()
+
+        def step_unc(carry, uh, ul):
+            r = _kf.exact_sum_planes_f64(uh ^ carry, ul)
+            return r[0, 0, 0].astype(_j.uint32) ^ r.sum(
+                dtype=_j.int32).astype(_j.uint32)
+
+        dtu2 = loop_bench(step_unc, (uh, ul), 20)
+        g_unc = Gu * 64 * 128 * 8 / dtu2 / 1e9
+        rows.append(("SUM exact scan", "Uncompressed (HBM planes)",
+                     "1 chip", round(g_unc, 2), round(gbps / g_unc, 2)))
         print(rows[-1], flush=True)
+
+    # ---- competitor decode speed: native C++ codecs over independent
+    # rowgroup chunks, OpenMP threads {1, 8, 16} (the reference's TBB
+    # morsel thread pool, bench_end_to_end config.hpp threads_pool) ----
+    import multiprocessing
+    alp_gbps = gbps
+    n_cores = multiprocessing.cpu_count()
+    CH = 102400                       # rowgroup-sized morsels
+    scratch = np.zeros(len(data), np.uint64)      # pre-touched output
+    from alp_tpu.competitors import pde_codec as pde
+    pde_patches = []
+    for name in ("gorillas", "chimp", "chimp128", "patas", "pde"):
+        streams, ns = [], []
+        for off in range(0, len(data), CH):
+            chunk = data[off:off + CH]
+            if name == "pde":
+                s_, e_, p_ = pde.pde_encode(chunk)
+                streams.append(native.pde_chunk_stream(s_, e_))
+                pde_patches.append((off, e_, p_))
+            else:
+                s_, _ = native.competitor_encode(name, chunk)
+                streams.append(s_)
+            ns.append(len(chunk))
+        ns = np.array(ns, np.int64)
+        for threads in (1, 8, 16):
+            native.competitor_decode_chunked(name, streams, ns, scratch,
+                                             threads)
+            best = float("inf")
+            for _ in range(3):    # best-of-3: host timings share cores
+                t0 = time.perf_counter()
+                native.competitor_decode_chunked(name, streams, ns,
+                                                 scratch, threads)
+                best = min(best, time.perf_counter() - t0)
+            out = scratch.view(np.float64)
+            if name == "pde":
+                out = out.copy()
+                for off, e_, p_ in pde_patches:
+                    out[off:off + len(e_)][e_ == 23] = p_
+            assert (out.view(np.uint64) == data.view(np.uint64)).all()
+            g = data.nbytes / best / 1e9
+            rows.append(("SUM-scan decode", name,
+                         f"{threads} thr ({n_cores}-core host)",
+                         round(g, 2), round(alp_gbps / g, 1)))
+            print(rows[-1], flush=True)
+
+    # ---- Zstd decompression (table-6 "Zstd" row): real libzstd level 3
+    # over rowgroup chunks (reference zstd.cpp:64); ctypes releases the
+    # GIL, so the thread sweep runs a pool over chunks ------------------
+    from alp_tpu.competitors import zstd_codec
+    if zstd_codec.HAVE_ZSTD:
+        import concurrent.futures as cf
+        lib = zstd_codec._load()
+        import ctypes as ct
+        blobs, sizes = [], []
+        for off in range(0, len(data), CH):
+            raw = data[off:off + CH].tobytes()
+            blobs.append(zstd_codec._compress_chunk(lib, raw))
+            sizes.append(len(raw))
+        bufs = [ct.create_string_buffer(s) for s in sizes]
+
+        def dec(i):
+            n = lib.ZSTD_decompress(bufs[i], sizes[i], blobs[i],
+                                    len(blobs[i]))
+            assert not lib.ZSTD_isError(n) and n == sizes[i]
+
+        for threads in (1, 8, 16):
+            for i in range(len(blobs)):
+                dec(i)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                if threads == 1:
+                    for i in range(len(blobs)):
+                        dec(i)
+                else:
+                    with cf.ThreadPoolExecutor(threads) as ex:
+                        list(ex.map(dec, range(len(blobs))))
+                best = min(best, time.perf_counter() - t0)
+            g = data.nbytes / best / 1e9
+            rows.append(("DECOMPRESSION",
+                         f"zstd level3 (v{zstd_codec.zstd_version()})",
+                         f"{threads} thr ({n_cores}-core host)",
+                         round(g, 2), round(alp_gbps / g, 1)))
+            print(rows[-1], flush=True)
 
     # ---- COMPRESSION query (steady state: best of 3 full runs — the
     # host shares its cores with the terminal process) ------------------
@@ -323,7 +411,7 @@ def main():
                                     np.asarray(fill_hi))
         dt_b = loop_bench(step_b, (nhi, nlo, exc), 10)
         gbps_dev = gb_dev / (dt_a + dt_b)
-        rows.append(("COMPRESSION", "ALP device e2e (plan+encode+pack, "
+        rows.append(("COMPRESSION", "ALP device e2e (plan+encode+pack; "
                      "device-resident)", "1 chip", round(gbps_dev, 2), ""))
         print(rows[-1], f"(plan+encode {gb_dev/dt_a:.1f}, "
               f"pack {gb_dev/dt_b:.1f} GB/s)", flush=True)

@@ -74,7 +74,13 @@ def main():
 
     run("plots", [sys.executable, "scripts/make_plots.py"])
     run("tables", [sys.executable, "scripts/make_tables.py"])
-    print("\n=== all stages complete; artifacts in results/", flush=True)
+    run("parity report", [sys.executable, "scripts/make_parity.py"])
+    if not os.environ.get("ALP_DATASET_DIR_PATH"):
+        print("\n=== NOTE: the 28 full-corpus golden-ratio asserts "
+              "SKIPPED (ALP_DATASET_DIR_PATH not mounted) — they are "
+              "UNVERIFIED in this run, not passing", flush=True)
+    print("\n=== all stages complete; artifacts in results/ + "
+          "PARITY.md", flush=True)
 
 
 if __name__ == "__main__":
