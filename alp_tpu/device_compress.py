@@ -188,6 +188,77 @@ def _second_level_device(vhi, vlo, combos, k_count, *, n_vec: int):
     return fac, exp, rare
 
 
+@functools.partial(jax.jit, static_argnames=("rbw",))
+def _rd_encode_planes_f64(vhi, vlo, ridx, dict8, dict_size, *, rbw):
+    """Device ALP_RD encode of selected vectors (rd.hpp:109-147): gather
+    vector rows from the tile planes, split bits at ``rbw``, 8-wide
+    dictionary lookup with entry-validity guard, and retile the right
+    parts for the packer.
+
+    ridx [n_pad] vector ids (n_pad % 8 == 0); dict8 [n_pad, 8] u16 per
+    vector (its rowgroup's dictionary); dict_size [n_pad] i32.  ``rbw``
+    is static per bucket and >= 33 (the f64 cut is 1..16), so the left
+    part lives entirely in the hi word and the lo word passes through.
+    Returns (right_hi [G,64,128], right_lo [G,64,128], left_idx
+    [n_pad,1024] u16, exc_mask [n_pad,1024] bool, left_raw [n_pad,1024]
+    u16).
+    """
+    rows_hi = _to_vector_major(vhi).reshape(-1, 1024)[ridx]
+    rows_lo = _to_vector_major(vlo).reshape(-1, 1024)[ridx]
+    left = rows_hi >> jnp.uint32(rbw - 32)
+    right_hi = rows_hi & jnp.uint32((1 << (rbw - 32)) - 1)
+    k = jnp.arange(dict8.shape[1], dtype=jnp.int32)
+    valid = k[None, :] < dict_size[:, None]
+    matches = (left[:, :, None] == dict8[:, None, :].astype(jnp.uint32)) \
+        & valid[:, None, :]
+    in_dict = matches.any(axis=2)
+    idx = jnp.where(in_dict, jnp.argmax(matches, axis=2),
+                    dict_size[:, None]).astype(jnp.uint16)
+    thi = _to_tile_major(right_hi.reshape(-1, 64, 16))
+    tlo = _to_tile_major(rows_lo.reshape(-1, 64, 16))
+    return thi, tlo, idx, ~in_dict, left.astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw",))
+def _rd_encode_planes_f32(vtiles, ridx, dict8, dict_size, *, rbw):
+    """f32 twin of :func:`_rd_encode_planes_f64` (rbw = 32 - cut is in
+    [16, 31]: single-word split).  Returns (right_tiles [G,32,128],
+    left_idx, exc_mask, left_raw)."""
+    rows = _to_vector_major32(vtiles).reshape(-1, 1024)[ridx]
+    left = rows >> jnp.uint32(rbw)
+    right = rows & jnp.uint32((1 << rbw) - 1)
+    k = jnp.arange(dict8.shape[1], dtype=jnp.int32)
+    valid = k[None, :] < dict_size[:, None]
+    matches = (left[:, :, None] == dict8[:, None, :].astype(jnp.uint32)) \
+        & valid[:, None, :]
+    in_dict = matches.any(axis=2)
+    idx = jnp.where(in_dict, jnp.argmax(matches, axis=2),
+                    dict_size[:, None]).astype(jnp.uint16)
+    rt = _to_tile_major32(right.reshape(-1, 32, 32))
+    return rt, idx, ~in_dict, left.astype(jnp.uint16)
+
+
+def _build_rd_states(rg_scheme, n_vec, n_values, fetch, tc):
+    """Host dictionary build for RD rowgroups from FETCHED samples only
+    (rd.hpp:180-185: rd_encoder::init samples <=256 values per rowgroup
+    — planning, not throughput; the column itself stays on device)."""
+    from .oracle import core as ocore
+    from .oracle import rd as ord_
+    rd_states = {}
+    for rg in np.nonzero(rg_scheme == C.SCHEME_ALP_RD)[0]:
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        rg_len = (hi_v - lo_v) * C.VECTOR_SIZE
+        pos = ocore.first_level_sample(
+            np.arange(rg_len, dtype=np.float64), 0).astype(np.int64)
+        sample = np.asarray(fetch(lo_v * C.VECTOR_SIZE + pos), tc.pt)
+        stt = ocore.AlpState(scheme=C.SCHEME_ALP_RD)
+        stt.sampled_values_n = len(sample)
+        ord_.find_best_dictionary(sample, stt, tc)
+        rd_states[int(rg)] = stt
+    return rd_states
+
+
 @jax.jit
 def finalize_encode_stats(stats, nhi, nlo):
     """Per-vector analyze + patch quantities from the fused encode
@@ -344,12 +415,13 @@ def compress_device(data=None, *, planes=None, n_values=None):
                 combos[lo_v:hi_v, i] = (e, f)
             k_count[lo_v:hi_v] = ks
 
-    if (rg_scheme == C.SCHEME_ALP_RD).any():
-        # mixed/RD columns: the host path is authoritative for RD
-        # rowgroups (dictionary-bound, not encode-bound); fetch once
-        full = fetch(np.arange(n_vec * C.VECTOR_SIZE,
-                               dtype=np.int64))[:n_values]
-        return ct.compress(np.asarray(full, np.float64))
+    # RD rowgroups: dictionaries built host-side from FETCHED samples
+    # (planning); the per-vector split/lookup/pack runs on device below
+    rd_states = _build_rd_states(rg_scheme, n_vec, n_values, fetch, tc)
+    vec_rg_all = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+    is_rd_vec = rg_scheme[vec_rg_all] == C.SCHEME_ALP_RD
+    rd_vec = np.nonzero(is_rd_vec)[0]
+    alp_any = not is_rd_vec.all()
 
     # second-level (e, f) choice on the 32-sample stride, ON DEVICE
     # (Pallas scorer + exact accept scan, encoder.hpp:241-305) — only
@@ -386,27 +458,45 @@ def compress_device(data=None, *, planes=None, n_values=None):
             fac_v[v], exp_v[v] = f_, e_
 
     # ------- device encode + patch + analyze ---------------------------
-    c1 = tc.exp_arr[exp_v]               # 10^e
-    c2 = tc.frac_arr[fac_v]              # 10^-f
-    fact = tc.fact_arr[fac_v]
-    frac = tc.frac_arr[exp_v]
-    c1lo, c1hi = _u64_split(np.ascontiguousarray(c1))
-    c2lo, c2hi = _u64_split(np.ascontiguousarray(c2))
-    flo, fhi = _u64_split(np.ascontiguousarray(fact))
-    frlo, frhi = _u64_split(np.ascontiguousarray(frac))
-    meta = [_expand(x, n_pad_v) for x in (c1lo, c1hi, c2lo, c2hi,
-                                          flo, fhi, frlo, frhi)]
-    nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
-        vhi, vlo, *meta)
-    (bw_d, base_d, umax_d, n_exc, rare_v,
-     fill_lo_d, fill_hi_d) = finalize_encode_stats(stats, nhi, nlo)
-    bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
-    base_all = np.asarray(base_d)[:n_vec].astype(np.int64)
-    enc_max = np.asarray(umax_d)[:n_vec].view(np.uint64).copy()
-    n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
-    fill_lo_all = np.asarray(fill_lo_d)
-    fill_hi_all = np.asarray(fill_hi_d)
-    rare_vecs = np.nonzero(np.asarray(rare_v)[:n_vec])[0]
+    if alp_any:
+        c1 = tc.exp_arr[exp_v]               # 10^e
+        c2 = tc.frac_arr[fac_v]              # 10^-f
+        fact = tc.fact_arr[fac_v]
+        frac = tc.frac_arr[exp_v]
+        c1lo, c1hi = _u64_split(np.ascontiguousarray(c1))
+        c2lo, c2hi = _u64_split(np.ascontiguousarray(c2))
+        flo, fhi = _u64_split(np.ascontiguousarray(fact))
+        frlo, frhi = _u64_split(np.ascontiguousarray(frac))
+        meta = [_expand(x, n_pad_v) for x in (c1lo, c1hi, c2lo, c2hi,
+                                              flo, fhi, frlo, frhi)]
+        nhi, nlo, exc, stats = kencode.alp_encode_f64_tiles_stats(
+            vhi, vlo, *meta)
+        (bw_d, base_d, umax_d, n_exc, rare_v,
+         fill_lo_d, fill_hi_d) = finalize_encode_stats(stats, nhi, nlo)
+        bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
+        base_all = np.asarray(base_d)[:n_vec].astype(np.int64)
+        enc_max = np.asarray(umax_d)[:n_vec].view(np.uint64).copy()
+        n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
+        fill_lo_all = np.asarray(fill_lo_d)
+        fill_hi_all = np.asarray(fill_hi_d)
+        rare_vecs = np.nonzero(np.asarray(rare_v)[:n_vec])[0]
+    else:
+        # all-RD column: the ALP encode would be pure waste
+        bw_all = np.zeros(n_vec, np.uint8)
+        base_all = np.zeros(n_vec, np.int64)
+        enc_max = np.zeros(n_vec, np.uint64)
+        n_exc_np = np.zeros(n_vec, np.uint16)
+        fill_lo_all = np.zeros(n_pad_v, np.uint32)
+        fill_hi_all = np.zeros(n_pad_v, np.uint32)
+        rare_vecs = np.empty(0, np.int64)
+    if rd_vec.size:
+        # RD vectors carry no ALP metadata (host-path convention) and
+        # must not enter the ALP pack/exception/rare paths
+        bw_all[rd_vec] = 0
+        base_all[rd_vec] = 0
+        enc_max[rd_vec] = 0
+        n_exc_np[rd_vec] = 0
+        rare_vecs = np.setdiff1d(rare_vecs, rd_vec)
 
     # ------- device FFOR pack, bucketed by bit width -------------------
     packed = [None] * n_vec
@@ -455,17 +545,82 @@ def compress_device(data=None, *, planes=None, n_values=None):
             exc_values[v] = vals[off:off + cnt]
             off += cnt
 
+    # ------- ALP_RD rowgroups: device split/lookup + pack ---------------
+    # (rd.hpp:109-147 on the tile planes; rowgroups bucketed by right bit
+    # width so the split shift is static; right parts FFOR-packed by the
+    # same Pallas planes packer as ALP at base 0, left indexes packed by
+    # the jit u16 FFOR; only exception lefts + masks cross to the host)
+    left_packed = [np.empty(0, np.uint16)] * n_vec
+    if rd_vec.size:
+        from .ops import fastlanes as jfl
+        empty_u16 = np.empty(0, np.uint16)
+        for v in rd_vec:
+            exc_values[v] = empty_u16       # RD exc values are u16 lefts
+        rd_rg_of = rd_vec // C.N_VECTORS_PER_ROWGROUP
+        rbw_v = np.array([rd_states[int(r)].right_bit_width
+                          for r in rd_rg_of], np.int32)
+        lbw_v = np.array([rd_states[int(r)].left_bit_width
+                          for r in rd_rg_of], np.int32)
+        for rbw in np.unique(rbw_v):
+            bsel = np.nonzero(rbw_v == rbw)[0]
+            sel = rd_vec[bsel]
+            n_sel_pad = layout.pad_vectors(len(sel), 64)
+            ridx = np.zeros(n_sel_pad, np.int64)
+            ridx[:len(sel)] = sel
+            dict8 = np.zeros((n_sel_pad, C.MAX_RD_DICTIONARY_SIZE),
+                             np.uint16)
+            dsz = np.zeros(n_sel_pad, np.int32)
+            for j, v in enumerate(sel):
+                stt = rd_states[int(v // C.N_VECTORS_PER_ROWGROUP)]
+                dict8[j, :stt.actual_dictionary_size] = stt.left_parts_dict
+                dsz[j] = stt.actual_dictionary_size
+            thi, tlo, lidx, excm_d, lraw_d = _rd_encode_planes_f64(
+                vhi, vlo, jnp.asarray(ridx), jnp.asarray(dict8),
+                jnp.asarray(dsz), rbw=int(rbw))
+            zb = _expand(np.zeros(len(sel), np.uint32), n_sel_pad)
+            tiles = kfalp.ffor_planes_f64(thi, tlo, zb, zb, bw=int(rbw))
+            words = layout.tile_to_ref(np.asarray(tiles), int(rbw), 64,
+                                       len(sel))
+            for r, v in enumerate(sel):
+                packed[v] = words[r]
+            for lbw in np.unique(lbw_v[bsel]):
+                s2 = np.nonzero(lbw_v[bsel] == lbw)[0]
+                pk_l = np.asarray(jfl.ffor_pack(
+                    lidx[jnp.asarray(s2)],
+                    jnp.zeros(len(s2), jnp.uint16), bw=int(lbw)),
+                    np.uint16)
+                for r, j in enumerate(s2):
+                    left_packed[sel[j]] = pk_l[r]
+            excm = np.asarray(excm_d)[:len(sel)]
+            has_exc = np.nonzero(excm.any(axis=1))[0]
+            lraw = (np.asarray(lraw_d[jnp.asarray(has_exc)])
+                    if has_exc.size else None)
+            for r2, r in enumerate(has_exc):
+                v = sel[r]
+                pos = np.nonzero(excm[r])[0].astype(np.uint16)
+                exc_positions[v] = pos
+                exc_values[v] = lraw[r2][pos]
+                n_exc_np[v] = len(pos)
+
+    rd_dict = np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16)
+    rd_dict_size = np.zeros(n_rg, np.uint8)
+    rd_left_bw = np.zeros(n_rg, np.uint8)
+    rd_right_bw = np.zeros(n_rg, np.uint8)
+    for rg, stt in rd_states.items():
+        rd_dict[rg, :stt.actual_dictionary_size] = stt.left_parts_dict
+        rd_dict_size[rg] = stt.actual_dictionary_size
+        rd_left_bw[rg] = stt.left_bit_width
+        rd_right_bw[rg] = stt.right_bit_width
+
     col = ct.CompressedColumn(
         dtype=np.dtype(np.float64), n_values=n_values, n_vectors=n_vec,
         rg_scheme=rg_scheme,
-        rd_dict=np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16),
-        rd_dict_size=np.zeros(n_rg, np.uint8),
-        rd_left_bw=np.zeros(n_rg, np.uint8),
-        rd_right_bw=np.zeros(n_rg, np.uint8),
+        rd_dict=rd_dict, rd_dict_size=rd_dict_size,
+        rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
         fac=fac_v.astype(np.uint8), exp=exp_v.astype(np.uint8),
         bit_width=bw_all, base=base_all,
         exc_count=n_exc_np, packed=packed,
-        left_packed=[np.empty(0, np.uint16)] * n_vec,
+        left_packed=left_packed,
         exc_values=exc_values, exc_positions=exc_positions,
         enc_max=enc_max)
 
@@ -760,8 +915,18 @@ def _compress_device_f32(data: np.ndarray):
             for i, (e, f) in enumerate(stt.best_k_combinations):
                 combos[lo_v:hi_v, i] = (e, f)
             k_count[lo_v:hi_v] = ks
-    if (rg_scheme == C.SCHEME_ALP_RD).any():
-        return ct.compress(data)
+    # RD rowgroups: dictionaries from the host flat copy (f32 path takes
+    # numpy input); per-vector split/lookup/pack on device below
+    from .oracle import rd as ord_
+    rd_states = {}
+    for rg in np.nonzero(rg_scheme == C.SCHEME_ALP_RD)[0]:
+        lo_v = rg * C.N_VECTORS_PER_ROWGROUP
+        hi_v = min(n_vec, lo_v + C.N_VECTORS_PER_ROWGROUP)
+        rd_states[int(rg)] = ord_.rd_encoder_init(
+            flat[lo_v * C.VECTOR_SIZE: hi_v * C.VECTOR_SIZE], 0, tc)
+    vec_rg_all = np.arange(n_vec) // C.N_VECTORS_PER_ROWGROUP
+    is_rd_vec = rg_scheme[vec_rg_all] == C.SCHEME_ALP_RD
+    rd_vec = np.nonzero(is_rd_vec)[0]
 
     # second-level (e, f) choice on the 32-sample stride, ON DEVICE;
     # single-candidate vectors skip the scorer (k == 1, encoder.hpp:404)
@@ -810,6 +975,12 @@ def _compress_device_f32(data: np.ndarray):
     enc_max = (np.asarray(max_d)[:n_vec].view(np.uint32)
                - base_all.view(np.uint32)).astype(np.uint64)
     n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
+    if rd_vec.size:
+        # RD vectors carry no ALP metadata (host-path convention)
+        bw_all[rd_vec] = 0
+        base_all[rd_vec] = 0
+        enc_max[rd_vec] = 0
+        n_exc_np[rd_vec] = 0
 
     packed = [None] * n_vec
     for bw in np.unique(bw_all):
@@ -846,16 +1017,79 @@ def _compress_device_f32(data: np.ndarray):
             exc_positions[v] = pos
             exc_values[v] = vectors[v][pos]
 
+    # ------- ALP_RD rowgroups: device split/lookup + pack ---------------
+    left_packed = [np.empty(0, np.uint16)] * n_vec
+    if rd_vec.size:
+        from .ops import fastlanes as jfl
+        empty_u16 = np.empty(0, np.uint16)
+        for v in rd_vec:
+            exc_values[v] = empty_u16
+        rd_rg_of = rd_vec // C.N_VECTORS_PER_ROWGROUP
+        rbw_v = np.array([rd_states[int(r)].right_bit_width
+                          for r in rd_rg_of], np.int32)
+        lbw_v = np.array([rd_states[int(r)].left_bit_width
+                          for r in rd_rg_of], np.int32)
+        for rbw in np.unique(rbw_v):
+            bsel = np.nonzero(rbw_v == rbw)[0]
+            sel = rd_vec[bsel]
+            n_sel_pad = layout.pad_vectors(len(sel), 32)
+            ridx = np.zeros(n_sel_pad, np.int64)
+            ridx[:len(sel)] = sel
+            dict8 = np.zeros((n_sel_pad, C.MAX_RD_DICTIONARY_SIZE),
+                             np.uint16)
+            dsz = np.zeros(n_sel_pad, np.int32)
+            for j, v in enumerate(sel):
+                stt = rd_states[int(v // C.N_VECTORS_PER_ROWGROUP)]
+                dict8[j, :stt.actual_dictionary_size] = stt.left_parts_dict
+                dsz[j] = stt.actual_dictionary_size
+            rt, lidx, excm_d, lraw_d = _rd_encode_planes_f32(
+                vtiles, jnp.asarray(ridx), jnp.asarray(dict8),
+                jnp.asarray(dsz), rbw=int(rbw))
+            zb = jnp.asarray(layout.lane_expand(
+                np.zeros(n_sel_pad, np.uint32), 32))
+            tiles = kfalp.ffor_tile(rt, zb, zb, bw=int(rbw),
+                                    element_bits=32)
+            words = layout.tile_to_ref(np.asarray(tiles), int(rbw), 32,
+                                       len(sel))
+            for r, v in enumerate(sel):
+                packed[v] = words[r]
+            for lbw in np.unique(lbw_v[bsel]):
+                s2 = np.nonzero(lbw_v[bsel] == lbw)[0]
+                pk_l = np.asarray(jfl.ffor_pack(
+                    lidx[jnp.asarray(s2)],
+                    jnp.zeros(len(s2), jnp.uint16), bw=int(lbw)),
+                    np.uint16)
+                for r, j in enumerate(s2):
+                    left_packed[sel[j]] = pk_l[r]
+            excm = np.asarray(excm_d)[:len(sel)]
+            has_exc = np.nonzero(excm.any(axis=1))[0]
+            lraw = (np.asarray(lraw_d[jnp.asarray(has_exc)])
+                    if has_exc.size else None)
+            for r2, r in enumerate(has_exc):
+                v = sel[r]
+                pos = np.nonzero(excm[r])[0].astype(np.uint16)
+                exc_positions[v] = pos
+                exc_values[v] = lraw[r2][pos]
+                n_exc_np[v] = len(pos)
+
+    rd_dict = np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16)
+    rd_dict_size = np.zeros(n_rg, np.uint8)
+    rd_left_bw = np.zeros(n_rg, np.uint8)
+    rd_right_bw = np.zeros(n_rg, np.uint8)
+    for rg, stt in rd_states.items():
+        rd_dict[rg, :stt.actual_dictionary_size] = stt.left_parts_dict
+        rd_dict_size[rg] = stt.actual_dictionary_size
+        rd_left_bw[rg] = stt.left_bit_width
+        rd_right_bw[rg] = stt.right_bit_width
+
     return ct.CompressedColumn(
         dtype=np.dtype(np.float32), n_values=n_values, n_vectors=n_vec,
         rg_scheme=rg_scheme,
-        rd_dict=np.zeros((n_rg, C.MAX_RD_DICTIONARY_SIZE), np.uint16),
-        rd_dict_size=np.zeros(n_rg, np.uint8),
-        rd_left_bw=np.zeros(n_rg, np.uint8),
-        rd_right_bw=np.zeros(n_rg, np.uint8),
+        rd_dict=rd_dict, rd_dict_size=rd_dict_size,
+        rd_left_bw=rd_left_bw, rd_right_bw=rd_right_bw,
         fac=fac_v.astype(np.uint8), exp=exp_v.astype(np.uint8),
         bit_width=bw_all, base=base_all,
         exc_count=n_exc_np, packed=packed,
-        left_packed=[np.empty(0, np.uint16)] * n_vec,
+        left_packed=left_packed,
         exc_values=exc_values, exc_positions=exc_positions,
         enc_max=enc_max)

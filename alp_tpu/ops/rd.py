@@ -36,7 +36,14 @@ def rd_encode_vectors(bits, right_bw, left_dict, dict_size, *, element_bits):
     right = bits & ((one << rbw) - one)
     left_raw = (bits >> rbw).astype(jnp.uint16)
 
-    matches = left_raw[:, :, None] == left_dict[:, None, :]
+    # guard against the 0xFFFF pad sentinel: only entries below the
+    # rowgroup's actual dictionary size may match (a data value whose
+    # left part IS 0xFFFF must become an exception, as in the oracle
+    # and the reference's hash-map lookup, rd.hpp:127-144)
+    k = jnp.arange(left_dict.shape[1], dtype=jnp.int32)
+    valid = k[None, :] < dict_size[:, None]
+    matches = (left_raw[:, :, None] == left_dict[:, None, :]) \
+        & valid[:, None, :]
     in_dict = matches.any(axis=2)
     idx = jnp.argmax(matches, axis=2).astype(jnp.uint16)
     idx = jnp.where(in_dict, idx, dict_size[:, None].astype(jnp.uint16))

@@ -67,11 +67,10 @@ def main():
             vectors[alp_vec].view(np.uint64))
         all_ok &= check(f"device-decode {col.name}", ok,
                         f"variants={variants}")
-        if cc.dtype == np.float64 and not (
-                cc.rg_scheme == C.SCHEME_ALP_RD).any():
-            ccd = compress_device(data)
-            all_ok &= check(f"device-compress {col.name}",
-                            ccd.to_bytes() == cc.to_bytes())
+        # device compress covers ALP *and* ALP_RD rowgroups (round 4)
+        ccd = compress_device(data)
+        all_ok &= check(f"device-compress {col.name}",
+                        ccd.to_bytes() == cc.to_bytes())
 
     rng = np.random.default_rng(3)
     d = np.round(rng.normal(40, 25, 12_000), 2)

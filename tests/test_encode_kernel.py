@@ -342,3 +342,59 @@ def test_device_compress_bench_steps_interpret():
     p1 = stepb(jnp.uint32(0), nhi, nlo, exc)
     p2 = stepb(jnp.uint32(0), nhi, nlo, exc)
     assert int(p1) == int(p2)
+
+
+def test_compress_device_rd_bit_identical():
+    """Device-side ALP_RD compress (round 4): RD rowgroups run the
+    split/dict-lookup/pack on device (rd.hpp:109-147) and the output is
+    byte-identical to the host path — pure-RD f64, mixed ALP+RD (f64 and
+    f32), the device-resident planes path, and a POI-class sample."""
+    import jax.numpy as jnp
+    from alp_tpu import constants as C
+    from alp_tpu import container
+    from alp_tpu.device_compress import compress_device, _u64_split
+    from alp_tpu.kernels import layout
+    from alp_tpu.utils import datasets, io
+
+    rng = np.random.default_rng(29)
+    alp_part = (rng.random(102400) * 1e4).round(2)
+    rd_part = rng.standard_normal(102400) * np.pi
+
+    # pure RD with a tail vector
+    pure = np.concatenate([rd_part, rd_part[:700]])
+    h = container.compress(pure)
+    assert (h.rg_scheme == C.SCHEME_ALP_RD).all()
+    assert compress_device(pure).to_bytes() == h.to_bytes()
+
+    # mixed f64 (exercises both scheme paths in one column)
+    mixed = np.concatenate([alp_part, rd_part, alp_part[:5000]])
+    hm = container.compress(mixed)
+    assert set(hm.rg_scheme) == {C.SCHEME_ALP, C.SCHEME_ALP_RD}
+    assert compress_device(mixed).to_bytes() == hm.to_bytes()
+
+    # planes path (device-resident input) with RD present
+    vectors, n_vec = container._pad_to_vectors(mixed)
+    n_pad = layout.pad_vectors(n_vec, 64)
+    vp = np.zeros((n_pad, C.VECTOR_SIZE), np.float64)
+    vp[:n_vec] = vectors
+    lo32, hi32 = _u64_split(vp)
+    vhi = jnp.asarray(layout.plane_to_tile(hi32, 64))
+    vlo = jnp.asarray(layout.plane_to_tile(lo32, 64))
+    dp = compress_device(planes=(vhi, vlo), n_values=len(mixed))
+    assert dp.to_bytes() == hm.to_bytes()
+
+    # mixed f32 (ML-weights-like RD rowgroup)
+    w32 = np.concatenate([
+        (rng.random(102400) * 100).round(1).astype(np.float32),
+        (rng.standard_normal(102400) * 0.02).astype(np.float32) * np.pi])
+    h32 = container.compress(w32)
+    assert (h32.rg_scheme == C.SCHEME_ALP_RD).any()
+    assert compress_device(w32).to_bytes() == h32.to_bytes()
+
+    # POI-class real sample (reference data/include/double/alp_dataset)
+    col = datasets.ALP_DATASET[23]          # POI-lat
+    if col.csv_path and col.csv_path.exists():
+        data = np.tile(io.read_column(col), 3)
+        hp = container.compress(data)
+        assert (hp.rg_scheme == C.SCHEME_ALP_RD).all()
+        assert compress_device(data).to_bytes() == hp.to_bytes()

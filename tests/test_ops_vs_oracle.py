@@ -127,3 +127,34 @@ def test_jnp_ffor_matches_oracle(dtype, max_bw):
             np.testing.assert_array_equal(packed[i].view(expect.dtype), expect)
         back = np.asarray(jfl.unffor_unpack(packed, base, bw=bw))
         np.testing.assert_array_equal(back, vals)
+
+
+def test_rd_lookup_pad_sentinel_is_exception():
+    """A left part equal to the 0xFFFF pad sentinel with dict_size < 8
+    must be an exception (oracle/reference hash-map semantics,
+    rd.hpp:127-144) — regression for the padded-dict false match."""
+    from alp_tpu.constants import constants_for
+    from alp_tpu.oracle import rd as ord_
+    from alp_tpu.oracle.core import AlpState
+    from alp_tpu.ops import rd as ordops
+
+    tc = constants_for(np.float64)
+    stt = AlpState(scheme=C.SCHEME_ALP_RD)
+    stt.left_parts_dict = np.array([0x3FF8, 0x4000], np.uint16)
+    stt.actual_dictionary_size = 2
+    stt.left_bit_width = 1
+    stt.right_bit_width = 48
+    bits = np.full(1024, 1.5).view(np.uint64).copy()
+    bits[7] = (np.uint64(0xFFFF) << np.uint64(48)) | np.uint64(12345)
+
+    enc_o = ord_.rd_encode_vector(bits.view(np.float64), stt, tc)
+    assert list(enc_o.exc_positions) == [7]
+
+    dict_pad = np.full((1, 8), 0xFFFF, np.uint16)
+    dict_pad[0, :2] = stt.left_parts_dict
+    _, idx, excm, lraw = ordops.rd_encode_vectors(
+        bits[None, :], np.array([48], np.int32), dict_pad,
+        np.array([2], np.int32), element_bits=64)
+    assert list(np.nonzero(np.asarray(excm)[0])[0]) == [7]
+    assert np.asarray(idx)[0, 7] == 2
+    assert np.asarray(lraw)[0, 7] == 0xFFFF
