@@ -170,6 +170,20 @@ def main():
             t = t + np.asarray(red16(r))
         return t
 
+    # the raw-transfer bound: answering the query requires at least one
+    # host->device transfer of the snapshot payload — time that alone
+    # and print the implied decoded-GB/s ceiling next to the achieved
+    pay = np.frombuffer(blob, np.uint32,
+                        offset=len(blob) % 4)     # ~payload-sized words
+    jax.block_until_ready(_jnp.asarray(pay))
+    t0 = time.perf_counter()
+    jax.block_until_ready(_jnp.asarray(pay))
+    dt_x = time.perf_counter() - t0
+    bound = plan.decoded_bytes / dt_x / 1e9
+    print(f"[cold] snapshot {len(blob)/1e6:.1f} MB; raw-transfer bound "
+          f"= {bound:.2f} decoded-GB/s ({pay.nbytes/dt_x/1e9:.2f} GB/s "
+          "wire)", flush=True)
+
     for label, mk in (
             ("COLD first SUM (build_plan)",
              lambda: kdecode.build_plan(cc)),
@@ -181,7 +195,8 @@ def main():
         dtc = time.perf_counter() - t0
         rows.append((label, "ALP", "1 chip",
                      round(plan.decoded_bytes / dtc / 1e9, 2), ""))
-        print(rows[-1], flush=True)
+        print(rows[-1], f"({100 * plan.decoded_bytes / dtc / 1e9 / bound:"
+              f".0f}% of transfer bound)", flush=True)
 
     # correctness companions (never timed through the tunnel):
     import math
