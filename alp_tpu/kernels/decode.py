@@ -42,7 +42,9 @@ class _Group:
     meta: tuple                    # lane-expanded metadata planes (device)
     scheme: int = C.SCHEME_ALP     # ALP (falp) or ALP_RD (right+left glue)
     variant: str = "gen"           # f64 falp kernel: "gen"/"mid"/"small"
-    flags: int = 0                 # mid statics: 1 c0zero, 2 nonneg, 4 cheap_msb
+    flags: int = 0                 # statics: mid 1 c0zero/2 nonneg/4 cheap_msb/
+                                   # 8 nozero/16 alo_zero(<2^16); wide 2 nonneg/
+                                   # 8 nozero/32 allneg/64 maghi/128 alo_zero(<2^48)
     # exception scatter indices into the output planes (device arrays);
     # empty for RD groups (exceptions folded into the left parts)
     exc_g: jax.Array | None = None
@@ -93,6 +95,17 @@ def group_arrays(g) -> tuple:
     return (g.tiles,) + tuple(g.meta)
 
 
+def _msb64(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for positive int64/uint64 arrays, exact."""
+    v = x.astype(np.uint64).copy()
+    e = np.zeros(v.shape, np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(sh))
+        e[m] += sh
+        v[m] >>= np.uint64(sh)
+    return e
+
+
 def group_decode(g, dtype):
     """Kernel dispatch for a group: returns a callable over
     ``group_arrays(g)`` producing (hi, lo) planes for f64 / one plane
@@ -112,21 +125,25 @@ def group_decode(g, dtype):
     if variant == "small":
         return lambda t, b, fa, fsh, fsl, fb: kfalp.falp_decode_f64_small(
             t, b, fa, fsh, fsl, fb, bw=bw)
+    ks = (fl >> 9) & 0x7F
+    kst = ks - 1 if ks else None
     if variant == "mid":
         return lambda t, b, c2, c1, c0, fb2: kfalp.falp_decode_f64_mid(
             t, b, c2, c1, c0, fb2, bw=bw, c0zero=bool(fl & 1),
             nonneg=bool(fl & 2), cheap_msb=bool(fl & 4),
-            nozero=bool(fl & 8))
+            nozero=bool(fl & 8), alo_zero=bool(fl & 16), k_static=kst)
     if variant == "mid64":
         return lambda t, bl, bh, c1, c0, fb2: kfalp.falp_decode_f64_mid64(
             t, bl, bh, c1, c0, fb2, bw=bw, nonneg=bool(fl & 2),
-            nozero=bool(fl & 8), allneg=bool(fl & 32), maghi=bool(fl & 64))
+            nozero=bool(fl & 8), allneg=bool(fl & 32), maghi=bool(fl & 64),
+            alo_zero=bool(fl & 128), k_static=kst)
     if variant == "midc96":
         return (lambda t, bl, bh, c2, c1, c0, fb2:
                 kfalp.falp_decode_f64_midc96(
                     t, bl, bh, c2, c1, c0, fb2, bw=bw,
                     nonneg=bool(fl & 2), nozero=bool(fl & 8),
-                    allneg=bool(fl & 32), maghi=bool(fl & 64)))
+                    allneg=bool(fl & 32), maghi=bool(fl & 64),
+                    alo_zero=bool(fl & 128), k_static=kst))
     if np.dtype(dtype) == np.float64:
         return (lambda t, bl, bh, flo, fhi, frl, frh:
                 kfalp.falp_decode_f64(t, bl, bh, flo, fhi, frl, frh,
@@ -251,7 +268,7 @@ def build_plan(col) -> DecodePlan:
     # two-rounding softfloat kernel (reference src/falp.cpp semantics).
     bws_v = col.bit_width[alp_idx].astype(np.int64)
     var_v = np.full(len(alp_idx), "gen", dtype=object)
-    flags_v = np.zeros(len(alp_idx), np.int8)   # bit0 c0zero, 1 nonneg,
+    flags_v = np.zeros(len(alp_idx), np.int32)  # bit0 c0zero, 1 nonneg,
     if col.dtype == np.float64 and alp_idx.size:  # 2 cheap_msb
         base_v = col.base[alp_idx].astype(np.int64)
         fact_v = tc.fact_arr[col.fac[alp_idx]]
@@ -347,16 +364,41 @@ def build_plan(col) -> DecodePlan:
         min_abs = np.where(allneg_v, -max_n,
                            np.where(base_v >= 0, base_v, 0))
         flags_v[wide & (min_abs >= 2**32)] |= 64      # maghi
+        # alo_zero: max |n| < 2^48 -> the normalize shift is >= 16, so
+        # the normalized magnitude's low 16-bit digit is zero and the
+        # M.lo partial products halve (softfloat alo_zero contract)
+        flags_v[wide & (maxn < 2**48)] |= 128
+        # banded magnitudes: min |n| and max |n| in the same octave ->
+        # the normalize shift is one compile-time constant for the
+        # whole bucket (common when n = value * 10^f spans < 1 decade);
+        # (k + 1) rides flags bits 9..15 and becomes part of the bucket
+        # key, so equal-k vectors group together automatically
+        msb_lo = _msb64(np.maximum(min_abs, 1))
+        msb_hi = _msb64(maxn)
+        banded = wide & (min_abs >= 1) & (msb_lo == msb_hi)
+        flags_v[banded] |= ((63 - msb_hi[banded]) + 1).astype(
+            np.int32) << 9
         # generic buckets where every vector has fac == 0 skip the FACT
         # multiply (FACT = 1)
         gen_sel = var_v == "gen"
         flags_v[gen_sel & (col.fac[alp_idx] == 0)] |= 16
-        # static work-pruning flags, uniform per bucket (mid kernel)
-        flags_v[mid_v] = (c0zero_v[mid_v].astype(np.int8)
+        # static work-pruning flags, uniform per bucket (mid kernel);
+        # bit 16 here is the 32-bit alo_zero twin (|n| < 2^16), bits
+        # 9..15 the banded-magnitude static shift (k = 31 - msb here)
+        min_abs_m = np.where(max_n[mid_v] < 0, -max_n[mid_v],
+                             np.where(base_v[mid_v] >= 0,
+                                      base_v[mid_v], 0))
+        msb_m = _msb64(np.maximum(maxn[mid_v], 1))
+        banded_m = ((min_abs_m >= 1)
+                    & (_msb64(np.maximum(min_abs_m, 1)) == msb_m))
+        flags_v[mid_v] = (c0zero_v[mid_v].astype(np.int32)
                           | np.where(base_v[mid_v] >= 0, 2, 0)
                           | np.where(maxn[mid_v] < 2**24, 4, 0)
                           | np.where(base_v[mid_v] > 0, 8, 0)
-                          ).astype(np.int8)
+                          | np.where(maxn[mid_v] < 2**16, 16, 0)
+                          | np.where(banded_m,
+                                     ((31 - msb_m) + 1) << 9, 0)
+                          ).astype(np.int32)
 
     for bw, vr, fl in sorted({(int(b), str(v), int(f))
                               for b, v, f in zip(bws_v, var_v, flags_v)}):

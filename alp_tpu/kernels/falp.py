@@ -176,7 +176,8 @@ def _falp_f64_small_kernel(packed_ref, base, fact, fsig_hi, fsig_lo,
 
 def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
                          out_hi, out_lo, *, bw: int, c0zero: bool,
-                         nonneg: bool, cheap_msb: bool, nozero: bool):
+                         nonneg: bool, cheap_msb: bool, nozero: bool,
+                         alo_zero: bool, k_static):
     # Mid-magnitude fast path: |n| <= 2^31 and |n * 5^fac| < 2^53, so
     # double(m) is exact and one 32x96 product with a single rounding
     # replaces the generic convert-then-multiply softfloat pipeline.
@@ -188,17 +189,21 @@ def _falp_f64_mid_kernel(packed_ref, base, c2, c1, c0, fb2,
     r = sf.i32c96_to_f64(n, c2[:][:, None, :], c1[:][:, None, :],
                          c0[:][:, None, :], fb2[:][:, None, :],
                          c0zero=c0zero, nonneg=nonneg, cheap_msb=cheap_msb,
-                         nozero=nozero)
+                         nozero=nozero, alo_zero=alo_zero,
+                         k_static=k_static)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "c0zero", "nonneg",
                                              "cheap_msb", "nozero",
+                                             "alo_zero", "k_static",
                                              "block_groups"))
 def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
                         c0zero: bool = False, nonneg: bool = False,
                         cheap_msb: bool = False, nozero: bool = False,
+                        alo_zero: bool = False,
+                        k_static: int | None = None,
                         block_groups: int | None = None):
     """Fused falp decode, mid-magnitude variant (bw <= 32, odd part of
     m = n * FACT below 2^53: double(m) exact, single rounding).
@@ -225,7 +230,8 @@ def falp_decode_f64_mid(packed, base, c2, c1, c0, fb2, *, bw: int,
     out = pl.pallas_call(
         functools.partial(_falp_f64_mid_kernel, bw=bw, c0zero=c0zero,
                           nonneg=nonneg, cheap_msb=cheap_msb,
-                          nozero=nozero),
+                          nozero=nozero, alo_zero=alo_zero,
+                          k_static=k_static),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -257,7 +263,8 @@ def _wide_n_or_mag(packed_ref, base, bw: int, shape, allneg: bool):
 
 def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
                            out_hi, out_lo, *, bw: int, nonneg: bool,
-                           nozero: bool, allneg: bool, maghi: bool):
+                           nozero: bool, allneg: bool, maghi: bool,
+                           alo_zero: bool, k_static):
     # mid64 fast path (bw 33..52): |n * 5^fac| < 2^53 and the constant
     # 5^fac * fsig fits 64 bits, so double(m) is exact and one 64x64
     # product with a single rounding replaces the generic pipeline.
@@ -268,22 +275,27 @@ def _falp_f64_mid64_kernel(packed_ref, base_lo, base_hi, c1, c0, fb2,
     fb = fb2[:][:, None, :]
     if allneg:
         r = sf.u64mag_c64_to_f64(n, 1, cc1, cc0, fb, maghi=maghi,
-                                 nozero=True)
+                                 nozero=True, alo_zero=alo_zero,
+                                 k_static=k_static)
     elif nonneg:
         r = sf.u64mag_c64_to_f64(n, 0, cc1, cc0, fb, maghi=maghi,
-                                 nozero=nozero)
+                                 nozero=nozero, alo_zero=alo_zero,
+                                 k_static=k_static)
     else:
-        r = sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=nozero)
+        r = sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=nozero,
+                             alo_zero=alo_zero, k_static=k_static)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero",
-                                             "allneg", "maghi"))
+                                             "allneg", "maghi",
+                                             "alo_zero", "k_static"))
 def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
                           bw: int, nonneg: bool = False,
                           nozero: bool = False, allneg: bool = False,
-                          maghi: bool = False):
+                          maghi: bool = False, alo_zero: bool = False,
+                          k_static: int | None = None):
     """Fused falp decode, mid64 variant (bit widths beyond int32 whose
     odd part still fits 2^53 with a 64-bit plan-time constant).
 
@@ -309,7 +321,8 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_mid64_kernel, bw=bw, nonneg=nonneg,
-                          nozero=nozero, allneg=allneg, maghi=maghi),
+                          nozero=nozero, allneg=allneg, maghi=maghi,
+                          alo_zero=alo_zero, k_static=k_static),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -325,7 +338,8 @@ def falp_decode_f64_mid64(packed, base_lo, base_hi, c1, c0, fb2, *,
 
 def _falp_f64_midc96_kernel(packed_ref, base_lo, base_hi, c2, c1, c0,
                             fb2, out_hi, out_lo, *, bw: int, nonneg: bool,
-                            nozero: bool, allneg: bool, maghi: bool):
+                            nozero: bool, allneg: bool, maghi: bool,
+                            alo_zero: bool, k_static):
     # mid64c96 fast path: like mid64 but the plan-time constant
     # 5^fac * fsig needs 65..96 bits (fac 5..9), so the single-rounding
     # product is 64x96 (softfloat.i64c96_to_f64).
@@ -337,22 +351,27 @@ def _falp_f64_midc96_kernel(packed_ref, base_lo, base_hi, c2, c1, c0,
     fb = fb2[:][:, None, :]
     if allneg:
         r = sf.u64mag_c96_to_f64(n, 1, cc2, cc1, cc0, fb, maghi=maghi,
-                                 nozero=True)
+                                 nozero=True, alo_zero=alo_zero,
+                                 k_static=k_static)
     elif nonneg:
         r = sf.u64mag_c96_to_f64(n, 0, cc2, cc1, cc0, fb, maghi=maghi,
-                                 nozero=nozero)
+                                 nozero=nozero, alo_zero=alo_zero,
+                                 k_static=k_static)
     else:
-        r = sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=nozero)
+        r = sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=nozero,
+                             alo_zero=alo_zero, k_static=k_static)
     out_hi[:] = r.hi
     out_lo[:] = r.lo
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "nonneg", "nozero",
-                                             "allneg", "maghi"))
+                                             "allneg", "maghi",
+                                             "alo_zero", "k_static"))
 def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
                            bw: int, nonneg: bool = False,
                            nozero: bool = False, allneg: bool = False,
-                           maghi: bool = False):
+                           maghi: bool = False, alo_zero: bool = False,
+                           k_static: int | None = None):
     """Fused falp decode, mid64c96 variant: bit widths beyond int32 whose
     odd part fits 2^53 but whose constant 5^fac * fsig needs more than
     64 bits (fac 5..9 — e.g. CMS/1 at fac 5 / bw 41, Medicare/1 at
@@ -374,7 +393,8 @@ def falp_decode_f64_midc96(packed, base_lo, base_hi, c2, c1, c0, fb2, *,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_falp_f64_midc96_kernel, bw=bw, nonneg=nonneg,
-                          nozero=nozero, allneg=allneg, maghi=maghi),
+                          nozero=nozero, allneg=allneg, maghi=maghi,
+                          alo_zero=alo_zero, k_static=k_static),
         grid=(Gp // gb,),
         in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
                                lambda i: (i, i * 0, i * 0),
@@ -781,10 +801,13 @@ def _variant_value_f64(variant, packed_ref, metas, shape, *, bw: int,
             n = jnp.broadcast_to(b, shape)
         else:
             n = _unpack_all(packed_ref, bw, 64, 2).lo + b
+        ks = (fl >> 9) & 0x7F
         return sf.i32c96_to_f64(n, c2, c1, c0, fb2,
                                 c0zero=bool(fl & 1), nonneg=bool(fl & 2),
                                 cheap_msb=bool(fl & 4),
-                                nozero=bool(fl & 8))
+                                nozero=bool(fl & 8),
+                                alo_zero=bool(fl & 16),
+                                k_static=ks - 1 if ks else None)
     if variant == "mid64":
         base_lo, base_hi, c1, c0, fb2 = metas
         base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
@@ -792,14 +815,21 @@ def _variant_value_f64(variant, packed_ref, metas, shape, *, bw: int,
         cc1 = c1[:][:, None, :]
         cc0 = c0[:][:, None, :]
         fb = fb2[:][:, None, :]
+        ks = (fl >> 9) & 0x7F
+        kst = ks - 1 if ks else None
         if fl & 32:
             return sf.u64mag_c64_to_f64(n, 1, cc1, cc0, fb,
-                                        maghi=bool(fl & 64), nozero=True)
+                                        maghi=bool(fl & 64), nozero=True,
+                                        alo_zero=bool(fl & 128),
+                                        k_static=kst)
         if fl & 2:
             return sf.u64mag_c64_to_f64(n, 0, cc1, cc0, fb,
                                         maghi=bool(fl & 64),
-                                        nozero=bool(fl & 8))
-        return sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=bool(fl & 8))
+                                        nozero=bool(fl & 8),
+                                        alo_zero=bool(fl & 128),
+                                        k_static=kst)
+        return sf.i64c64_to_f64(n, cc1, cc0, fb, nozero=bool(fl & 8),
+                                alo_zero=bool(fl & 128), k_static=kst)
     if variant == "midc96":
         base_lo, base_hi, c2, c1, c0, fb2 = metas
         base = U64(base_hi[:][:, None, :], base_lo[:][:, None, :])
@@ -808,14 +838,21 @@ def _variant_value_f64(variant, packed_ref, metas, shape, *, bw: int,
         cc1 = c1[:][:, None, :]
         cc0 = c0[:][:, None, :]
         fb = fb2[:][:, None, :]
+        ks = (fl >> 9) & 0x7F
+        kst = ks - 1 if ks else None
         if fl & 32:
             return sf.u64mag_c96_to_f64(n, 1, cc2, cc1, cc0, fb,
-                                        maghi=bool(fl & 64), nozero=True)
+                                        maghi=bool(fl & 64), nozero=True,
+                                        alo_zero=bool(fl & 128),
+                                        k_static=kst)
         if fl & 2:
             return sf.u64mag_c96_to_f64(n, 0, cc2, cc1, cc0, fb,
                                         maghi=bool(fl & 64),
-                                        nozero=bool(fl & 8))
-        return sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=bool(fl & 8))
+                                        nozero=bool(fl & 8),
+                                        alo_zero=bool(fl & 128),
+                                        k_static=kst)
+        return sf.i64c96_to_f64(n, cc2, cc1, cc0, fb, nozero=bool(fl & 8),
+                                alo_zero=bool(fl & 128), k_static=kst)
     raise ValueError(variant)
 
 

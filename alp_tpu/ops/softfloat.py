@@ -615,7 +615,9 @@ def i64_to_f64_times_normal(m: U64, fsig: U64, f_biased: jnp.ndarray) -> U64:
 def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
                   c0: jnp.ndarray, fb2: jnp.ndarray, *,
                   c0zero: bool = False, nonneg: bool = False,
-                  cheap_msb: bool = False, nozero: bool = False) -> U64:
+                  cheap_msb: bool = False, nozero: bool = False,
+                  alo_zero: bool = False,
+                  k_static: int | None = None) -> U64:
     """``RN(n * C * 2^E)`` for int32 ``n`` and a per-vector positive
     constant ``C'`` top-aligned into [2^95, 2^96) as three u32 limbs.
 
@@ -639,34 +641,51 @@ def i32c96_to_f64(n: jnp.ndarray, c2: jnp.ndarray, c1: jnp.ndarray,
         mask = (n.astype(_I32) >> 31).astype(_U32)
         sign = mask & _u32(1)
         mag = (n ^ mask) - mask
-    if cheap_msb:
+    if k_static is not None:
+        # block-constant normalize shift (banded magnitudes)
+        k = int(k_static)
+        M = mag << _u32(k) if k else mag
+    elif cheap_msb:
         # |n| < 2^24 for the whole bucket: i32->f32 convert is exact, the
         # exponent field IS the msb (no round-up-to-power-of-2 guard)
         f = (mag | _u32(1)).astype(_I32).astype(jnp.float32)
         nb = ((f.view(_U32) >> 23) - _u32(127)).astype(_I32)
+        k = (_I32(31) - nb).astype(_U32)
+        M = mag << k                               # [2^31, 2^32)
     else:
         nb = _msb32(mag | _u32(1))
-    k = (_I32(31) - nb).astype(_U32)
-    M = mag << k                                   # [2^31, 2^32)
+        k = (_I32(31) - nb).astype(_U32)
+        M = mag << k                               # [2^31, 2^32)
     # exact 32x96 product: p = M * C' in [2^126, 2^128) as 4 u32 limbs;
     # the 16-bit split of M is shared across the three partial products
     # (the splits of c2/c1/c0 are per-vector metadata planes — 1/slots
-    # the cost of a value-plane op)
-    al = M & _u32(0xFFFF)
+    # the cost of a value-plane op).  ``alo_zero``: |n| < 2^16 for the
+    # whole block, so k >= 16 and M's low 16-bit digit is zero — each
+    # partial product collapses to a halved schoolbook multiply.
     ah = M >> 16
 
-    def mul_c(c):
-        bl = c & _u32(0xFFFF)
-        bh = c >> 16
-        ll = al * bl
-        lh = al * bh
-        hl = ah * bl
-        hh = ah * bh
-        mid = lh + hl
-        midc = (mid < lh).astype(_U32)
-        lo = ll + (mid << 16)
-        loc = (lo < ll).astype(_U32)
-        return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
+    if alo_zero:
+        def mul_c(c):
+            bl = c & _u32(0xFFFF)
+            bh = c >> 16
+            hl = ah * bl
+            hh = ah * bh
+            return U64(hh + (hl >> 16), hl << 16)
+    else:
+        al = M & _u32(0xFFFF)
+
+        def mul_c(c):
+            bl = c & _u32(0xFFFF)
+            bh = c >> 16
+            ll = al * bl
+            lh = al * bh
+            hl = ah * bl
+            hh = ah * bh
+            mid = lh + hl
+            midc = (mid < lh).astype(_U32)
+            lo = ll + (mid << 16)
+            loc = (lo < ll).astype(_U32)
+            return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
 
     p1 = mul_c(c1)
     p2 = mul_c(c2)
@@ -719,11 +738,25 @@ def _p126_round_pack(x3, x2, x1, x0, fb2, k, sign) -> U64:
                             round_up)
 
 
-def _normalize_mag53(mag: U64, maghi: bool):
+def _normalize_mag53(mag: U64, maghi: bool, k_static: int | None = None):
     """Normalize a magnitude < 2^53 into M in [2^63, 2^64); returns
     (M, k64).  ``maghi`` statically asserts mag >= 2^32 for the whole
     block: mag.hi != 0 kills the two-case select, and mag.hi < 2^21
-    (|n| < 2^53) guarantees k in [11, 31] so no shift guard is needed."""
+    (|n| < 2^53) guarantees k in [11, 31] so no shift guard is needed.
+    ``k_static``: every magnitude of the block shares one msb (plan
+    proof: min |n| and max |n| in the same octave), so the shift is a
+    compile-time constant — no msb computation at all, and the exponent
+    arithmetic folds at trace time."""
+    if k_static is not None:
+        k = int(k_static)
+        if k == 0:
+            return U64(mag.hi, mag.lo), 0
+        if k < 32:
+            return U64((mag.hi << _u32(k)) | (mag.lo >> _u32(32 - k)),
+                       mag.lo << _u32(k)), k
+        if k == 32:
+            return U64(mag.lo, jnp.zeros_like(mag.lo)), k
+        return U64(mag.lo << _u32(k - 32), jnp.zeros_like(mag.lo)), k
     if maghi:
         # mag.hi in [1, 2^21): the i32->f32 convert is exact (< 2^24),
         # so the exponent field IS the msb — no round-up/top-bit guards
@@ -746,7 +779,8 @@ def _normalize_mag53(mag: U64, maghi: bool):
 
 def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
                   fb2: jnp.ndarray, *, nonneg: bool = False,
-                  nozero: bool = False) -> U64:
+                  nozero: bool = False, alo_zero: bool = False,
+                  k_static: int | None = None) -> U64:
     """``RN(int64(n) * C * 2^E)`` for |n| < 2^53 beyond int32 range and a
     per-vector constant ``C' = 5^fac * fsig(FRAC)`` that fits 64 bits
     (fac <= 4), top-aligned into [2^63, 2^64) as limbs (c1, c0).
@@ -762,25 +796,31 @@ def i64c64_to_f64(n: U64, c1: jnp.ndarray, c0: jnp.ndarray,
     :func:`u64mag_c64_to_f64` with static sign 1.
     """
     if nonneg:
-        return u64mag_c64_to_f64(n, 0, c1, c0, fb2, nozero=nozero)
+        return u64mag_c64_to_f64(n, 0, c1, c0, fb2, nozero=nozero,
+                                 alo_zero=alo_zero, k_static=k_static)
     smask = (n.hi.astype(_I32) >> 31).astype(_U32)
     sign = smask & _u32(1)
     negd = neg64(n)
     mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
               jnp.where(smask != 0, negd.lo, n.lo))
-    return u64mag_c64_to_f64(mag, sign, c1, c0, fb2, nozero=nozero)
+    return u64mag_c64_to_f64(mag, sign, c1, c0, fb2, nozero=nozero,
+                             alo_zero=alo_zero, k_static=k_static)
 
 
 def u64mag_c64_to_f64(mag: U64, sign, c1: jnp.ndarray, c0: jnp.ndarray,
                       fb2: jnp.ndarray, *, maghi: bool = False,
-                      nozero: bool = False) -> U64:
+                      nozero: bool = False, alo_zero: bool = False,
+                      k_static: int | None = None) -> U64:
     """Magnitude-entry core of :func:`i64c64_to_f64`: ``sign`` is a 0/1
     array or a static Python int (whole-block sign proof — the allneg
     fast path computes |n| = (-base) - u with one subtract and passes
-    sign=1).  ``maghi``: every |n| >= 2^32 (see _normalize_mag53)."""
-    M, k64 = _normalize_mag53(mag, maghi)
+    sign=1).  ``maghi``: every |n| >= 2^32 (see _normalize_mag53).
+    ``alo_zero``: every |n| < 2^48 for the block, so the normalize shift
+    is >= 16 and M.lo's low 16-bit digit is zero — the two M.lo partial
+    products collapse to halved schoolbook multiplies (4 fewer muls).
+    ``k_static``: block-constant normalize shift (see _normalize_mag53)."""
+    M, k64 = _normalize_mag53(mag, maghi, k_static)
     # exact 64x64 product p = M * C' in [2^126, 2^128); shared splits
-    al = M.lo & _u32(0xFFFF)
     ah = M.lo >> 16
     bl = M.hi & _u32(0xFFFF)
     bh = M.hi >> 16
@@ -798,8 +838,22 @@ def u64mag_c64_to_f64(mag: U64, sign, c1: jnp.ndarray, c0: jnp.ndarray,
         loc = (lo < ll).astype(_U32)
         return U64(hh + (mid >> 16) + (midc << 16) + loc, lo)
 
-    p00 = mul_c(al, ah, c0)          # M.lo * c0
-    p01 = mul_c(al, ah, c1)          # M.lo * c1
+    def mul_c_a0(a_hi16, c):
+        # a's low 16-bit digit is zero: a*c = (a_hi16*c) << 16 exactly;
+        # hh + (hl >> 16) cannot carry (hh <= (2^16-1)^2)
+        cl = c & _u32(0xFFFF)
+        ch = c >> 16
+        hl = a_hi16 * cl
+        hh = a_hi16 * ch
+        return U64(hh + (hl >> 16), hl << 16)
+
+    if alo_zero:
+        p00 = mul_c_a0(ah, c0)       # M.lo * c0 (al == 0)
+        p01 = mul_c_a0(ah, c1)       # M.lo * c1 (al == 0)
+    else:
+        al = M.lo & _u32(0xFFFF)
+        p00 = mul_c(al, ah, c0)      # M.lo * c0
+        p01 = mul_c(al, ah, c1)      # M.lo * c1
     p10 = mul_c(bl, bh, c0)          # M.hi * c0
     p11 = mul_c(bl, bh, c1)          # M.hi * c1
     x0 = p00.lo
@@ -824,7 +878,9 @@ def u64mag_c64_to_f64(mag: U64, sign, c1: jnp.ndarray, c0: jnp.ndarray,
 
 def i64c96_to_f64(n: U64, c2: jnp.ndarray, c1: jnp.ndarray,
                   c0: jnp.ndarray, fb2: jnp.ndarray, *,
-                  nonneg: bool = False, nozero: bool = False) -> U64:
+                  nonneg: bool = False, nozero: bool = False,
+                  alo_zero: bool = False,
+                  k_static: int | None = None) -> U64:
     """``RN(int64(n) * C * 2^E)`` for |n| < 2^53 beyond int32 range and a
     per-vector constant ``C' = 5^fac * fsig(FRAC)`` wider than 64 bits
     (fac 5..9), top-aligned into [2^95, 2^96) as limbs (c2, c1, c0).
@@ -841,23 +897,27 @@ def i64c96_to_f64(n: U64, c2: jnp.ndarray, c1: jnp.ndarray,
     products use a halved schoolbook multiply that relies on it.
     """
     if nonneg:
-        return u64mag_c96_to_f64(n, 0, c2, c1, c0, fb2, nozero=nozero)
+        return u64mag_c96_to_f64(n, 0, c2, c1, c0, fb2, nozero=nozero,
+                                 alo_zero=alo_zero, k_static=k_static)
     smask = (n.hi.astype(_I32) >> 31).astype(_U32)
     sign = smask & _u32(1)
     negd = neg64(n)
     mag = U64(jnp.where(smask != 0, negd.hi, n.hi),
               jnp.where(smask != 0, negd.lo, n.lo))
-    return u64mag_c96_to_f64(mag, sign, c2, c1, c0, fb2, nozero=nozero)
+    return u64mag_c96_to_f64(mag, sign, c2, c1, c0, fb2, nozero=nozero,
+                             alo_zero=alo_zero, k_static=k_static)
 
 
 def u64mag_c96_to_f64(mag: U64, sign, c2: jnp.ndarray, c1: jnp.ndarray,
                       c0: jnp.ndarray, fb2: jnp.ndarray, *,
-                      maghi: bool = False, nozero: bool = False) -> U64:
+                      maghi: bool = False, nozero: bool = False,
+                      alo_zero: bool = False,
+                      k_static: int | None = None) -> U64:
     """Magnitude-entry core of :func:`i64c96_to_f64` (see
-    :func:`u64mag_c64_to_f64` for the sign/maghi contracts)."""
-    M, k64 = _normalize_mag53(mag, maghi)
+    :func:`u64mag_c64_to_f64` for the sign/maghi/alo_zero/k_static
+    contracts; with ``alo_zero`` the three M.lo partials lose 5 muls)."""
+    M, k64 = _normalize_mag53(mag, maghi, k_static)
     # exact 64x96 product p = M * C' in [2^158, 2^160), five u32 limbs
-    al = M.lo & _u32(0xFFFF)
     ah = M.lo >> 16
     bl = M.hi & _u32(0xFFFF)
     bh = M.hi >> 16
@@ -882,9 +942,24 @@ def u64mag_c96_to_f64(mag: U64, sign, c2: jnp.ndarray, c1: jnp.ndarray,
         hh = a_hi16 * ch
         return U64(hh + (lh >> 16), lh << 16)
 
-    p00 = mul_c_h(al, ah, c0)        # M.lo * c0
-    p01 = mul_c(al, ah, c1)          # M.lo * c1
-    p02 = mul_c(al, ah, c2)          # M.lo * c2
+    def mul_c_a0(a_hi16, c):
+        # a's low 16-bit digit is zero: halved schoolbook (see c64 core)
+        cl = c & _u32(0xFFFF)
+        ch = c >> 16
+        hl = a_hi16 * cl
+        hh = a_hi16 * ch
+        return U64(hh + (hl >> 16), hl << 16)
+
+    if alo_zero:
+        # al == 0 and c0's low 16 bits zero: M.lo * c0 = (ah*ch0) << 32
+        p00 = U64(ah * (c0 >> 16), jnp.zeros_like(ah))
+        p01 = mul_c_a0(ah, c1)       # M.lo * c1 (al == 0)
+        p02 = mul_c_a0(ah, c2)       # M.lo * c2 (al == 0)
+    else:
+        al = M.lo & _u32(0xFFFF)
+        p00 = mul_c_h(al, ah, c0)    # M.lo * c0
+        p01 = mul_c(al, ah, c1)      # M.lo * c1
+        p02 = mul_c(al, ah, c2)      # M.lo * c2
     p10 = mul_c_h(bl, bh, c0)        # M.hi * c0
     p11 = mul_c(bl, bh, c1)          # M.hi * c1
     p12 = mul_c(bl, bh, c2)          # M.hi * c2

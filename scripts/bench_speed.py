@@ -89,9 +89,12 @@ def main():
         packed = devbits((G, 2 * bw, 128), seed=bw)
         if bw <= 31:   # bw 32 cannot prove n in int32 -> mid64 instead
             def step_falp(carry, packed, bw=bw):
+                # alo_zero: base 0 -> max |n| = 2^bw - 1 < 2^16 provable
+                # for bw <= 16 (the plan emits the same flag)
                 hi, lo = kf.falp_decode_f64_mid(
                     packed, zero + carry, c2p, c1p, c0p, fb2p, bw=bw,
-                    c0zero=True, nonneg=True, cheap_msb=bw <= 24)
+                    c0zero=True, nonneg=True, cheap_msb=bw <= 24,
+                    alo_zero=bw <= 16)
                 return hi[0, 0, 0] ^ lo[0, 0, 0]
             dt = loop_bench(step_falp, (packed,), ITERS)
         elif bw <= 52:
@@ -99,9 +102,10 @@ def main():
             # 33..52 prove |n * 5^0| < 2^53 with a 64-bit constant ->
             # the mid64 single-rounding kernel (nonneg: base 0)
             def step_falp(carry, packed, bw=bw):
+                # alo_zero provable for bw <= 48 (max |n| < 2^48)
                 hi, lo = kf.falp_decode_f64_mid64(
                     packed, zero + carry, zero, c1p64, c0p64, fb2p64,
-                    bw=bw, nonneg=True)
+                    bw=bw, nonneg=True, alo_zero=bw <= 48)
                 return hi[0, 0, 0] ^ lo[0, 0, 0]
             dt = loop_bench(step_falp, (packed,), ITERS)
         else:
@@ -125,7 +129,7 @@ def main():
     def step_c96(carry, packed):
         hi, lo = kf.falp_decode_f64_midc96(
             packed, zero + carry, zero, c2q, c1q, c0q, fb2q, bw=41,
-            nonneg=True)
+            nonneg=True, alo_zero=True)
         return hi[0, 0, 0] ^ lo[0, 0, 0]
 
     dt = loop_bench(step_c96, (packed41,), ITERS)

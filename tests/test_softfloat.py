@@ -279,3 +279,73 @@ class TestFastDecodeVariants:
         got = ((np.asarray(out.hi, np.uint64) << np.uint64(32))
                | np.asarray(out.lo, np.uint64))
         np.testing.assert_array_equal(got, expect.view(np.uint64))
+
+
+def test_alo_zero_prune_exact():
+    """alo_zero (|n| < 2^48 wide / < 2^16 mid) must be bit-identical to
+    the full multiply on boundary and random magnitudes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from alp_tpu.ops import softfloat as sf
+    from alp_tpu.ops.softfloat import U64
+    from alp_tpu import constants as C
+
+    rng = np.random.default_rng(31)
+    mags = np.concatenate([
+        rng.integers(1, 2**48, 500, dtype=np.uint64),
+        np.array([1, 2, 2**16 - 1, 2**16, 2**32 - 1, 2**32,
+                  2**47, 2**48 - 1], np.uint64)])
+    hi = jnp.asarray((mags >> 32).astype(np.uint32))
+    lo = jnp.asarray((mags & 0xFFFFFFFF).astype(np.uint32))
+    for fac, exp in ((0, 9), (3, 12)):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        s_c = 63 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        c1 = jnp.full(len(mags), np.uint32(cc >> 32), jnp.uint32)
+        c0 = jnp.full(len(mags), np.uint32(cc & 0xFFFFFFFF), jnp.uint32)
+        fb2 = jnp.full(len(mags), np.uint32(fb + 74 + fac - s_c),
+                       jnp.uint32)
+        a = sf.u64mag_c64_to_f64(U64(hi, lo), 0, c1, c0, fb2)
+        b = sf.u64mag_c64_to_f64(U64(hi, lo), 0, c1, c0, fb2,
+                                 alo_zero=True)
+        assert (np.asarray(a.hi) == np.asarray(b.hi)).all()
+        assert (np.asarray(a.lo) == np.asarray(b.lo)).all()
+    for fac, exp in ((5, 14), (7, 16)):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        s_c = 95 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        mk = lambda v: jnp.full(len(mags), np.uint32(v & 0xFFFFFFFF),
+                                jnp.uint32)
+        c2p, c1p, c0p = mk(cc >> 64), mk(cc >> 32), mk(cc)
+        fb2 = mk(fb + 106 + fac - s_c)
+        a = sf.u64mag_c96_to_f64(U64(hi, lo), 0, c2p, c1p, c0p, fb2)
+        b = sf.u64mag_c96_to_f64(U64(hi, lo), 0, c2p, c1p, c0p, fb2,
+                                 alo_zero=True)
+        assert (np.asarray(a.hi) == np.asarray(b.hi)).all()
+        assert (np.asarray(a.lo) == np.asarray(b.lo)).all()
+    # mid twin: |n| < 2^16
+    n16 = np.concatenate([
+        rng.integers(-(2**16) + 1, 2**16, 500, dtype=np.int64),
+        np.array([1, -1, 2**16 - 1, -(2**16) + 1, 255, -255], np.int64)])
+    nj = jnp.asarray(n16.astype(np.int32).view(np.uint32))
+    for fac, exp in ((2, 10),):
+        frac_u = int(np.float64(C.DOUBLE.frac_arr[exp]).view(np.uint64))
+        fsig = (frac_u & ((1 << 52) - 1)) | (1 << 52)
+        cc = (5 ** fac) * fsig
+        s_c = 95 - (cc.bit_length() - 1)
+        cc <<= s_c
+        fb = (frac_u >> 52) & 0x7FF
+        mk = lambda v: jnp.full(len(n16), np.uint32(v & 0xFFFFFFFF),
+                                jnp.uint32)
+        c2p, c1p, c0p = mk(cc >> 64), mk(cc >> 32), mk(cc)
+        fb2 = mk(fb + 106 + fac - s_c)
+        a = sf.i32c96_to_f64(nj, c2p, c1p, c0p, fb2)
+        b = sf.i32c96_to_f64(nj, c2p, c1p, c0p, fb2, alo_zero=True)
+        assert (np.asarray(a.hi) == np.asarray(b.hi)).all()
+        assert (np.asarray(a.lo) == np.asarray(b.lo)).all()
