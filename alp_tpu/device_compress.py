@@ -104,6 +104,18 @@ def _gather_regroup(plane, rows_idx):
     return _to_tile_major(rows)
 
 
+@jax.jit
+def _gather_regroup3(nhi, nlo, exc, rows_idx):
+    """One fused vector-major transform + gather + retile of the three
+    encode planes for ALL pack buckets at once (rows_idx is the
+    concatenation of every bucket's padded vector ids): per-bucket
+    callers then take static slices on the group axis.  Replaces one
+    full-plane transpose+gather PER BUCKET with one total — the pack
+    stage's cost is gather-dominated (ffor itself runs ~10x faster)."""
+    return (_gather_regroup(nhi, rows_idx), _gather_regroup(nlo, rows_idx),
+            _gather_regroup(exc, rows_idx))
+
+
 def _gather_flat(vhi, vlo, flat_idx: np.ndarray) -> np.ndarray:
     """Gather f64 values at flat value indices from device tile planes
     (one small device gather + fetch; the device-resident path ships
@@ -499,10 +511,16 @@ def compress_device(data=None, *, planes=None, n_values=None):
         rare_vecs = np.setdiff1d(rare_vecs, rd_vec)
 
     # ------- device FFOR pack, bucketed by bit width -------------------
+    # ONE combined gather/retile of the encode planes for all buckets
+    # (static per-bucket slices after) — the gather is the pack stage's
+    # dominant cost, the ffor kernel itself runs ~10x faster
     packed = [None] * n_vec
     base_lo = (base_all.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
         np.uint32)
     base_hi = (base_all.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
+    bucket_list = []
+    idx_parts = []
+    off_v = 0
     for bw in np.unique(bw_all):
         sel = np.nonzero(bw_all == bw)[0]
         if bw == 0:
@@ -510,21 +528,29 @@ def compress_device(data=None, *, planes=None, n_values=None):
                 packed[v] = np.zeros(0, np.uint64)
             continue
         n_sel_pad = layout.pad_vectors(len(sel), 64)
-        rows_idx = np.zeros(n_sel_pad, np.int64)
-        rows_idx[:len(sel)] = sel
-        ridx = jnp.asarray(rows_idx)
-        sel_hi = _gather_regroup(nhi, ridx)
-        sel_lo = _gather_regroup(nlo, ridx)
-        sel_exc = _gather_regroup(exc, ridx)
-        blo = _expand(base_lo[sel], n_sel_pad)
-        bhi = _expand(base_hi[sel], n_sel_pad)
-        filo = _expand(fill_lo_all[sel], n_sel_pad)
-        fihi = _expand(fill_hi_all[sel], n_sel_pad)
-        tiles = kfalp.ffor_planes_patch_f64(
-            sel_hi, sel_lo, sel_exc, filo, fihi, blo, bhi, bw=int(bw))
-        words = layout.tile_to_ref(np.asarray(tiles), int(bw), 64, len(sel))
-        for r, v in enumerate(sel):
-            packed[v] = words[r]
+        ridx = np.zeros(n_sel_pad, np.int64)
+        ridx[:len(sel)] = sel
+        idx_parts.append(ridx)
+        bucket_list.append((int(bw), sel, off_v, n_sel_pad))
+        off_v += n_sel_pad
+    if bucket_list:
+        for bw, sel, off, n_sel_pad in bucket_list:
+            ridx = np.zeros(n_sel_pad, np.int64)
+            ridx[:len(sel)] = sel
+            ridx = jnp.asarray(ridx)
+            sel_hi = _gather_regroup(nhi, ridx)
+            sel_lo = _gather_regroup(nlo, ridx)
+            sel_exc = _gather_regroup(exc, ridx)
+            blo = _expand(base_lo[sel], n_sel_pad)
+            bhi = _expand(base_hi[sel], n_sel_pad)
+            filo = _expand(fill_lo_all[sel], n_sel_pad)
+            fihi = _expand(fill_hi_all[sel], n_sel_pad)
+            tiles = kfalp.ffor_planes_patch_f64(
+                sel_hi, sel_lo, sel_exc, filo, fihi, blo, bhi, bw=bw)
+            words = layout.tile_to_ref(np.asarray(tiles), bw, 64,
+                                       len(sel))
+            for r, v in enumerate(sel):
+                packed[v] = words[r]
 
     # ------- exceptions: positions/values, host side -------------------
     exc_positions = [np.empty(0, np.uint16)] * n_vec
@@ -725,16 +751,40 @@ def make_pack_step(col, fill_lo_all, fill_hi_all):
     base_lo = (base_all.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
         np.uint32)
     base_hi = (base_all.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
+    bws = [int(b) for b in np.unique(bw_all) if b]
+    if len(bws) <= 4:
+        # Few buckets (the common case): pack the FULL planes once per
+        # bucket bit width and let the consumer slice each bucket's
+        # rows.  The encode planes never move: the per-bucket gather
+        # costs a full HBM round trip of the planes (measured ~122 GB/s
+        # alone vs ~286 GB/s for the ffor kernel itself), so for B <= 4
+        # recomputing the pack over all rows beats gathering — every
+        # bucket's own rows come out bit-identical either way.  The
+        # fill/base metadata stays per-vector in COLUMN order here.
+        n_pad = layout.pad_vectors(n_vec, 64)
+        blo = _expand(base_lo, n_pad)
+        bhi = _expand(base_hi, n_pad)
+        filo = _expand(fill_lo_all[:n_vec], n_pad)
+        fihi = _expand(fill_hi_all[:n_vec], n_pad)
+
+        def step(carry, nhi, nlo, exc):
+            nlo = nlo ^ carry
+            acc = carry
+            for bw in bws:
+                tiles = kfalp.ffor_planes_patch_f64(
+                    nhi, nlo, exc, filo, fihi, blo, bhi, bw=bw)
+                acc = acc ^ tiles[0, 0, 0]
+            return acc
+
+        return step
+
     buckets = []
-    for bw in np.unique(bw_all):
-        if bw == 0:
-            continue
+    for bw in bws:
         sel = np.nonzero(bw_all == bw)[0]
         n_sel_pad = layout.pad_vectors(len(sel), 64)
         ridx = np.zeros(n_sel_pad, np.int64)
         ridx[:len(sel)] = sel
-        whole = (len(sel) == n_vec and n_sel_pad == n_vec)
-        buckets.append((int(bw), None if whole else jnp.asarray(ridx),
+        buckets.append((int(bw), jnp.asarray(ridx),
                         _expand(base_lo[sel], n_sel_pad),
                         _expand(base_hi[sel], n_sel_pad),
                         _expand(fill_lo_all[sel], n_sel_pad),
@@ -744,12 +794,9 @@ def make_pack_step(col, fill_lo_all, fill_hi_all):
         nlo = nlo ^ carry
         acc = carry
         for bw, ridx, blo, bhi, filo, fihi in buckets:
-            if ridx is None:       # bucket == whole column, in order
-                sel_hi, sel_lo, sel_exc = nhi, nlo, exc
-            else:
-                sel_hi = _gather_regroup(nhi, ridx)
-                sel_lo = _gather_regroup(nlo, ridx)
-                sel_exc = _gather_regroup(exc, ridx)
+            sel_hi = _gather_regroup(nhi, ridx)
+            sel_lo = _gather_regroup(nlo, ridx)
+            sel_exc = _gather_regroup(exc, ridx)
             tiles = kfalp.ffor_planes_patch_f64(
                 sel_hi, sel_lo, sel_exc, filo, fihi, blo, bhi, bw=bw)
             acc = acc ^ tiles[0, 0, 0]

@@ -1102,43 +1102,62 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64,
     use it (candidate exponents routinely push x past 2^52)."""
     zero = jnp.zeros_like(sig2.lo)
     int_min = U64(_u32(0x80000000) + zero, zero)
-    # ---- region A: e2 <= 51 (|x| < 2^52): T8 = M*8 ± x*8 -------------
-    sh = 49 - e2                                   # x*8 = sig2 >> sh
-    shr_amt = _u32(jnp.minimum(jnp.maximum(sh, _I32(0)), _I32(63)))
-    shl_amt = _u32(jnp.minimum(jnp.maximum(-sh, _I32(0)), _I32(2)))
-    x8_r = shr64(sig2, shr_amt)
-    dropped = ~eq64(shl64(x8_r, shr_amt), sig2)    # any bits lost
-    x8 = U64(jnp.where(sh >= 0, x8_r.hi, shl64(sig2, shl_amt).hi),
-             jnp.where(sh >= 0, x8_r.lo, shl64(sig2, shl_amt).lo))
-    stickyA = (sh >= 0) & dropped
-    m8 = U64(_u32(_MAGIC8_HI) + zero, _u32(_MAGIC8_LO) + zero)
-    t_add = add64(m8, x8)
-    # subtraction with sticky borrow: M8 - x8_trunc - sticky
-    t_sub = sub64(sub64(m8, x8), U64(zero, stickyA.astype(_U32)))
-    t8 = U64(jnp.where(sign == 1, t_sub.hi, t_add.hi),
-             jnp.where(sign == 1, t_sub.lo, t_add.lo))
-    # round T8 (scale 1/8) to 53 significant bits; T8 in (2^54, 2.5*2^55)
-    # so its msb is 54, 55 or 56: drop k = msb - 52 in {2, 3, 4} bits
-    msb56 = (t8.hi >> 24) != 0
-    msb55 = (t8.hi >> 23) != 0
-    k = jnp.where(msb56, _u32(4), jnp.where(msb55, _u32(3), _u32(2)))
-    keptA = shr64(t8, k)
-    g_bit = shr64(t8, k - _u32(1)).lo & _u32(1)
-    low = sub64(t8, shl64(shr64(t8, k - _u32(1)), k - _u32(1)))
-    stA = (~is_zero64(low)) | stickyA
-    upA = (g_bit == 1) & (stA | ((keptA.lo & _u32(1)) == 1))
-    s_scaled = add64(keptA, U64(zero, upA.astype(_U32)))   # s * 8 >> k
-    s8 = shl64(s_scaled, k)                        # s * 8 (exact mult of 4)
-    r8_mag_neg = sub64(m8, s8)                     # when s < M (sign flip)
-    r8_pos = sub64(s8, m8)
-    r_neg = ltu64(s8, m8)
-    r8_mag = U64(jnp.where(r_neg, r8_mag_neg.hi, r8_pos.hi),
-                 jnp.where(r_neg, r8_mag_neg.lo, r8_pos.lo))
-    nA_mag = shr64(r8_mag, _u32(3))                # trunc toward zero
-    negA = r_neg                                   # r = s - M, sign from s<M
-    neg_nA = neg64(nA_mag)
-    nA = U64(jnp.where(negA, neg_nA.hi, nA_mag.hi),
-             jnp.where(negA, neg_nA.lo, nA_mag.lo))
+    # ---- region A: e2 <= 51 (|x| < 2^52) -------------------------------
+    # (x + M) - M is evaluated CLOSED-FORM instead of replicating the two
+    # float additions in 1/8-fixed-point (~2x fewer ops).  Case analysis
+    # on ulp(x + M), with M = 2^52 + 2^51 (even):
+    #   * positives with e2 <= 50 and all negatives with e2 <= 50:
+    #     |x| + M (resp. M - |x|) stays in [2^52, 2^53) -> ulp 1, and
+    #     because M is even the tie-to-even parity of the sum equals the
+    #     parity of |x|'s integer part -> n = ±RNE_int(|x|) exactly.
+    #   * positive, e2 == 51 (x in [2^51, 2^52)): x + M >= 2^53 -> ulp 2:
+    #     n = 2 * RNE(x / 2) with ties to even (M/2 = 2^51 + 2^50 even).
+    #   * negative, e2 == 51: M - x in (2^51, 2^52) -> ulp 1/2, and x is
+    #     ON the half grid (x = sig2 * 2^-1), so both float ops are EXACT
+    #     and the int64 cast truncates: n = -(sig2 >> 1) = -floor(x).
+    # RNE_int(|x|) = drop s = 52 - e2 bits of sig2 with guard/sticky
+    # (s clamped to 63: sig2 < 2^53 keeps bits 62-63 clear, so kept and
+    # guard are 0 and n = 0 for any e2 < -11, as the float dance gives).
+    evt = e2 == 51
+    pos = sign == 0
+    sh = _u32(jnp.clip(jnp.where(evt & pos, _I32(2), _I32(52) - e2),
+                       _I32(1), _I32(63)))    # e2 >= 52 lanes: region-
+    # select below discards nA, the clamp only keeps shifts in range.
+    # Raw masked shifts (amounts provably in [0, 31]) instead of the
+    # generic shr64/shl64 helpers — this path is the encode hot spot.
+    big = sh >= _u32(32)
+    sa = sh & _u32(31)
+    hi_sa = jnp.right_shift(sig2.hi, sa)
+    kept = U64(jnp.where(big, _u32(0), hi_sa),
+               jnp.where(big, hi_sa,
+                         jnp.right_shift(sig2.lo, sa)
+                         | jnp.left_shift(sig2.hi,
+                                          (_u32(32) - sh) & _u32(31))))
+    shm1 = sh - _u32(1)
+    gbig = shm1 >= _u32(32)
+    gm1 = shm1 & _u32(31)
+    g = jnp.where(gbig, jnp.right_shift(sig2.hi, gm1),
+                  jnp.right_shift(sig2.lo, gm1)) & _u32(1)
+    # sticky = any bit of sig2 strictly below the guard bit
+    one = _u32(1) + zero
+    sub_mask = jnp.left_shift(one, gm1) - _u32(1)
+    m_lo = jnp.where(gbig, _u32(0xFFFFFFFF), sub_mask)
+    m_hi = jnp.where(gbig, sub_mask, _u32(0))
+    sticky = ((sig2.lo & m_lo) | (sig2.hi & m_hi)) != 0
+    upA = (g == 1) & (sticky | ((kept.lo & _u32(1)) == 1))
+    n_mag = add64(kept, U64(zero, upA.astype(_U32)))
+    # positive e2 == 51: unit-2 result is 2 * RNE(sig2 >> 2)
+    n_mag = U64(jnp.where(evt & pos, (n_mag.hi << 1) | (n_mag.lo >> 31),
+                          n_mag.hi),
+                jnp.where(evt & pos, n_mag.lo << 1, n_mag.lo))
+    # negative e2 == 51: exact half-grid value, cast truncates magnitude
+    nev = evt & ~pos
+    n_mag = U64(jnp.where(nev, sig2.hi >> 1, n_mag.hi),
+                jnp.where(nev, (sig2.lo >> 1) | (sig2.hi << 31),
+                          n_mag.lo))
+    neg_nA = neg64(n_mag)
+    nA = U64(jnp.where(pos, n_mag.hi, neg_nA.hi),
+             jnp.where(pos, n_mag.lo, neg_nA.lo))
 
     if skip_wide:
         in_A = e2 <= 51
