@@ -352,6 +352,25 @@ def competitor_decode_chunked(name: str, streams: list, ns: np.ndarray,
         _ptr(out, ctypes.c_uint64), ctypes.c_int(threads))
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, n: int, shape, dtype):
+    """Reusable page-warm output buffers for the whole-column encode:
+    np.empty per call costs a fresh-page fault storm on the GB-scale
+    exc/encoded arrays (~20% of host compress).  Callers (container
+    _compress) copy out everything they retain, so reuse is safe; the
+    pool keeps one buffer per (name, dtype) grown geometrically."""
+    key = (name, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    need = int(np.prod(shape))
+    if buf is None or buf.size < need:
+        cap = max(need, int((buf.size if buf is not None else 0) * 2))
+        buf = np.empty(cap, dtype)
+        _SCRATCH[key] = buf
+    return buf[:need].reshape(shape)
+
+
 def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
                      k_rg: np.ndarray,
                      vectors_per_rg: int = 100):
@@ -359,6 +378,8 @@ def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
 
     vectors: [n, 1024] f64; combos_rg: [n_rg, max_k, 2] int32 (e, f)
     padded; k_rg: [n_rg] int32.  Same outputs as :func:`encode_f64`.
+    The big outputs live in a reused scratch pool — consume (copy out)
+    before the next encode call.
     """
     from . import constants as C
     tc = C.DOUBLE
@@ -368,9 +389,9 @@ def encode_f64_multi(vectors: np.ndarray, combos_rg: np.ndarray,
     exp = np.empty(n, np.uint8)
     bw = np.empty(n, np.uint8)
     base = np.empty(n, np.int64)
-    encoded = np.empty((n, 1024), np.int64)
-    exc_values = np.empty((n, 1024), np.float64)
-    exc_positions = np.empty((n, 1024), np.uint16)
+    encoded = _scratch("enc64", n, (n, 1024), np.int64)
+    exc_values = _scratch("excv64", n, (n, 1024), np.float64)
+    exc_positions = _scratch("excp64", n, (n, 1024), np.uint16)
     exc_count = np.empty(n, np.uint16)
     enc_max = np.empty(n, np.uint64)
     lib().alp_encode_f64_multi(
@@ -427,9 +448,9 @@ def encode_f32_multi(vectors: np.ndarray, combos_rg: np.ndarray,
     exp = np.empty(n, np.uint8)
     bw = np.empty(n, np.uint8)
     base = np.empty(n, np.int32)
-    encoded = np.empty((n, 1024), np.int32)
-    exc_values = np.empty((n, 1024), np.float32)
-    exc_positions = np.empty((n, 1024), np.uint16)
+    encoded = _scratch("enc32", n, (n, 1024), np.int32)
+    exc_values = _scratch("excv32", n, (n, 1024), np.float32)
+    exc_positions = _scratch("excp32", n, (n, 1024), np.uint16)
     exc_count = np.empty(n, np.uint16)
     enc_max = np.empty(n, np.uint64)
     lib().alp_encode_f32_multi(

@@ -31,28 +31,40 @@ struct Geometry {
 };
 
 // Pack one 1024-value vector: FOR subtract + FastLanes interleave.
+// Value-outer / lane-inner: the lane loop is contiguous with one
+// scalar shift per value row, so it vectorises (vpsllq by scalar) —
+// the lane-outer form had strided RMW chains the compiler can't SIMD.
 template <typename UT>
-void ffor_vec(const UT* in, UT* out, uint8_t bw, UT base) {
+void ffor_vec(const UT* __restrict in, UT* __restrict out, uint8_t bw,
+              UT base) {
   constexpr int S = Geometry<UT>::S;
   constexpr int L = Geometry<UT>::L;
   if (bw == 0) return;
   const UT mask = (bw >= S) ? ~UT(0) : ((UT(1) << bw) - 1);
   std::memset(out, 0, size_t(bw) * L * sizeof(UT));
-  for (int lane = 0; lane < L; ++lane) {
-    for (int v = 0; v < S; ++v) {
-      const UT delta = (in[size_t(v) * L + lane] - base) & mask;
-      const int off = v * bw;
-      const int w0 = off / S, s0 = off % S;
-      out[size_t(w0) * L + lane] |= UT(delta << s0);
-      if (s0 + bw > S) {
-        out[size_t(w0 + 1) * L + lane] |= UT(delta >> (S - s0));
+  for (int v = 0; v < S; ++v) {
+    const int off = v * bw;
+    const int w0 = off / S, s0 = off % S;
+    const UT* __restrict src = in + size_t(v) * L;
+    UT* __restrict d0 = out + size_t(w0) * L;
+    #pragma omp simd
+    for (int lane = 0; lane < L; ++lane) {
+      d0[lane] |= UT(((src[lane] - base) & mask) << s0);
+    }
+    if (s0 + bw > S) {
+      UT* __restrict d1 = out + size_t(w0 + 1) * L;
+      const int sr = S - s0;
+      #pragma omp simd
+      for (int lane = 0; lane < L; ++lane) {
+        d1[lane] |= UT(((src[lane] - base) & mask) >> sr);
       }
     }
   }
 }
 
 template <typename UT>
-void unffor_vec(const UT* in, UT* out, uint8_t bw, UT base) {
+void unffor_vec(const UT* __restrict in, UT* __restrict out, uint8_t bw,
+                UT base) {
   constexpr int S = Geometry<UT>::S;
   constexpr int L = Geometry<UT>::L;
   if (bw == 0) {
@@ -60,15 +72,24 @@ void unffor_vec(const UT* in, UT* out, uint8_t bw, UT base) {
     return;
   }
   const UT mask = (bw >= S) ? ~UT(0) : ((UT(1) << bw) - 1);
-  for (int lane = 0; lane < L; ++lane) {
-    for (int v = 0; v < S; ++v) {
-      const int off = v * bw;
-      const int w0 = off / S, s0 = off % S;
-      UT val = in[size_t(w0) * L + lane] >> s0;
-      if (s0 + bw > S) {
-        val |= UT(in[size_t(w0 + 1) * L + lane] << (S - s0));
+  for (int v = 0; v < S; ++v) {
+    const int off = v * bw;
+    const int w0 = off / S, s0 = off % S;
+    const UT* __restrict s0p = in + size_t(w0) * L;
+    UT* __restrict dst = out + size_t(v) * L;
+    if (s0 + bw > S) {
+      const UT* __restrict s1p = in + size_t(w0 + 1) * L;
+      const int sl = S - s0;
+      #pragma omp simd
+      for (int lane = 0; lane < L; ++lane) {
+        dst[lane] = ((UT(s0p[lane] >> s0) | UT(s1p[lane] << sl))
+                     & mask) + base;
       }
-      out[size_t(v) * L + lane] = (val & mask) + base;
+    } else {
+      #pragma omp simd
+      for (int lane = 0; lane < L; ++lane) {
+        dst[lane] = (UT(s0p[lane] >> s0) & mask) + base;
+      }
     }
   }
 }

@@ -193,10 +193,10 @@ def main():
         t0 = time.perf_counter()
         cold_sum(mk())
         dtc = time.perf_counter() - t0
-        rows.append((label, "ALP", "1 chip",
-                     round(plan.decoded_bytes / dtc / 1e9, 2), ""))
-        print(rows[-1], f"({100 * plan.decoded_bytes / dtc / 1e9 / bound:"
-              f".0f}% of transfer bound)", flush=True)
+        gc = plan.decoded_bytes / dtc / 1e9
+        rows.append((label, "ALP", "1 chip", round(gc, 2), ""))
+        print(rows[-1], f"({100 * gc / bound:.0f}% of transfer bound)",
+              flush=True)
 
     # correctness companions (never timed through the tunnel):
     import math
