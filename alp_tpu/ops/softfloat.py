@@ -1171,7 +1171,18 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64,
     # sum = sig2 + M/ulp may need 54 bits (round RNE once), and
     # s - M = 2*s2 - Msc may need 54 bits again (round RNE once more).
     eb = jnp.minimum(jnp.maximum(e2 - 52, _I32(0)), _I32(51)).astype(_U32)
-    msc = shr64(U64(_u32(0x180000) + zero, zero), eb)   # M = 3<<51
+    # msc = M / ulp = 3 << (51 - eb), built from raw masked shifts (the
+    # generic shr64 costs ~3x: its per-limb clamps don't fold for a
+    # variable amount)
+    k2 = _u32(51) - eb                             # in [0, 51]
+    k2m = k2 & _u32(31)
+    three = _u32(3) + zero
+    big2 = k2 >= _u32(32)
+    # hi: 3 << (k2-32) when big; (3 << k2) >> 32 = 3 >> (32-k2) else
+    hi_small = jnp.where(k2 == _u32(0), _u32(0) + zero,
+                         three >> ((_u32(32) - k2) & _u32(31)))
+    msc = U64(jnp.where(big2, three << k2m, hi_small),
+              jnp.where(big2, _u32(0) + zero, three << k2m))
     sumB = add64(sig2, msc)
     has54 = (sumB.hi >> 21) != 0                   # sum >= 2^53
     gB = sumB.lo & _u32(1)
@@ -1191,7 +1202,14 @@ def magic_round_to_i64(sign: jnp.ndarray, e2: jnp.ndarray, sig2: U64,
                 jnp.where(use_exact, sig2.lo, r_pos.lo))
     # n = ± r_int << (e2 - 52); overflow (>= 2^63) -> INT64_MIN unless
     # the value is exactly -2^63 (same bit pattern either way).
-    nB_mag = shl64(r_int, eb)
+    # raw masked shifts (eb in [0, 51]; see msc above)
+    ebm = eb & _u32(31)
+    bigE = eb >= _u32(32)
+    lo_sh = r_int.lo << ebm
+    cross = jnp.where(eb == _u32(0), _u32(0) + zero,
+                      r_int.lo >> ((_u32(32) - eb) & _u32(31)))
+    nB_mag = U64(jnp.where(bigE, lo_sh, (r_int.hi << ebm) | cross),
+                 jnp.where(bigE, _u32(0) + zero, lo_sh))
     # overflow iff r_int >= 2^(115 - e2)  <=>  bitlen(r_int) > 115 - e2
     bl = jnp.where((r_int.hi >> 22) != 0, _I32(55),
                    jnp.where((r_int.hi >> 21) != 0, _I32(54),
