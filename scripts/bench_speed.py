@@ -272,6 +272,26 @@ def main():
     results.append(("encode_f32_kernel", 20, in_gb_f32 / dt, "GB/s"))
     print(results[-1], flush=True)
 
+    # f32 device encode pipeline: encode+verify -> patch/count ->
+    # analyze -> FFOR pack (the f32 twin of encode_f64_pipeline_device)
+    from alp_tpu.kernels.encode import analyze_planes_f32
+    from alp_tpu.device_compress import _patch_and_count32
+
+    def step_e32pipe(carry, vt32):
+        n_, e_ = alp_encode_f32_tiles(vt32 ^ carry, ec1, ec2, efa, efr)
+        n_, n_exc = _patch_and_count32(n_, e_)
+        bw_, base_, _mx = analyze_planes_f32(n_)
+        packed = kf.ffor_tile(n_, jnp.zeros((Gf32, 128), jnp.uint32),
+                              jnp.zeros((Gf32, 128), jnp.uint32),
+                              bw=30, element_bits=32)
+        return (packed[0, 0, 0] ^ bw_[0].astype(jnp.uint32)
+                ^ n_exc.sum(dtype=jnp.int32).astype(jnp.uint32))
+
+    dt = loop_bench(step_e32pipe, (vt32,), 15)
+    results.append(("encode_f32_pipeline_device", 15, in_gb_f32 / dt,
+                    "GB/s"))
+    print(results[-1], flush=True)
+
     # fused decode+SUM (mid variant): reduction inside the kernel, no
     # decoded-plane writes (q1 full-fusion analog)
     packed16 = devbits((G, 32, 128), seed=16)
