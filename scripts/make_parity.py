@@ -101,8 +101,12 @@ def main():
     lines += [
         "",
         "Note: the arithmetic suite average includes Gov/26 (bw 0, pure "
-        "broadcast); non-degenerate columns run 1.9-2.8x the bar "
-        "individually (results/speed_tpu.csv).",
+        "broadcast); non-degenerate columns run 1.9-3.8x the bar "
+        "individually (bench.py per-column lines).  bw>=52 and the "
+        "generic rows are op-bound, not bandwidth-bound: the exact "
+        "64x64 digit product is 16 32-bit multiplies at ~2.3 "
+        "add-equivalents each (ablation in docs/DEVNOTES.md, "
+        "'Round-4 op-bound analysis').",
         "",
         "## Encode / compression",
         "",
@@ -118,6 +122,10 @@ def main():
     if pipe:
         lines.append(f"| device encode pipeline | {pipe:.1f} GB/s | "
                      "same band | verified |")
+    lines.append("| device ALP_RD compress (POI-lat/lon) | "
+                 "byte-identical to host on the real chip | reference "
+                 "covers RD in its parallel encode | verified "
+                 "(results/tpu_validation.txt device-compress rows) |")
     r = q_row(eq, "COMPRESSION,ALP device") or None
     for row in eq:
         if row["scheme"].startswith("ALP device e2e"):
@@ -152,7 +160,9 @@ def main():
              "tunnel-bound (~35 ms/dispatch RPC)"),
             ("HISTOGRAM (6 bins; warm wall-clock", "—", "tunnel-bound"),
             ("COLD first SUM", "—",
-             "tunnel-bound (~0.2 GB/s host->device)"),
+             "tunnel-bound (restore runs AT the raw-transfer bound; "
+             "the tunnel wire is ~36 MB/s — the bench prints the "
+             "bound)"),
             ("SUM exact scan,Uncompressed", "uncompressed 2.24x slower",
              "verified")):
         row = q_row(eq, prefix.split(",")[0]) if "," not in prefix else \
