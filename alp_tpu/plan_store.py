@@ -140,10 +140,16 @@ def _zstd_decompress(blob: bytes, n_out: int) -> bytes:
     return out.raw
 
 
+_RESTORE_CACHE: dict = {}
+
+
 def _build_restore_program(manifest):
     """One jitted device program: payload words in, every group tensor
     out (slices + bitcasts + reshapes + lane expands fused into a single
-    dispatch — the cold path is dispatch-count bound through a tunnel)."""
+    dispatch — the cold path is dispatch-count bound through a tunnel).
+    Cached on the manifest's tensor structure: restoring the same
+    column (or any column with identical bucket shapes) reuses the
+    compiled executable instead of re-tracing per call."""
     import jax
     import jax.numpy as jnp
 
@@ -153,6 +159,10 @@ def _build_restore_program(manifest):
         for t in gm["tensors"].values():
             specs.append((tuple(t["shape"]), t["dtype"], t["kind"],
                           t["off"]))
+    key = (manifest["dtype"], L, tuple(specs))
+    cached = _RESTORE_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     def run(buf):
         outs = []
@@ -173,7 +183,9 @@ def _build_restore_program(manifest):
             outs.append(piece.reshape(shape))
         return outs
 
-    return jax.jit(run)
+    prog = jax.jit(run)
+    _RESTORE_CACHE[key] = prog
+    return prog
 
 
 def restore(blob: bytes) -> DecodePlan:
