@@ -896,6 +896,46 @@ def _patch_and_count32(n_plane, exc):
     return _to_tile_major32(patched.reshape(-1, 32, 32)), n_exc
 
 
+@jax.jit
+def finalize_encode_stats32(stats, n_p):
+    """Per-vector analyze + patch quantities from the fused f32 encode
+    statistics (kernels.encode._encode_f32_stats_kernel layout):
+    returns (bit_width [n] i32, base [n] i32, enc_max [n] u32 delta,
+    n_exc [n] i32, fill [n] u32) with n = G*4 vectors in group-major
+    order.  fill is the vector's first non-exception encoded int in
+    VALUE order (all-exception vectors use 0 / bw 0 / base 0, matching
+    the host path)."""
+    from .ops.alp import bit_width_of
+    G = stats.shape[0]
+    s = stats.reshape(G, 8, 4, 32)         # [G, stat, vec, lane]
+    n_exc = s[:, 0].sum(-1).reshape(-1).astype(jnp.int32)
+    first_k = s[:, 1].min(-1).reshape(-1)
+    mx = s[:, 2].max(-1).reshape(-1)
+    mn = s[:, 3].min(-1).reshape(-1)
+    any_ok = first_k < 2047
+    mx = jnp.where(any_ok, mx, 0)
+    mn = jnp.where(any_ok, mn, 0)
+    umax = mx.astype(jnp.uint32) - mn.astype(jnp.uint32)
+    bw = bit_width_of(umax).astype(jnp.int32)
+    k = jnp.where(any_ok, first_k, 0)
+    vec = jnp.arange(G * 4, dtype=jnp.int32)
+    g = vec // 4
+    slot = k // 32
+    lane = (vec % 4) * 32 + k % 32
+    fill = jnp.where(any_ok, n_p[g, slot, lane], jnp.uint32(0))
+    return bw, mn, umax, n_exc, fill
+
+
+@jax.jit
+def patch_planes32(n_p, exc_p, fill):
+    """Elementwise exception patch on f32 tile planes (no transpose
+    roundtrip): exception slots read the per-vector fill value."""
+    G = n_p.shape[0]
+    fillp = jnp.repeat(fill.reshape(G, 4), 32, axis=1,
+                       total_repeat_length=128)
+    return jnp.where(exc_p == 0, n_p, fillp[:, None, :])
+
+
 def _compress_device_f32(data: np.ndarray):
     """float32 device compress: planning (native-f32 Pallas scorer +
     shared top-k vote / accept scan) and encode/patch/analyze/pack all
@@ -1009,18 +1049,18 @@ def _compress_device_f32(data: np.ndarray):
         full[:n_vec] = x
         return jnp.asarray(layout.lane_expand(full, 32))
 
-    n_p, exc_p = kencode.alp_encode_f32_tiles(
+    n_p, exc_p, stats = kencode.alp_encode_f32_tiles_stats(
         vtiles,
         expand32(tc.exp_arr[exp_v].view(np.uint32)),
         expand32(tc.frac_arr[fac_v].view(np.uint32)),
         expand32(tc.fact_arr[fac_v].astype(np.int32).view(np.uint32)),
         expand32(tc.frac_arr[exp_v].view(np.uint32)))
-    n_p, n_exc = _patch_and_count32(n_p, exc_p)
-    bw_d, base_d, max_d = kencode.analyze_planes_f32(n_p)
+    bw_d, base_d, umax_d, n_exc, fill_d = finalize_encode_stats32(
+        stats, n_p)
+    n_p = patch_planes32(n_p, exc_p, fill_d)
     bw_all = np.asarray(bw_d)[:n_vec].astype(np.uint8)
     base_all = np.asarray(base_d)[:n_vec].astype(np.int32)
-    enc_max = (np.asarray(max_d)[:n_vec].view(np.uint32)
-               - base_all.view(np.uint32)).astype(np.uint64)
+    enc_max = np.asarray(umax_d)[:n_vec].astype(np.uint64)
     n_exc_np = np.asarray(n_exc)[:n_vec].astype(np.uint16)
     if rd_vec.size:
         # RD vectors carry no ALP metadata (host-path convention)

@@ -192,6 +192,72 @@ def alp_encode_f32_tiles(vbits, c1, c2, fact, frac):
     return _alp_encode_f32_jit(vbits, c1, c2, fact, frac, magicp)
 
 
+def _encode_f32_stats_kernel(v_ref, c1, c2, fact, frac, magicp, out_n,
+                             out_exc, out_stats):
+    """f32 encode + verify + fused per-lane analyze/patch statistics
+    (the f32 twin of :func:`_encode_stats_kernel`).
+
+    ``out_stats`` [gb, 8, 128] i32 rows per lane: 0 exception count,
+    1 first-non-exception value index k (2047 when none), 2 int32 max
+    over non-exceptions, 3 int32 min, 4-7 unused.  Cross-lane
+    reductions finish in XLA (device_compress.finalize_encode_stats32);
+    the value planes never take a second transpose pass for
+    patch/count/analyze.
+    """
+    _encode_f32_kernel(v_ref, c1, c2, fact, frac, magicp, out_n,
+                       out_exc)
+    n_s = out_n[:].astype(_I32)
+    ok = out_exc[:] == _U32(0)
+    slot = jax.lax.broadcasted_iota(_I32, n_s.shape, 1)
+    lane32 = jax.lax.broadcasted_iota(_I32, n_s.shape, 2) % _I32(32)
+    k_idx = slot * _I32(32) + lane32                 # value order index
+    first_k = jnp.where(ok, k_idx, _I32(2047)).min(axis=1)
+    exc_cnt = _I32(32) - ok.astype(_I32).sum(axis=1, dtype=_I32)
+    imin, imax = _I32(-(2**31)), _I32(2**31 - 1)
+    mx = jnp.where(ok, n_s, imin).max(axis=1)
+    mn = jnp.where(ok, n_s, imax).min(axis=1)
+    zero = jnp.zeros_like(exc_cnt)
+    out_stats[:] = jnp.stack(
+        [exc_cnt, first_k, mx, mn, zero, zero, zero, zero], axis=1)
+
+
+@jax.jit
+def _alp_encode_f32_stats_jit(vbits, c1, c2, fact, frac, magicp):
+    G = vbits.shape[0]
+    gb = min(16, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        vbits, c1, c2, fact, frac, magicp = (
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in (vbits, c1, c2, fact, frac, magicp))
+    Gp = G + pad
+    meta = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                        memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((gb, 32, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _encode_f32_stats_kernel,
+        grid=(Gp // gb,),
+        in_specs=[plane] + [meta] * 5,
+        out_specs=[plane] * 2
+        + [pl.BlockSpec((gb, 8, 128), lambda i: (i, i * 0, i * 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, 32, 128), jnp.uint32)] * 2
+        + [jax.ShapeDtypeStruct((Gp, 8, 128), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(vbits, c1, c2, fact, frac, magicp)
+    return tuple(o[:G] for o in out)
+
+
+def alp_encode_f32_tiles_stats(vbits, c1, c2, fact, frac):
+    """f32 encode planes -> (n, exc, stats) with analyze/patch
+    statistics fused (see :func:`alp_encode_f32_tiles`)."""
+    magicp = jnp.full((vbits.shape[0], 128),
+                      np.uint32(np.float32(C.FLOAT.magic_number)
+                                .view(np.uint32)), jnp.uint32)
+    return _alp_encode_f32_stats_jit(vbits, c1, c2, fact, frac, magicp)
+
+
 @jax.jit
 def analyze_planes_f32(n_plane):
     """analyze_ffor for f32: [G, 32, 128] i32-as-u32 planes ->

@@ -274,13 +274,15 @@ def main():
 
     # f32 device encode pipeline: encode+verify -> patch/count ->
     # analyze -> FFOR pack (the f32 twin of encode_f64_pipeline_device)
-    from alp_tpu.kernels.encode import analyze_planes_f32
-    from alp_tpu.device_compress import _patch_and_count32
+    from alp_tpu.kernels.encode import alp_encode_f32_tiles_stats
+    from alp_tpu.device_compress import (finalize_encode_stats32,
+                                         patch_planes32)
 
     def step_e32pipe(carry, vt32):
-        n_, e_ = alp_encode_f32_tiles(vt32 ^ carry, ec1, ec2, efa, efr)
-        n_, n_exc = _patch_and_count32(n_, e_)
-        bw_, base_, _mx = analyze_planes_f32(n_)
+        n_, e_, st = alp_encode_f32_tiles_stats(vt32 ^ carry, ec1, ec2,
+                                                efa, efr)
+        bw_, base_, _mx, n_exc, fill_ = finalize_encode_stats32(st, n_)
+        n_ = patch_planes32(n_, e_, fill_)
         packed = kf.ffor_tile(n_, jnp.zeros((Gf32, 128), jnp.uint32),
                               jnp.zeros((Gf32, 128), jnp.uint32),
                               bw=30, element_bits=32)
