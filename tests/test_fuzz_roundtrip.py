@@ -86,3 +86,44 @@ def test_fuzz_roundtrip_f32(seed):
             container.CompressedColumn.from_bytes(cc.to_bytes()))
         assert (out.view(np.uint32) == data.view(np.uint32)).all(), \
             f"seed {seed} case {i}"
+
+
+def _flag_mixtures(rng):
+    """Columns engineered to hit the round-4 static-flag decode paths:
+    alo_zero (max |n| < 2^48 wide / < 2^16 mid, incl. boundary bws),
+    banded magnitudes (k_static: min and max |n| share one octave),
+    allneg/maghi wide buckets, and straddle-zero bases."""
+    # banded negatives ~ nyc29: n = value*10^f in one octave, all < 0
+    yield "banded-allneg", -np.round(rng.uniform(640.0, 1100.0, 4096), 9)
+    # banded positives just UNDER the 2^48 alo threshold
+    yield "banded-alo48", np.round(rng.uniform(1.0, 2.0, 4096), 13)
+    # banded positives just OVER 2^48 (no alo_zero)
+    yield "banded-no-alo", np.round(rng.uniform(4.0, 8.0, 4096), 14)
+    # mid alo_zero boundary: |n| right at 2^16
+    yield "mid-alo16", np.round(rng.uniform(0.0, 6.5535, 4096), 4)
+    yield "mid-over16", np.round(rng.uniform(0.0, 13.0, 4096), 4)
+    # straddle-zero FOR base (no nonneg/allneg flags)
+    yield "straddle", np.round(rng.uniform(-1e5, 1e5, 4096), 2)
+    # wide maghi: every |n| >= 2^32
+    yield "maghi", np.round(rng.uniform(43.0, 99.0, 4096), 9)
+
+
+def test_fuzz_flag_paths_device_decode():
+    """Device fused decode (with the alo_zero/k_static/maghi/allneg
+    static prunes the plan derives) must match the host decode
+    bit-exactly on columns engineered for each flag combination."""
+    rng = np.random.default_rng(11)
+    seen = set()
+    for name, data in _flag_mixtures(rng):
+        data = np.asarray(data, np.float64)
+        cc = container.compress(data)
+        plan = kdecode.build_plan(cc)
+        for g in plan.groups:
+            seen.add((g.variant, int(g.flags)))
+        dev = kdecode.decompress_device(cc).reshape(-1)[:len(data)]
+        host = container.decompress(cc)
+        assert (dev.view(np.uint64) == host.view(np.uint64)).all(), name
+    # the engineered columns must actually exercise the new flag bits
+    assert any(f & 128 for v, f in seen if v in ("mid64", "midc96")), seen
+    assert any(f & 16 for v, f in seen if v == "mid"), seen
+    assert any((f >> 9) & 0x7F for v, f in seen), seen
