@@ -142,6 +142,13 @@ def main():
     avg = float(np.mean(list(results.values())))
     for k, v in results.items():
         print(f"# {k}: {v:.1f} GB/s", file=sys.stderr)
+    # honest companions to the arithmetic mean (which the bw-0 Gov/26
+    # broadcast column inflates): geometric mean and the min column
+    geo = float(np.exp(np.mean(np.log(list(results.values())))))
+    print(f"# geomean: {geo:.1f} GB/s ({geo / BASELINE_GBPS:.2f}x bar); "
+          f"min column: {min(results.values()):.1f} GB/s "
+          f"({min(results.values()) / BASELINE_GBPS:.2f}x bar)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "falp_decode_f64_suite_avg",
         "value": round(avg, 2),
