@@ -134,15 +134,137 @@ def _pair_const_planes(tc, es, fs, L):
     return tuple(planes)
 
 
+def _score_rows_kernel(sam_hi_ref, sam_lo_ref, c1lo, c1hi, c2lo, c2hi,
+                       flo, fhi, frlo, frhi, out_nhi, out_nlo, out_okr,
+                       *, rows: int, halves: int):
+    # samples [1, halves, 128] broadcast across the pair rows (row =
+    # pair * halves + half); constants are full [rows, 128] planes
+    # shared by every grid step (block index (0, 0))
+    sh = sam_hi_ref[0]
+    sl = sam_lo_ref[0]
+    pp = rows // halves
+    hi = jnp.broadcast_to(sh[None], (pp, halves, 128)).reshape(rows, 128)
+    lo = jnp.broadcast_to(sl[None], (pp, halves, 128)).reshape(rows, 128)
+
+    def dec(lo_ref, hi_ref):
+        h = hi_ref[...]
+        l_ = lo_ref[...]
+        sig = U64((h & _U32(0xFFFFF)) | _U32(1 << 20), l_)
+        return sig, ((h >> _U32(20)) & _U32(0x7FF)).astype(_I32)
+
+    c1sig, c1b = dec(c1lo, c1hi)
+    c2sig, c2b = dec(c2lo, c2hi)
+    fact = U64(fhi[...], flo[...])
+    frsig, frb = dec(frlo, frhi)
+    n, exc, rare = encode_verify_f64(U64(hi, lo), c1sig, c1b, c2sig,
+                                     c2b, fact, frsig, frb)
+    out_nhi[0] = n.hi
+    out_nlo[0] = n.lo
+    out_okr[0] = (~exc).astype(_U32) | (rare.astype(_U32) << 1)
+
+
 def first_level_scores_f64(chunk_hi, chunk_lo, *, tc):
     """Kernel-backed find_top_k scoring of full-rowgroup samples.
 
     chunk_hi/lo: [R, V, S] u32 bit planes of the first-level sample.
     Returns (est [R, V, P] i32, non_exc [R, V, P] i32, rare [R] bool)
     with P the ef_pairs count — feed ops.alp.first_level_vote.
+
+    Layout (round 4): candidate PAIRS ride the sublane rows (8-padded,
+    ~3% waste) and (vector, sample) pairs fill the 128 lanes — the
+    previous pairs-on-lanes layout padded 171 candidates to 256 lanes
+    (33% dead compute).  The kernel emits per-(pair, sample) n/ok
+    planes; the per-(pair, vector) est/min/max reductions run in XLA on
+    the 32-lane segments (identical arithmetic to the old in-kernel
+    reduction — oracle parity asserted by the planner-agreement tests).
+    Measured ~neutral end to end on the tunnel chip: the saved dead
+    lanes are offset by the emitted n/ok planes (the old layout reduced
+    over cheap SUBLANE segments in-kernel; lane-axis reductions need
+    masked roll trees Mosaic has no shape-cast for).  Kept for the 3.6x
+    smaller VMEM staging and the simpler constant layout.
     """
     from ..ops import alp as oalp
     es, fs = oalp.ef_pairs_arrays(tc)
+    P = len(es)
+    R, V, S = chunk_hi.shape
+    if S != 32 or V % 4:
+        # odd geometry: fall back to the lane-per-pair layout
+        return _first_level_scores_f64_lanes(chunk_hi, chunk_lo, tc=tc,
+                                             es=es, fs=fs)
+    halves = V // 4
+    P8 = -(-P // 8) * 8
+    rows = P8 * halves
+    # samples: [R, halves, 128] with lane = (v % 4) * 32 + s
+    sam_hi = chunk_hi.reshape(R, halves, 128)
+    sam_lo = chunk_lo.reshape(R, halves, 128)
+    # constants: per pair, repeated per half, broadcast across lanes
+    pe = np.zeros(P8, np.int32)
+    pf = np.zeros(P8, np.int32)
+    pe[:P] = es
+    pf[:P] = fs
+    consts = []
+    for tab, idx in ((tc.exp_arr, pe), (tc.frac_arr, pf),
+                     (tc.fact_arr, pf), (tc.frac_arr, pe)):
+        u = np.ascontiguousarray(tab[idx]).view(np.uint64)
+        u = np.repeat(u, halves)                    # row = p*halves + h
+        consts.append(jnp.asarray(np.broadcast_to(
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
+            (rows, 128))))
+        consts.append(jnp.asarray(np.broadcast_to(
+            (u >> np.uint64(32)).astype(np.uint32)[:, None],
+            (rows, 128))))
+    sample_spec = pl.BlockSpec((1, halves, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((rows, 128), lambda i: (i * 0, i * 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, rows, 128), lambda i: (i, i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    nhi, nlo, okr = pl.pallas_call(
+        functools.partial(_score_rows_kernel, rows=rows, halves=halves),
+        grid=(R,),
+        in_specs=[sample_spec] * 2 + [const_spec] * 8,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((R, rows, 128), jnp.uint32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sam_hi, sam_lo, *consts)
+
+    # per-(pair, vector) reductions over the 32-lane sample segments —
+    # the same arithmetic as _score_kernel's in-kernel reduction
+    def seg(x):
+        return x.reshape(R, P8, halves, 4, 32)
+
+    ok = seg(okr & _U32(1)) == 1
+    ne = ok.astype(_I32).sum(axis=-1)              # [R, P8, halves, 4]
+    hi_s = jax.lax.bitcast_convert_type(seg(nhi), _I32)
+    lo_b = jax.lax.bitcast_convert_type(seg(nlo) ^ _U32(0x80000000),
+                                        _I32)
+    imin, imax = _I32(-(2**31)), _I32(2**31 - 1)
+    mxh = jnp.where(ok, hi_s, imin).max(axis=-1)
+    mxl = jnp.where(ok & (hi_s == mxh[..., None]), lo_b, imin).max(-1)
+    mnh = jnp.where(ok, hi_s, imax).min(axis=-1)
+    mnl = jnp.where(ok & (hi_s == mnh[..., None]), lo_b, imax).min(-1)
+    mxl_u = mxl.astype(_U32) ^ _U32(0x80000000)
+    mnl_u = mnl.astype(_U32) ^ _U32(0x80000000)
+    d_lo = mxl_u - mnl_u
+    borrow = (mxl < mnl).astype(_U32)
+    d_hi = mxh.astype(_U32) - mnh.astype(_U32) - borrow
+    bits = jnp.where(d_hi != 0, _I32(32) + _bit_length(d_hi),
+                     _bit_length(d_lo))
+    est = _I32(32) * bits + (_I32(32) - ne) * _I32(64 + 16)
+    # [R, P8, halves, 4] -> [R, V, P]
+    est_v = est.transpose(0, 2, 3, 1).reshape(R, V, P8)[:, :, :P]
+    ne_v = ne.transpose(0, 2, 3, 1).reshape(R, V, P8)[:, :, :P]
+    rare = (okr >> _U32(1)).sum(axis=(1, 2), dtype=_I32) > 0
+    return est_v, ne_v, rare
+
+
+def _first_level_scores_f64_lanes(chunk_hi, chunk_lo, *, tc, es, fs):
+    """Fallback pairs-on-lanes layout (pre-round-4) for odd sample
+    geometries; shares score_pairs_f64 with the second level."""
     P = len(es)
     L = -(-P // 128) * 128
     R, V, S = chunk_hi.shape
