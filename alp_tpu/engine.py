@@ -1663,3 +1663,380 @@ def query_scan(col):
 def query_count_exceptions(col) -> int:
     """Aggregate over metadata only (no decompression)."""
     return int(np.asarray(col.exc_count, np.int64).sum())
+
+
+# ---------------------------------------------------------------------------
+# GROUP-BY and windowed aggregates (engine breadth beyond the reference's
+# SCAN/SUM/filter query set: the reference's e2e harness stops at q1-style
+# aggregates, bench_end_to_end/include/benchmarks/alp/config.hpp:16-92;
+# GROUP-BY reuses its fused-scan machinery unchanged)
+# ---------------------------------------------------------------------------
+
+
+def _groupby_key_planes(col, plan, keys: np.ndarray, num_groups: int):
+    """Per-bucket ``[nG, slots, 128]`` int32 key planes aligned with
+    ``plan.run()`` outputs.
+
+    Built host-side from the decode layout (f64: 8 vectors/group on the
+    lane axis, value ``p`` of vector ``w`` at ``[p // 16, w*16 + p % 16]``;
+    f32: 4 vectors/group, lanes of 32).  Every pad slot — group-pad
+    vectors AND the partial last vector's tail — carries the TRASH key
+    ``num_groups``, so device segment reductions need no separate
+    validity mask.
+    """
+    if col.dtype == np.float64:
+        slots, L, per = 64, 16, 8
+    else:
+        slots, L, per = 32, 32, 4
+    kf = np.full(col.n_vectors * C.VECTOR_SIZE, num_groups, np.int32)
+    kf[:col.n_values] = keys
+    kv = kf.reshape(col.n_vectors, C.VECTOR_SIZE)
+    planes = []
+    for g in plan.groups:
+        sub = kv[g.vec_indices]                        # [nv, 1024]
+        n_g = -(-g.n_vectors // per)
+        pad = n_g * per - g.n_vectors
+        if pad:
+            sub = np.concatenate(
+                [sub, np.full((pad, C.VECTOR_SIZE), num_groups, np.int32)])
+        planes.append(jnp.asarray(
+            sub.reshape(n_g, per, slots, L)
+               .transpose(0, 2, 1, 3).reshape(n_g, slots, 128)))
+    return planes
+
+
+@functools.partial(jax.jit, static_argnames=("ng",))
+def _groupby_chunk_f64(bits, keys, *, ng: int):
+    """One chunk of the GROUP-BY pass (f64): [N] value bit patterns +
+    [N] group keys (trash group = ng-1) -> per-group exact-sum digit
+    windows, special counts, row counts, and total-order key extremes.
+
+    Sums are the same fixed-point superaccumulator decomposition as
+    :func:`_exact_partials_f64`, segment-summed on ``key * 64 + window``;
+    min/max run native-i32 two-word (hi then lo tie-break) segment maxes
+    on the IEEE-754 total-order key, never emulated-f64 compares."""
+    e = ((bits >> jnp.uint64(52)) & jnp.uint64(0x7FF)).astype(jnp.int32)
+    m = bits & jnp.uint64((1 << 52) - 1)
+    sign = (bits >> jnp.uint64(63)) != 0
+    is_special = e == 2047
+    spec = jnp.stack([(is_special & (m != 0)).astype(jnp.int32),
+                      (is_special & (m == 0) & ~sign).astype(jnp.int32),
+                      (is_special & (m == 0) & sign).astype(jnp.int32)],
+                     axis=-1)
+    mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
+    mp = jnp.where(is_special, jnp.uint64(0), mp)
+    e_eff = jnp.maximum(e, 1)
+    j = (e_eff >> 5).astype(jnp.int32)                       # [0, 63]
+    sh = (e_eff & 31).astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    d0 = (mp << sh) & m32
+    d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+    d2 = (mp >> jnp.uint64(33)) >> (jnp.uint64(31) - sh)
+    digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
+    digs = jnp.where(sign[:, None], -digs, digs)
+    dsums = jax.ops.segment_sum(digs, keys * 64 + j, num_segments=ng * 64)
+    ssums = jax.ops.segment_sum(spec, keys, num_segments=ng)
+    counts = jax.ops.segment_sum(jnp.ones_like(keys), keys,
+                                 num_segments=ng)
+    # total-order key words (canonical -0.0 -> +0.0), biased to i32
+    vb = jnp.where(bits == jnp.uint64(1 << 63), jnp.uint64(0), bits)
+    ks = (vb >> jnp.uint64(63)) != 0
+    ku = jnp.where(ks, ~vb, vb | jnp.uint64(1 << 63))
+    khi = _biased_i32((ku >> jnp.uint64(32)).astype(jnp.uint32))
+    klo = _biased_i32((ku & m32).astype(jnp.uint32))
+    i32min, i32max = jnp.int32(-(1 << 31)), jnp.int32((1 << 31) - 1)
+    mh = jax.ops.segment_max(khi, keys, num_segments=ng)
+    ml = jax.ops.segment_max(
+        jnp.where(khi == mh[keys], klo, i32min), keys, num_segments=ng)
+    nh = jax.ops.segment_min(khi, keys, num_segments=ng)
+    nl = jax.ops.segment_min(
+        jnp.where(khi == nh[keys], klo, i32max), keys, num_segments=ng)
+    return dsums.reshape(ng, 64, 3), ssums, counts, mh, ml, nh, nl
+
+
+@functools.partial(jax.jit, static_argnames=("ng",))
+def _groupby_chunk_f32(bits, keys, *, ng: int):
+    """f32 analog of :func:`_groupby_chunk_f64` (8 exponent windows,
+    two digits, one native key word; lo words returned as zeros so the
+    host combine is dtype-uniform)."""
+    e = ((bits >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    m = (bits & jnp.uint32((1 << 23) - 1)).astype(jnp.uint64)
+    sign = (bits >> jnp.uint32(31)) != 0
+    is_special = e == 255
+    spec = jnp.stack([(is_special & (m != 0)).astype(jnp.int32),
+                      (is_special & (m == 0) & ~sign).astype(jnp.int32),
+                      (is_special & (m == 0) & sign).astype(jnp.int32)],
+                     axis=-1)
+    mp = jnp.where(e > 0, m | jnp.uint64(1 << 23), m)
+    mp = jnp.where(is_special, jnp.uint64(0), mp)
+    e_eff = jnp.maximum(e, 1)
+    j = (e_eff >> 5).astype(jnp.int32)                       # [0, 7]
+    sh = (e_eff & 31).astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    d0 = (mp << sh) & m32
+    d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+    digs = jnp.stack([d0, d1], axis=-1).astype(jnp.int64)
+    digs = jnp.where(sign[:, None], -digs, digs)
+    dsums = jax.ops.segment_sum(digs, keys * 8 + j, num_segments=ng * 8)
+    ssums = jax.ops.segment_sum(spec, keys, num_segments=ng)
+    counts = jax.ops.segment_sum(jnp.ones_like(keys), keys,
+                                 num_segments=ng)
+    vb = jnp.where(bits == jnp.uint32(1 << 31), jnp.uint32(0), bits)
+    ks = (vb >> jnp.uint32(31)) != 0
+    ku = jnp.where(ks, ~vb, vb | jnp.uint32(1 << 31))
+    khi = _biased_i32(ku)
+    zero = jnp.zeros((ng,), jnp.int32)
+    mh = jax.ops.segment_max(khi, keys, num_segments=ng)
+    nh = jax.ops.segment_min(khi, keys, num_segments=ng)
+    d3 = jnp.concatenate([dsums.reshape(ng, 8, 2),
+                          jnp.zeros((ng, 8, 1), jnp.int64)], axis=-1)
+    return d3, ssums, counts, mh, zero, nh, zero
+
+
+_GB_CHUNK = 1 << 20
+
+
+def query_groupby(col, keys, num_groups: int,
+                  aggs=("sum", "count", "min", "max", "mean")) -> dict:
+    """GROUP-BY aggregate: ``SELECT key, AGG(v) ... GROUP BY key`` over a
+    compressed column and an int key column, entirely on device except
+    the final per-group bignum assembly.
+
+    ``keys`` is an int array of length ``col.n_values`` with values in
+    ``[0, num_groups)``.  Returns a dict of ``[num_groups]`` numpy
+    arrays for the requested aggregates:
+
+    - ``sum``/``mean``: EXACT — each group's result is the correctly-
+      rounded float of the group's true rational sum (mean: sum/n),
+      bit-identical to ``math.fsum`` per group, via the same
+      superaccumulator windows as :func:`query_sum` segment-summed on
+      ``key * windows + window``.  IEEE special rules per group (any
+      NaN, or +inf with -inf -> NaN; else the infinity wins).
+      Empty groups: sum 0.0, mean NaN.
+    - ``count``: rows per group (COUNT(*), specials included).
+    - ``min``/``max``: exact total-order extremes (native-i32 two-word
+      segment maxes — XLA's emulated f64 compares are NOT exact on TPU,
+      round-2 finding).  NaN sorts above +inf / below -inf per the
+      IEEE total order (matching :func:`query_min`); empty groups NaN.
+
+    The decode side is the standard fused per-bucket scan
+    (``plan.run(patch=True)`` — exceptions are already patched, so no
+    per-group corrections are needed); grouping adds one int32 key
+    plane read per value plus the segment reductions.
+    """
+    keys = np.ascontiguousarray(np.asarray(keys, np.int64))
+    if keys.shape != (col.n_values,):
+        raise ValueError(f"keys must have shape ({col.n_values},)")
+    if num_groups <= 0 or num_groups > (1 << 24):
+        raise ValueError("num_groups must be in [1, 2^24]")
+    if keys.size and (keys.min() < 0 or keys.max() >= num_groups):
+        raise ValueError("keys out of range [0, num_groups)")
+    f64 = col.dtype == np.float64
+    W = 64 if f64 else 8
+    ng = num_groups + 1                       # +1 trash group for pads
+    out = {}
+    if col.n_values == 0:
+        for a in aggs:
+            if a == "count":
+                out[a] = np.zeros(num_groups, np.int64)
+            elif a == "sum":
+                out[a] = np.zeros(num_groups, col.dtype)
+            else:
+                out[a] = np.full(num_groups, np.nan, col.dtype)
+        return out
+    plan = col.plan()
+    outs = plan.run(patch=True)
+    kplanes = _groupby_key_planes(col, plan, keys.astype(np.int32),
+                                  num_groups)
+    bit_chunks, key_chunks = [], []
+    for (bits, _), kp in zip(_masked_bits(col, plan, outs), kplanes):
+        bit_chunks.append(bits.reshape(-1))
+        key_chunks.append(kp.reshape(-1))
+    bits_all = (bit_chunks[0] if len(bit_chunks) == 1
+                else jnp.concatenate(bit_chunks))
+    keys_all = (key_chunks[0] if len(key_chunks) == 1
+                else jnp.concatenate(key_chunks))
+    n = bits_all.shape[0]
+    n_pad = -(-n // _GB_CHUNK) * _GB_CHUNK
+    if n_pad != n:
+        bits_all = jnp.concatenate(
+            [bits_all, jnp.zeros(n_pad - n, bits_all.dtype)])
+        keys_all = jnp.concatenate(
+            [keys_all,
+             jnp.full(n_pad - n, np.int32(num_groups), jnp.int32)])
+    chunk = _groupby_chunk_f64 if f64 else _groupby_chunk_f32
+    dn = sp = ct = None
+    mh = ml = nh = nl = None
+    for c in range(n_pad // _GB_CHUNK):
+        sl = slice(c * _GB_CHUNK, (c + 1) * _GB_CHUNK)
+        d, s, cc_, h, l, h2, l2 = chunk(bits_all[sl], keys_all[sl], ng=ng)
+        d, s, cc_ = np.asarray(d), np.asarray(s), np.asarray(cc_)
+        h, l, h2, l2 = (np.asarray(h), np.asarray(l),
+                        np.asarray(h2), np.asarray(l2))
+        if dn is None:
+            dn, sp, ct, mh, ml, nh, nl = d, s, cc_, h, l, h2, l2
+        else:
+            dn += d
+            sp += s
+            ct += cc_
+            # lexicographic (hi, lo) max/min combine across chunks
+            take = (h > mh) | ((h == mh) & (l > ml))
+            mh, ml = np.where(take, h, mh), np.where(take, l, ml)
+            take = (h2 < nh) | ((h2 == nh) & (l2 < nl))
+            nh, nl = np.where(take, h2, nh), np.where(take, l2, nl)
+    ct = ct.astype(np.int64)
+    res = {}
+    if "count" in aggs:
+        res["count"] = ct[:num_groups].copy()
+    if "sum" in aggs or "mean" in aggs:
+        totals = [0] * num_groups
+        gz, jz, kz = np.nonzero(dn[:num_groups])
+        for g, j, k in zip(gz.tolist(), jz.tolist(), kz.tolist()):
+            totals[g] += int(dn[g, j, k]) << (32 * j + 32 * k)
+        scale = 1075 if f64 else 150
+        if "sum" in aggs:
+            res["sum"] = np.array(
+                [_finish_sum(totals[g], int(sp[g, 0]), int(sp[g, 1]),
+                             int(sp[g, 2]), scale)
+                 for g in range(num_groups)], col.dtype)
+        if "mean" in aggs:
+            from fractions import Fraction
+            means = np.full(num_groups, np.nan, col.dtype)
+            for g in range(num_groups):
+                if ct[g] == 0:
+                    continue
+                if sp[g, 0] or (sp[g, 1] and sp[g, 2]):
+                    continue                      # NaN
+                elif sp[g, 1]:
+                    means[g] = np.inf
+                elif sp[g, 2]:
+                    means[g] = -np.inf
+                elif totals[g] == 0:
+                    means[g] = 0.0
+                else:
+                    means[g] = col.dtype.type(float(Fraction(
+                        totals[g], int(ct[g]) << scale)))
+            res["mean"] = means
+    if "max" in aggs:
+        vals = np.full(num_groups, np.nan, col.dtype)
+        for g in range(num_groups):
+            if ct[g]:
+                if f64:
+                    # un-bias the i32 segment-max words back to the u32
+                    # total-order key halves (inverse of _biased_i32)
+                    k = ((int(np.uint32(np.int64(mh[g]) & 0xFFFFFFFF)
+                              ^ np.uint32(1 << 31))) << 32) | int(
+                        np.uint32(np.int64(ml[g]) & 0xFFFFFFFF)
+                        ^ np.uint32(1 << 31))
+                else:
+                    k = int(np.uint32(np.int64(mh[g]) & 0xFFFFFFFF)
+                            ^ np.uint32(1 << 31))
+                vals[g] = _key_float(k, col.dtype)
+        res["max"] = vals
+    if "min" in aggs:
+        vals = np.full(num_groups, np.nan, col.dtype)
+        for g in range(num_groups):
+            if ct[g]:
+                if f64:
+                    k = ((int(np.uint32(np.int64(nh[g]) & 0xFFFFFFFF)
+                              ^ np.uint32(1 << 31))) << 32) | int(
+                        np.uint32(np.int64(nl[g]) & 0xFFFFFFFF)
+                        ^ np.uint32(1 << 31))
+                else:
+                    k = int(np.uint32(np.int64(nh[g]) & 0xFFFFFFFF)
+                            ^ np.uint32(1 << 31))
+                vals[g] = _key_float(k, col.dtype)
+        res["min"] = vals
+    return {a: res[a] for a in aggs if a in res}
+
+
+def query_window(col, window: int,
+                 aggs=("sum", "count", "min", "max", "mean")) -> dict:
+    """Tumbling-window aggregates: window ``w`` covers rows
+    ``[w*window, (w+1)*window)`` in original row order; same aggregate
+    semantics (and exactness) as :func:`query_groupby`.  Returns
+    ``[ceil(n / window)]`` arrays."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    n = col.n_values
+    nw = max(-(-n // window), 1)
+    keys = np.arange(n, dtype=np.int64) // window
+    return query_groupby(col, keys, nw, aggs)
+
+
+def groupby_keys(kcol) -> tuple:
+    """Factorize a compressed column into dense GROUP-BY keys:
+    ``(keys, uniques)`` with ``uniques[keys[i]] == decompress(kcol)[i]``
+    (NaNs collapse to one group).  The helper for grouping one
+    compressed column BY another."""
+    from . import container
+    vals = container.decompress(kcol)
+    uniques, keys = np.unique(vals, return_inverse=True)
+    return keys.astype(np.int64), uniques
+
+
+def make_groupby_step(col, keys, num_groups: int, plan=None):
+    """Throughput step for the GROUP-BY pipeline: fused per-bucket
+    decode + superaccumulator digits + key-segmented reductions in ONE
+    jittable program (loop_bench convention — carry XORed into the
+    metadata, checksum out).  Models the steady-state grouped-aggregate
+    scan; :func:`query_groupby` is the exact-answer API."""
+    plan = plan or col.plan()
+    keys = np.asarray(keys, np.int32)
+    kplanes = _groupby_key_planes(col, plan, keys, num_groups)
+    groups = plan.groups
+    arg_tuples = [kdecode.group_arrays(g) for g in groups]
+    counts = [len(a) for a in arg_tuples]
+    f64 = plan.dtype == np.float64
+    ng = num_groups + 1
+    W = 64 if f64 else 8
+
+    def step(carry, *args):
+        n_meta = sum(counts)
+        metas, kps = args[:n_meta], args[n_meta:]
+        acc = carry
+        dtot = jnp.zeros((ng * W, 3), jnp.int64)
+        i = 0
+        for g, n, kp in zip(groups, counts, kps):
+            a = list(metas[i:i + n])
+            i += n
+            a[1] = a[1] ^ carry
+            out = kdecode.group_decode(g, plan.dtype)(*a)
+            if f64:
+                hi, lo = out
+                bits = (hi.astype(jnp.uint64) << jnp.uint64(32)
+                        ) | lo.astype(jnp.uint64)
+                acc = acc ^ hi[0, 0, 0]
+            else:
+                bits = out
+                acc = acc ^ out[0, 0, 0]
+            b, k = bits.reshape(-1), kp.reshape(-1)
+            if f64:
+                e = ((b >> jnp.uint64(52)) & jnp.uint64(0x7FF)
+                     ).astype(jnp.int32)
+                m = b & jnp.uint64((1 << 52) - 1)
+                sign = (b >> jnp.uint64(63)) != 0
+                mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
+                mp = jnp.where(e == 2047, jnp.uint64(0), mp)
+            else:
+                e = ((b >> jnp.uint32(23)) & jnp.uint32(0xFF)
+                     ).astype(jnp.int32)
+                m = (b & jnp.uint32((1 << 23) - 1)).astype(jnp.uint64)
+                sign = (b >> jnp.uint32(31)) != 0
+                mp = jnp.where(e > 0, m | jnp.uint64(1 << 23), m)
+                mp = jnp.where(e == 255, jnp.uint64(0), mp)
+            e_eff = jnp.maximum(e, 1)
+            j = (e_eff >> 5).astype(jnp.int32)
+            sh = (e_eff & 31).astype(jnp.uint64)
+            m32 = jnp.uint64(0xFFFFFFFF)
+            d0 = (mp << sh) & m32
+            d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+            d2 = (mp >> jnp.uint64(33)) >> (jnp.uint64(31) - sh)
+            digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
+            digs = jnp.where(sign[:, None], -digs, digs)
+            dtot = dtot + jax.ops.segment_sum(digs, k * W + j,
+                                              num_segments=ng * W)
+        return acc ^ dtot.sum().astype(jnp.uint32)
+
+    metas = [a for args in arg_tuples for a in args]
+    return step, tuple(metas) + tuple(kplanes)

@@ -128,6 +128,18 @@ def main():
     rows.append(("HISTOGRAM (6 bins; fused pipeline)", "ALP", "1 chip",
                  round(plan.decoded_bytes / dth / 1e9, 2), ""))
     print(rows[-1], flush=True)
+
+    # GROUP-BY (16 groups): decode + superaccumulator digits +
+    # key-segmented sums in one program (engine.make_groupby_step; the
+    # exact-answer API is engine.query_groupby).  Beyond-reference
+    # engine breadth — the reference's e2e set stops at q1 aggregates.
+    gb_rng = np.random.default_rng(3)
+    gb_keys = gb_rng.integers(0, 16, cc.n_values)
+    stepg, metasg = engine.make_groupby_step(cc, gb_keys, 16, plan=plan)
+    dtg = loop_bench(stepg, metasg, 20)
+    rows.append(("GROUP-BY SUM (16 groups; one program)", "ALP", "1 chip",
+                 round(plan.decoded_bytes / dtg / 1e9, 2), ""))
+    print(rows[-1], flush=True)
     cc.plan()                                      # stage once
     for label, q in (
             ("TOP-K (k=10; warm wall-clock incl tunnel RPC)",
@@ -208,6 +220,10 @@ def main():
     assert engine.query_topk(small, 3)[0] == base.max()
     assert engine.query_histogram(small, [-40.0, 0.0, 45.0]).sum() == int(
         ((base >= -40.0) & (base <= 45.0)).sum())
+    sk = np.arange(base.size) % 3
+    gb = engine.query_groupby(small, sk, 3, aggs=("sum", "count"))
+    assert all(float(gb["sum"][g]) == math.fsum(base[sk == g].tolist())
+               for g in range(3))
 
     # ---- UNCOMPRESSED scan on device (table-6 "Uncompressed" row):
     # the same SUM-shaped aggregate over raw f64 bit planes resident in
