@@ -156,3 +156,54 @@ def sharded_exact_sum_f64(mesh: Mesh, bw: int, variant: str = "gen",
     specs = (P("rg"),) * (1 + n_meta)
     return jax.jit(shard_map(local, mesh=mesh, in_specs=specs,
                              out_specs=P(), check_rep=False))
+
+
+def sharded_groupby_sum_f64(mesh: Mesh, decode_fn, num_groups: int,
+                            n_decode_args: int):
+    """Mesh-sharded GROUP-BY SUM partials: each device decodes its shard
+    of tile groups to (hi, lo) bit planes with ``decode_fn`` (any f64
+    bucket decode — ``kernels.decode.group_decode(g, float64)`` covers
+    every variant and scheme and is shard_map-safe), decomposes values
+    into the exact superaccumulator digits of
+    ``engine._groupby_chunk_f64``, segment-sums them locally on
+    ``key * 64 + window``, and combines the
+    ``[(num_groups + 1) * 64, 3]`` i64 digit partials with ONE ``psum``
+    over ICI.  Integer adds are exactly associative, so the distributed
+    per-group sums stay bit-identical to the single-device result —
+    the GROUP-BY analog of :func:`sharded_exact_sum_f64`.
+
+    The jitted callable takes the bucket's decode args (sharded over
+    ``rg``) followed by ONE ``[G, 64, 128]`` int32 key plane (sharded;
+    trash key = ``num_groups`` on pad slots — engine._groupby_key_planes
+    layout) and returns the replicated partials; the engine's bignum
+    window combine and exception corrections apply host-side.
+    """
+    ng = num_groups + 1
+
+    def local(*args):
+        keyp = args[-1]
+        hi, lo = decode_fn(*args[:-1])
+        bits = (hi.astype(jnp.uint64) << jnp.uint64(32)
+                ) | lo.astype(jnp.uint64)
+        b, k = bits.reshape(-1), keyp.reshape(-1)
+        e = ((b >> jnp.uint64(52)) & jnp.uint64(0x7FF)).astype(jnp.int32)
+        m = b & jnp.uint64((1 << 52) - 1)
+        sign = (b >> jnp.uint64(63)) != 0
+        mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
+        mp = jnp.where(e == 2047, jnp.uint64(0), mp)
+        e_eff = jnp.maximum(e, 1)
+        j = (e_eff >> 5).astype(jnp.int32)
+        sh = (e_eff & 31).astype(jnp.uint64)
+        m32 = jnp.uint64(0xFFFFFFFF)
+        d0 = (mp << sh) & m32
+        d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
+        d2 = (mp >> jnp.uint64(33)) >> (jnp.uint64(31) - sh)
+        digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
+        digs = jnp.where(sign[:, None], -digs, digs)
+        part = jax.ops.segment_sum(digs, k * 64 + j,
+                                   num_segments=ng * 64)
+        return jax.lax.psum(part, "rg")
+
+    specs = (P("rg"),) * (n_decode_args + 1)
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=specs,
+                             out_specs=P(), check_rep=False))

@@ -223,3 +223,39 @@ def test_sharded_exact_sum_matches_single_device():
         args[0], tuple(args[1:]), variant=g.variant, bw=g.bw,
         flags=g.flags).astype(jnp.int64).sum(axis=(0, 2)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_groupby_matches_single_device():
+    """Mesh-sharded GROUP-BY digit partials (one ICI psum) equal the
+    single-device segment sums — the distributed exact per-group SUM."""
+    import jax.numpy as jnp
+    from alp_tpu import container, engine
+    from alp_tpu.kernels import decode as kdecode
+    from alp_tpu.parallel import make_mesh
+    from alp_tpu.parallel.sharded import sharded_groupby_sum_f64
+    rng = np.random.default_rng(61)
+    d = np.round(rng.normal(40, 20, 64 * 1024), 2)   # 8 tile groups
+    cc = container.compress(d)
+    plan = cc.plan()
+    cand = [(i, g) for i, g in enumerate(plan.groups)
+            if g.variant != "const"
+            and kdecode.group_arrays(g)[1].shape[0] % 8 == 0]
+    if not cand:
+        import pytest
+        pytest.skip("no bucket with tile groups divisible by mesh")
+    gi, g = max(cand, key=lambda t: t[1].n_vectors)
+    args = kdecode.group_arrays(g)
+    G = 4
+    keys = rng.integers(0, G, cc.n_values)
+    kp = engine._groupby_key_planes(cc, plan, keys.astype(np.int32),
+                                    G)[gi]
+    fn = sharded_groupby_sum_f64(make_mesh(8),
+                                 kdecode.group_decode(g, np.float64),
+                                 G, len(args))
+    got = np.asarray(fn(*args, kp))
+    hi, lo = kdecode.group_decode(g, np.float64)(*args)
+    bits = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(
+        jnp.uint64)
+    want, _, _, _, _, _, _ = engine._groupby_chunk_f64(
+        bits.reshape(-1), kp.reshape(-1), ng=G + 1)
+    np.testing.assert_array_equal(got, np.asarray(want).reshape(-1, 3))
