@@ -1705,6 +1705,32 @@ def _groupby_key_planes(col, plan, keys: np.ndarray, num_groups: int):
     return planes
 
 
+def _groupby_key_planes_cached(col, plan, keys: np.ndarray,
+                               num_groups: int):
+    """Key planes with a per-column identity cache: uploading 4 B/value
+    of keys per query dominates warm wall-clock through the transfer
+    tunnel (measured 0.04 GB/s), so repeated queries with the SAME keys
+    array (the steady-state grouped-query shape) reuse the staged
+    device planes.  Hits require object identity — no hashing of the
+    key bytes — so callers should keep one keys array per grouping."""
+    cache = getattr(col, "_gb_key_cache", None)
+    if cache is None:
+        cache = []
+        try:
+            col._gb_key_cache = cache
+        except AttributeError:          # frozen dataclass: skip caching
+            return _groupby_key_planes(
+                col, plan, np.asarray(keys, np.int32), num_groups)
+    for k_ref, n_g, p_ref, planes in cache:
+        if k_ref is keys and n_g == num_groups and p_ref is plan:
+            return planes
+    planes = _groupby_key_planes(
+        col, plan, np.asarray(keys, np.int32), num_groups)
+    cache.append((keys, num_groups, plan, planes))
+    del cache[:-4]                      # small LRU
+    return planes
+
+
 @functools.partial(jax.jit, static_argnames=("ng",))
 def _groupby_chunk_f64(bits, keys, *, ng: int):
     """One chunk of the GROUP-BY pass (f64): [N] value bit patterns +
@@ -1793,7 +1819,149 @@ def _groupby_chunk_f32(bits, keys, *, ng: int):
     return d3, ssums, counts, mh, zero, nh, zero
 
 
-_GB_CHUNK = 1 << 20
+_GB_CHUNK = 1 << 20       # scatter-path chunk (one compile per size class)
+_GB_MXU_CHUNK = 8192      # bf16-matmul chunk: 8192 * 255 < 2^24 keeps the
+                          # f32 accumulator exact
+_GB_MXU_MAX_GROUPS = 128  # one-hot width cutoff; larger goes to scatter
+
+
+def _mxu_digit_cols(bits, keys, ng: int, f64: bool):
+    """Traced core of the one-hot MXU GROUP-BY pass: per-value feature
+    columns + one-hot column ids.
+
+    Scatter/segment ops SERIALIZE on TPU (segment_sum measured 0.1 GB/s
+    end to end), so grouped exact sums are reformulated as matmuls: each
+    value contributes its superaccumulator digits as signed 8-bit BYTE
+    parts (exact in bf16) to one-hot column ``key * n_windows + window``
+    and an MXU matmul reduces chunks of 8192 rows with EXACT f32
+    accumulation (8192 * 255 < 2^24).
+
+    Windows use the plan-time envelope (docs/DEVNOTES.md): f64
+    ALP-decoded magnitudes give biased-exponent windows j in [30, 33]
+    (f32: [2, 4]).  Values OUTSIDE the envelope — rare patched
+    exceptions and raw-double ALP_RD payloads (incl. subnormals) — are
+    flagged in the returned mask for host bignum correction; zeros and
+    specials stay in-window with zeroed digits.
+
+    Returns ``(X [n, C] f32, colid [n] i32, oob [n] bool)`` with C = 16
+    for f64 (12 digit parts: window w, digit k, byte t at column
+    key*4+w with weight 2^(32*(30+w) + 32k + 8t); NaN/+inf/-inf
+    indicators at 12-14 on the w=0 column; row-count ones at 15) and
+    C = 12 for f32 (8 parts, 3 windows, weight 2^(32*(2+w) + 32k + 8t),
+    indicators 8-10, ones 11).
+    """
+    if f64:
+        e = ((bits >> jnp.uint64(52)) & jnp.uint64(0x7FF)).astype(
+            jnp.int32)
+        m = bits & jnp.uint64((1 << 52) - 1)
+        sign = (bits >> jnp.uint64(63)) != 0
+        spec = e == 2047
+        mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
+        mp = jnp.where(spec, jnp.uint64(0), mp)
+        base_w, n_w, n_dig = 30, 4, 3
+    else:
+        e = ((bits >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(
+            jnp.int32)
+        m = (bits & jnp.uint32((1 << 23) - 1)).astype(jnp.uint64)
+        sign = (bits >> jnp.uint32(31)) != 0
+        spec = e == 255
+        mp = jnp.where(e > 0, m | jnp.uint64(1 << 23), m)
+        mp = jnp.where(spec, jnp.uint64(0), mp)
+        base_w, n_w, n_dig = 2, 3, 2
+    e_eff = jnp.maximum(e, 1)
+    j = (e_eff >> 5).astype(jnp.int32)
+    jw = j - base_w
+    sh = (e_eff & 31).astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    digs = [((mp << sh) & m32).astype(jnp.uint32),
+            (((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh))
+             & m32).astype(jnp.uint32)]
+    if n_dig == 3:
+        digs.append(((mp >> jnp.uint64(33))
+                     >> (jnp.uint64(31) - sh)).astype(jnp.uint32))
+    s = jnp.where(sign, jnp.float32(-1), jnp.float32(1))
+    cols = []
+    for d in digs:
+        for t in range(4):
+            cols.append(((d >> jnp.uint32(8 * t))
+                         & jnp.uint32(0xFF)).astype(jnp.int32)
+                        .astype(jnp.float32) * s)
+    one = jnp.ones_like(s)
+    cols.append(jnp.where(spec & (m != 0), one, 0.0))      # NaN
+    cols.append(jnp.where(spec & (m == 0) & ~sign, one, 0.0))
+    cols.append(jnp.where(spec & (m == 0) & sign, one, 0.0))
+    cols.append(one)                                       # row count
+    X = jnp.stack(cols, axis=-1)
+    okw = (jw >= 0) & (jw < n_w)
+    ok_row = spec | okw | (mp == jnp.uint64(0))  # zeros: window 0, digits 0
+    valid_key = keys < ng
+    colid = jnp.where(valid_key & ok_row,
+                      keys * n_w + jnp.where(okw, jw, 0),
+                      jnp.int32(ng * n_w))                 # trash column
+    oob = valid_key & ~ok_row
+    return X, colid, oob
+
+
+def _mxu_reduce(X, colid, n_cols_onehot: int):
+    """Chunked bf16 one-hot matmul: [n, C] features x [n, G] one-hot ->
+    [C, G] i64 exact column sums (per-chunk f32 partials are exact,
+    combined in i64)."""
+    n, C = X.shape
+    B = n // _GB_MXU_CHUNK
+    Xb = X.reshape(B, _GB_MXU_CHUNK, C).astype(jnp.bfloat16)
+    A = (colid.reshape(B, _GB_MXU_CHUNK, 1)
+         == jnp.arange(n_cols_onehot, dtype=jnp.int32)).astype(
+             jnp.bfloat16)
+    out = jnp.einsum("bnp,bng->bpg", Xb, A,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).astype(jnp.int64).sum(axis=0)
+
+
+def _mxu_extremes(bits, keys, ng: int, f64: bool):
+    """Per-group total-order key extremes via broadcast-select reduces
+    (fused by XLA; no scatter).  Returns biased-i32 words
+    (mh, ml, nh, nl), lo words zero for f32."""
+    iota = jnp.arange(ng, dtype=jnp.int32)
+    mm = keys[:, None] == iota[None, :]
+    i32min, i32max = jnp.int32(-(1 << 31)), jnp.int32((1 << 31) - 1)
+    if f64:
+        vb = jnp.where(bits == jnp.uint64(1 << 63), jnp.uint64(0), bits)
+        ks = (vb >> jnp.uint64(63)) != 0
+        ku = jnp.where(ks, ~vb, vb | jnp.uint64(1 << 63))
+        khi = _biased_i32((ku >> jnp.uint64(32)).astype(jnp.uint32))
+        klo = _biased_i32((ku & jnp.uint64(0xFFFFFFFF)).astype(
+            jnp.uint32))
+    else:
+        vb = jnp.where(bits == jnp.uint32(1 << 31), jnp.uint32(0), bits)
+        ks = (vb >> jnp.uint32(31)) != 0
+        ku = jnp.where(ks, ~vb, vb | jnp.uint32(1 << 31))
+        khi = _biased_i32(ku)
+        klo = jnp.zeros_like(khi)
+    mh = jnp.max(jnp.where(mm, khi[:, None], i32min), axis=0)
+    mhn = jnp.max(jnp.where(mm, mh[None, :], i32min), axis=1)
+    ml = jnp.max(jnp.where(mm & (khi == mhn)[:, None], klo[:, None],
+                           i32min), axis=0)
+    nh = jnp.min(jnp.where(mm, khi[:, None], i32max), axis=0)
+    nhn = jnp.min(jnp.where(mm, nh[None, :], i32max), axis=1)
+    nl = jnp.min(jnp.where(mm & (khi == nhn)[:, None], klo[:, None],
+                           i32max), axis=0)
+    return mh, ml, nh, nl
+
+
+@functools.partial(jax.jit, static_argnames=("ng",))
+def _groupby_mxu_f64(bits, keys, *, ng: int):
+    X, colid, oob = _mxu_digit_cols(bits, keys, ng, True)
+    C = _mxu_reduce(X, colid, ng * 4 + 1)
+    mh, ml, nh, nl = _mxu_extremes(bits, keys, ng, True)
+    return (C, oob, oob.sum(dtype=jnp.int32), mh, ml, nh, nl)
+
+
+@functools.partial(jax.jit, static_argnames=("ng",))
+def _groupby_mxu_f32(bits, keys, *, ng: int):
+    X, colid, oob = _mxu_digit_cols(bits, keys, ng, False)
+    C = _mxu_reduce(X, colid, ng * 3 + 1)
+    mh, ml, nh, nl = _mxu_extremes(bits, keys, ng, False)
+    return (C, oob, oob.sum(dtype=jnp.int32), mh, ml, nh, nl)
 
 
 def query_groupby(col, keys, num_groups: int,
@@ -1809,21 +1977,24 @@ def query_groupby(col, keys, num_groups: int,
     - ``sum``/``mean``: EXACT — each group's result is the correctly-
       rounded float of the group's true rational sum (mean: sum/n),
       bit-identical to ``math.fsum`` per group, via the same
-      superaccumulator windows as :func:`query_sum` segment-summed on
-      ``key * windows + window``.  IEEE special rules per group (any
-      NaN, or +inf with -inf -> NaN; else the infinity wins).
-      Empty groups: sum 0.0, mean NaN.
+      superaccumulator windows as :func:`query_sum` reduced per group.
+      IEEE special rules per group (any NaN, or +inf with -inf -> NaN;
+      else the infinity wins).  Empty groups: sum 0.0, mean NaN.
     - ``count``: rows per group (COUNT(*), specials included).
     - ``min``/``max``: exact total-order extremes (native-i32 two-word
-      segment maxes — XLA's emulated f64 compares are NOT exact on TPU,
+      compares — XLA's emulated f64 compares are NOT exact on TPU,
       round-2 finding).  NaN sorts above +inf / below -inf per the
       IEEE total order (matching :func:`query_min`); empty groups NaN.
 
     The decode side is the standard fused per-bucket scan
-    (``plan.run(patch=True)`` — exceptions are already patched, so no
-    per-group corrections are needed); grouping adds one int32 key
-    plane read per value plus the segment reductions.
+    (``plan.run(patch=True)`` — exceptions are already patched).  The
+    grouped reduction itself is the one-hot MXU matmul formulation
+    (:func:`_mxu_digit_cols`: scatter serializes on TPU) for up to
+    ``_GB_MXU_MAX_GROUPS`` groups, with host bignum corrections for the
+    rare out-of-envelope values; larger group counts take the general
+    segment-sum path (exact everywhere, slower on TPU).
     """
+    keys_id = keys                       # identity key for the plane cache
     keys = np.ascontiguousarray(np.asarray(keys, np.int64))
     if keys.shape != (col.n_values,):
         raise ValueError(f"keys must have shape ({col.n_values},)")
@@ -1832,8 +2003,6 @@ def query_groupby(col, keys, num_groups: int,
     if keys.size and (keys.min() < 0 or keys.max() >= num_groups):
         raise ValueError("keys out of range [0, num_groups)")
     f64 = col.dtype == np.float64
-    W = 64 if f64 else 8
-    ng = num_groups + 1                       # +1 trash group for pads
     out = {}
     if col.n_values == 0:
         for a in aggs:
@@ -1846,8 +2015,7 @@ def query_groupby(col, keys, num_groups: int,
         return out
     plan = col.plan()
     outs = plan.run(patch=True)
-    kplanes = _groupby_key_planes(col, plan, keys.astype(np.int32),
-                                  num_groups)
+    kplanes = _groupby_key_planes_cached(col, plan, keys_id, num_groups)
     bit_chunks, key_chunks = [], []
     for (bits, _), kp in zip(_masked_bits(col, plan, outs), kplanes):
         bit_chunks.append(bits.reshape(-1))
@@ -1857,95 +2025,128 @@ def query_groupby(col, keys, num_groups: int,
     keys_all = (key_chunks[0] if len(key_chunks) == 1
                 else jnp.concatenate(key_chunks))
     n = bits_all.shape[0]
-    n_pad = -(-n // _GB_CHUNK) * _GB_CHUNK
+    use_mxu = num_groups <= _GB_MXU_MAX_GROUPS
+    step_n = _GB_MXU_CHUNK if use_mxu else _GB_CHUNK
+    n_pad = -(-n // step_n) * step_n
     if n_pad != n:
         bits_all = jnp.concatenate(
             [bits_all, jnp.zeros(n_pad - n, bits_all.dtype)])
         keys_all = jnp.concatenate(
             [keys_all,
              jnp.full(n_pad - n, np.int32(num_groups), jnp.int32)])
-    chunk = _groupby_chunk_f64 if f64 else _groupby_chunk_f32
-    dn = sp = ct = None
-    mh = ml = nh = nl = None
-    for c in range(n_pad // _GB_CHUNK):
-        sl = slice(c * _GB_CHUNK, (c + 1) * _GB_CHUNK)
-        d, s, cc_, h, l, h2, l2 = chunk(bits_all[sl], keys_all[sl], ng=ng)
-        d, s, cc_ = np.asarray(d), np.asarray(s), np.asarray(cc_)
-        h, l, h2, l2 = (np.asarray(h), np.asarray(l),
-                        np.asarray(h2), np.asarray(l2))
-        if dn is None:
-            dn, sp, ct, mh, ml, nh, nl = d, s, cc_, h, l, h2, l2
-        else:
-            dn += d
-            sp += s
-            ct += cc_
-            # lexicographic (hi, lo) max/min combine across chunks
-            take = (h > mh) | ((h == mh) & (l > ml))
-            mh, ml = np.where(take, h, mh), np.where(take, l, ml)
-            take = (h2 < nh) | ((h2 == nh) & (l2 < nl))
-            nh, nl = np.where(take, h2, nh), np.where(take, l2, nl)
-    ct = ct.astype(np.int64)
-    res = {}
-    if "count" in aggs:
-        res["count"] = ct[:num_groups].copy()
-    if "sum" in aggs or "mean" in aggs:
-        totals = [0] * num_groups
+    totals = [0] * num_groups
+    sp = np.zeros((num_groups, 3), np.int64)
+    ct = np.zeros(num_groups, np.int64)
+    scale = 1075 if f64 else 150
+    if use_mxu:
+        fn = _groupby_mxu_f64 if f64 else _groupby_mxu_f32
+        C, oob, ocnt, mh, ml, nh, nl = fn(bits_all, keys_all,
+                                          ng=num_groups)
+        C = np.asarray(C)
+        mh, ml, nh, nl = (np.asarray(mh), np.asarray(ml),
+                          np.asarray(nh), np.asarray(nl))
+        n_w, base_w = (4, 30) if f64 else (3, 2)
+        n_parts = 12 if f64 else 8
+        pz, cz = np.nonzero(C[:n_parts, :num_groups * n_w])
+        for p, c in zip(pz.tolist(), cz.tolist()):
+            g, w = divmod(c, n_w)
+            totals[g] += int(C[p, c]) << (
+                32 * (base_w + w) + 32 * (p // 4) + 8 * (p % 4))
+        for g in range(num_groups):
+            sp[g] = C[n_parts:n_parts + 3, g * n_w]
+            ct[g] = C[n_parts + 3, g * n_w:(g + 1) * n_w].sum()
+        if int(ocnt):
+            # host bignum corrections for out-of-envelope values (rare:
+            # extreme exceptions, ALP_RD raw doubles incl. subnormals)
+            idx = np.flatnonzero(np.asarray(oob))
+            ob = np.asarray(jnp.take(bits_all, jnp.asarray(idx)))
+            ok = np.asarray(jnp.take(keys_all, jnp.asarray(idx)))
+            fixed = _f64_fixed if f64 else _f32_fixed
+            for b, g in zip(ob.tolist(), ok.tolist()):
+                fx, cls = fixed(int(b))
+                ct[g] += 1
+                if cls:
+                    sp[g, cls - 1] += 1
+                else:
+                    totals[g] += fx
+    else:
+        chunk = _groupby_chunk_f64 if f64 else _groupby_chunk_f32
+        ngp = num_groups + 1
+        dn = spn = ctn = None
+        mh = ml = nh = nl = None
+        for c in range(n_pad // _GB_CHUNK):
+            sl = slice(c * _GB_CHUNK, (c + 1) * _GB_CHUNK)
+            d, s, cc_, h, l, h2, l2 = chunk(bits_all[sl], keys_all[sl],
+                                            ng=ngp)
+            d, s, cc_ = np.asarray(d), np.asarray(s), np.asarray(cc_)
+            h, l, h2, l2 = (np.asarray(h), np.asarray(l),
+                            np.asarray(h2), np.asarray(l2))
+            if dn is None:
+                dn, spn, ctn, mh, ml, nh, nl = d, s, cc_, h, l, h2, l2
+            else:
+                dn += d
+                spn += s
+                ctn += cc_
+                # lexicographic (hi, lo) max/min combine across chunks
+                take = (h > mh) | ((h == mh) & (l > ml))
+                mh, ml = np.where(take, h, mh), np.where(take, l, ml)
+                take = (h2 < nh) | ((h2 == nh) & (l2 < nl))
+                nh, nl = np.where(take, h2, nh), np.where(take, l2, nl)
         gz, jz, kz = np.nonzero(dn[:num_groups])
         for g, j, k in zip(gz.tolist(), jz.tolist(), kz.tolist()):
             totals[g] += int(dn[g, j, k]) << (32 * j + 32 * k)
-        scale = 1075 if f64 else 150
-        if "sum" in aggs:
-            res["sum"] = np.array(
-                [_finish_sum(totals[g], int(sp[g, 0]), int(sp[g, 1]),
-                             int(sp[g, 2]), scale)
-                 for g in range(num_groups)], col.dtype)
-        if "mean" in aggs:
-            from fractions import Fraction
-            means = np.full(num_groups, np.nan, col.dtype)
-            for g in range(num_groups):
-                if ct[g] == 0:
-                    continue
-                if sp[g, 0] or (sp[g, 1] and sp[g, 2]):
-                    continue                      # NaN
-                elif sp[g, 1]:
-                    means[g] = np.inf
-                elif sp[g, 2]:
-                    means[g] = -np.inf
-                elif totals[g] == 0:
-                    means[g] = 0.0
-                else:
-                    means[g] = col.dtype.type(float(Fraction(
-                        totals[g], int(ct[g]) << scale)))
-            res["mean"] = means
+        sp = spn[:num_groups].astype(np.int64)
+        ct = ctn[:num_groups].astype(np.int64)
+        mh, ml = mh[:num_groups], ml[:num_groups]
+        nh, nl = nh[:num_groups], nl[:num_groups]
+    res = {}
+    if "count" in aggs:
+        res["count"] = ct.copy()
+    if "sum" in aggs:
+        res["sum"] = np.array(
+            [_finish_sum(totals[g], int(sp[g, 0]), int(sp[g, 1]),
+                         int(sp[g, 2]), scale)
+             for g in range(num_groups)], col.dtype)
+    if "mean" in aggs:
+        from fractions import Fraction
+        means = np.full(num_groups, np.nan, col.dtype)
+        for g in range(num_groups):
+            if ct[g] == 0:
+                continue
+            if sp[g, 0] or (sp[g, 1] and sp[g, 2]):
+                continue                      # NaN
+            elif sp[g, 1]:
+                means[g] = np.inf
+            elif sp[g, 2]:
+                means[g] = -np.inf
+            elif totals[g] == 0:
+                means[g] = 0.0
+            else:
+                means[g] = col.dtype.type(float(Fraction(
+                    totals[g], int(ct[g]) << scale)))
+        res["mean"] = means
+
+    def _key_of(h, l):
+        # un-bias the i32 reduce words back to the u32 total-order key
+        # halves (inverse of _biased_i32)
+        if f64:
+            return ((int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                         ^ np.uint32(1 << 31))) << 32) | int(
+                np.uint32(np.int64(l) & 0xFFFFFFFF) ^ np.uint32(1 << 31))
+        return int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                   ^ np.uint32(1 << 31))
+
     if "max" in aggs:
         vals = np.full(num_groups, np.nan, col.dtype)
         for g in range(num_groups):
             if ct[g]:
-                if f64:
-                    # un-bias the i32 segment-max words back to the u32
-                    # total-order key halves (inverse of _biased_i32)
-                    k = ((int(np.uint32(np.int64(mh[g]) & 0xFFFFFFFF)
-                              ^ np.uint32(1 << 31))) << 32) | int(
-                        np.uint32(np.int64(ml[g]) & 0xFFFFFFFF)
-                        ^ np.uint32(1 << 31))
-                else:
-                    k = int(np.uint32(np.int64(mh[g]) & 0xFFFFFFFF)
-                            ^ np.uint32(1 << 31))
-                vals[g] = _key_float(k, col.dtype)
+                vals[g] = _key_float(_key_of(mh[g], ml[g]), col.dtype)
         res["max"] = vals
     if "min" in aggs:
         vals = np.full(num_groups, np.nan, col.dtype)
         for g in range(num_groups):
             if ct[g]:
-                if f64:
-                    k = ((int(np.uint32(np.int64(nh[g]) & 0xFFFFFFFF)
-                              ^ np.uint32(1 << 31))) << 32) | int(
-                        np.uint32(np.int64(nl[g]) & 0xFFFFFFFF)
-                        ^ np.uint32(1 << 31))
-                else:
-                    k = int(np.uint32(np.int64(nh[g]) & 0xFFFFFFFF)
-                            ^ np.uint32(1 << 31))
-                vals[g] = _key_float(k, col.dtype)
+                vals[g] = _key_float(_key_of(nh[g], nl[g]), col.dtype)
         res["min"] = vals
     return {a: res[a] for a in aggs if a in res}
 
@@ -1960,7 +2161,19 @@ def query_window(col, window: int,
         raise ValueError("window must be positive")
     n = col.n_values
     nw = max(-(-n // window), 1)
-    keys = np.arange(n, dtype=np.int64) // window
+    # reuse one keys array per window size so the key-plane cache hits
+    # on repeated queries (identity-keyed; _groupby_key_planes_cached)
+    wc = getattr(col, "_window_keys_cache", None)
+    if wc is None:
+        wc = {}
+        try:
+            col._window_keys_cache = wc
+        except AttributeError:
+            pass
+    keys = wc.get(window)
+    if keys is None:
+        keys = np.arange(n, dtype=np.int64) // window
+        wc[window] = keys
     return query_groupby(col, keys, nw, aggs)
 
 
@@ -1977,10 +2190,11 @@ def groupby_keys(kcol) -> tuple:
 
 def make_groupby_step(col, keys, num_groups: int, plan=None):
     """Throughput step for the GROUP-BY pipeline: fused per-bucket
-    decode + superaccumulator digits + key-segmented reductions in ONE
-    jittable program (loop_bench convention — carry XORed into the
+    decode + one-hot MXU digit reduction (:func:`_mxu_digit_cols`) in
+    ONE jittable program (loop_bench convention — carry XORed into the
     metadata, checksum out).  Models the steady-state grouped-aggregate
-    scan; :func:`query_groupby` is the exact-answer API."""
+    scan; :func:`query_groupby` is the exact-answer API (it adds the
+    host bignum assembly and out-of-envelope corrections per query)."""
     plan = plan or col.plan()
     keys = np.asarray(keys, np.int32)
     kplanes = _groupby_key_planes(col, plan, keys, num_groups)
@@ -1988,14 +2202,16 @@ def make_groupby_step(col, keys, num_groups: int, plan=None):
     arg_tuples = [kdecode.group_arrays(g) for g in groups]
     counts = [len(a) for a in arg_tuples]
     f64 = plan.dtype == np.float64
-    ng = num_groups + 1
-    W = 64 if f64 else 8
+    if num_groups > _GB_MXU_MAX_GROUPS:
+        raise ValueError("groupby step supports <= "
+                         f"{_GB_MXU_MAX_GROUPS} groups")
+    n_onehot = num_groups * (4 if f64 else 3) + 1
 
     def step(carry, *args):
         n_meta = sum(counts)
         metas, kps = args[:n_meta], args[n_meta:]
         acc = carry
-        dtot = jnp.zeros((ng * W, 3), jnp.int64)
+        ctot = None
         i = 0
         for g, n, kp in zip(groups, counts, kps):
             a = list(metas[i:i + n])
@@ -2010,33 +2226,12 @@ def make_groupby_step(col, keys, num_groups: int, plan=None):
             else:
                 bits = out
                 acc = acc ^ out[0, 0, 0]
-            b, k = bits.reshape(-1), kp.reshape(-1)
-            if f64:
-                e = ((b >> jnp.uint64(52)) & jnp.uint64(0x7FF)
-                     ).astype(jnp.int32)
-                m = b & jnp.uint64((1 << 52) - 1)
-                sign = (b >> jnp.uint64(63)) != 0
-                mp = jnp.where(e > 0, m | jnp.uint64(1 << 52), m)
-                mp = jnp.where(e == 2047, jnp.uint64(0), mp)
-            else:
-                e = ((b >> jnp.uint32(23)) & jnp.uint32(0xFF)
-                     ).astype(jnp.int32)
-                m = (b & jnp.uint32((1 << 23) - 1)).astype(jnp.uint64)
-                sign = (b >> jnp.uint32(31)) != 0
-                mp = jnp.where(e > 0, m | jnp.uint64(1 << 23), m)
-                mp = jnp.where(e == 255, jnp.uint64(0), mp)
-            e_eff = jnp.maximum(e, 1)
-            j = (e_eff >> 5).astype(jnp.int32)
-            sh = (e_eff & 31).astype(jnp.uint64)
-            m32 = jnp.uint64(0xFFFFFFFF)
-            d0 = (mp << sh) & m32
-            d1 = ((mp >> jnp.uint64(1)) >> (jnp.uint64(31) - sh)) & m32
-            d2 = (mp >> jnp.uint64(33)) >> (jnp.uint64(31) - sh)
-            digs = jnp.stack([d0, d1, d2], axis=-1).astype(jnp.int64)
-            digs = jnp.where(sign[:, None], -digs, digs)
-            dtot = dtot + jax.ops.segment_sum(digs, k * W + j,
-                                              num_segments=ng * W)
-        return acc ^ dtot.sum().astype(jnp.uint32)
+            X, colid, _ = _mxu_digit_cols(bits.reshape(-1),
+                                          kp.reshape(-1),
+                                          num_groups, f64)
+            c = _mxu_reduce(X, colid, n_onehot)
+            ctot = c if ctot is None else ctot + c
+        return acc ^ ctot.sum().astype(jnp.uint32)
 
     metas = [a for args in arg_tuples for a in args]
     return step, tuple(metas) + tuple(kplanes)
