@@ -2235,3 +2235,174 @@ def make_groupby_step(col, keys, num_groups: int, plan=None):
 
     metas = [a for args in arg_tuples for a in args]
     return step, tuple(metas) + tuple(kplanes)
+
+
+# ---------------------------------------------------------------------------
+# QUANTILE / MEDIAN: exact rank selection over the fused scan (engine
+# breadth beyond the reference's q1 aggregate set)
+# ---------------------------------------------------------------------------
+
+
+def _select_rank_keys(col, plan, ranks) -> dict:
+    """Exact total-order keys at the given 1-based ascending ranks, by
+    multi-way bisection over the key space with the SAME cached
+    128-threshold fused count program the histogram uses — no decoded
+    planes, no candidate extraction, ~``ceil(width / log2(127))``
+    one-program passes (10 for f64, 5 for f32).
+
+    Invariant per rank r: ``count(key <= lo - 1) < r <= count(key <=
+    hi)``; each pass spreads up to 126 probe thresholds across the
+    active brackets and every fused count is corrected exactly for
+    exception slots and the padded tail (:func:`_pred_corrections`),
+    so the returned key is the EXACT r-th smallest IEEE-754 total-order
+    key in the column."""
+    f32 = col.dtype == np.float32
+    kt = np.uint32 if f32 else np.uint64
+    width = 32 if f32 else 64
+    top = (1 << width) - 1
+    prog = _histogram_program(plan, 128)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+
+    def counts_for(thrs):
+        m = len(thrs)
+        pad = np.full(128, thrs[0], kt)
+        pad[:m] = thrs
+        thr_hi, thr_lo = _histogram_thresholds(pad, f32)
+        p = np.asarray(prog(jnp.uint32(0), thr_hi, thr_lo,
+                            *metas)).astype(np.int64)
+        for i in range(m):
+            p[i] += _pred_corrections(col, plan, kt(0), kt(int(thrs[i])))
+        return p[:m]
+
+    bracket = {r: (0, top) for r in ranks}
+    for _ in range(width):          # converges in ~width/7 passes
+        active = sorted({b for b in bracket.values() if b[0] < b[1]})
+        if not active:
+            break
+        budget = max(1, 126 // len(active))
+        thrs, spans = [], []
+        for lo, hi in active:
+            s = len(thrs)
+            probes = np.unique(
+                lo + np.arange(1, budget + 1, dtype=object)
+                * (hi - lo) // (budget + 1))
+            probes = [int(t) for t in probes if lo <= t < hi]
+            if not probes:
+                probes = [lo]
+            thrs.extend(probes)
+            spans.append(((lo, hi), slice(s, len(thrs))))
+        cnt = counts_for(np.array(thrs, kt))
+        for r, (lo, hi) in list(bracket.items()):
+            if lo >= hi:
+                continue
+            for (blo, bhi), sl in spans:
+                if (blo, bhi) == (lo, hi):
+                    ts = thrs[sl]
+                    cs = cnt[sl]
+                    for t, c in zip(ts, cs):
+                        if c >= r:
+                            hi = min(hi, t)
+                        else:
+                            lo = max(lo, t + 1)
+                    bracket[r] = (lo, hi)
+                    break
+    assert all(lo == hi for lo, hi in bracket.values())
+    return {r: b[0] for r, b in bracket.items()}
+
+
+def _special_rank_counts(col, plan):
+    """(negative-NaN count, positive-NaN count): one fused 2-threshold
+    pass at the total-order boundaries key(-inf) - 1 and key(+inf)."""
+    f32 = col.dtype == np.float32
+    kt = np.uint32 if f32 else np.uint64
+    prog = _histogram_program(plan, 128)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+    k_ninf = _float_key(float("-inf"), col.dtype) - 1
+    k_pinf = _float_key(float("inf"), col.dtype)
+    thrs = np.full(128, kt(k_pinf))
+    thrs[0] = kt(k_ninf)
+    thr_hi, thr_lo = _histogram_thresholds(thrs, f32)
+    p = np.asarray(prog(jnp.uint32(0), thr_hi, thr_lo,
+                        *metas)).astype(np.int64)
+    n_negnan = int(p[0]) + _pred_corrections(col, plan, kt(0), kt(k_ninf))
+    le_pinf = int(p[1]) + _pred_corrections(col, plan, kt(0), kt(k_pinf))
+    return n_negnan, col.n_values - le_pinf
+
+
+def query_quantile(col, q, interpolation: str = "linear"):
+    """QUANTILE(column, q): exact rank selection on device — the
+    ORDER-BY-offset / MEDIAN building block, numpy-compatible.
+
+    ``q`` is a scalar or sequence in [0, 1]; returns a float (or array)
+    matching ``np.quantile(values, q, method=interpolation)`` for the
+    methods ``linear`` / ``lower`` / ``higher`` / ``midpoint`` /
+    ``nearest``.  Any NaN in the column propagates (numpy semantics).
+
+    The neighbor values at the straddling ranks are found EXACTLY via
+    total-order-key bisection over fused count scans
+    (:func:`_select_rank_keys`); only the final interpolation arithmetic
+    is floating-point (performed exactly as numpy's ``_lerp``).
+    """
+    qs = np.atleast_1d(np.asarray(q, np.float64))
+    if qs.size and (np.isnan(qs).any() or qs.min() < 0 or qs.max() > 1):
+        raise ValueError("quantiles must be in [0, 1]")
+    n = col.n_values
+    scalar = np.isscalar(q) or getattr(q, "ndim", 1) == 0
+    if n == 0:
+        out = np.full(qs.shape, np.nan, col.dtype)
+        return col.dtype.type(out[0]) if scalar else out
+    plan = col.plan()
+    n_negnan, n_posnan = _special_rank_counts(col, plan)
+    if n_negnan or n_posnan:
+        out = np.full(qs.shape, np.nan, col.dtype)
+        return col.dtype.type(out[0]) if scalar else out
+    hs = qs * (n - 1)
+    ranks = set()
+    for h in hs:
+        i = int(np.floor(h))
+        ranks.add(i + 1)
+        # the upper neighbor is the CEIL-rank value: at integer h it is
+        # the same element (numpy semantics), so only straddling
+        # positions need a second rank
+        if h != i and interpolation in (
+                "linear", "higher", "midpoint", "nearest") and i + 1 < n:
+            ranks.add(i + 2)
+    keys = _select_rank_keys(col, plan, sorted(ranks))
+    vals = {r: _key_float(k, col.dtype) for r, k in keys.items()}
+    dt = col.dtype.type
+    out = np.empty(qs.shape, col.dtype)
+    for ix, h in np.ndenumerate(hs):
+        i = int(np.floor(h))
+        t = h - i
+        a = vals[i + 1]
+        b = vals[i + 2] if (t > 0 and (i + 2) in vals) else a
+        if interpolation == "lower":
+            r = a
+        elif interpolation == "higher":
+            r = b if t > 0 else a
+        elif interpolation == "midpoint":
+            r = (dt(a) + dt(b)) / dt(2) if t > 0 else dt(a)
+        elif interpolation == "nearest":
+            # numpy: round half toward the EVEN-index neighbor
+            if t < 0.5 or (t == 0.5 and i % 2 == 0):
+                r = a
+            else:
+                r = b
+        elif interpolation == "linear":
+            if t == 0:
+                r = a          # exact rank hit: no arithmetic (a == b)
+            else:
+                # numpy's _lerp, reproduced operation-for-operation
+                diff = dt(b) - dt(a)
+                r = dt(a) + diff * dt(t)
+                if t >= 0.5:
+                    r = dt(b) - diff * dt(1 - t)
+        else:
+            raise ValueError(f"unknown interpolation {interpolation!r}")
+        out[ix] = r
+    return dt(out[0]) if scalar else out
+
+
+def query_median(col) -> float:
+    """MEDIAN(column): exact rank selection; ``np.median`` analog."""
+    return query_quantile(col, 0.5)

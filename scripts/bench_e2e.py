@@ -141,11 +141,16 @@ def main():
                  round(plan.decoded_bytes / dtg / 1e9, 2), ""))
     print(rows[-1], flush=True)
     cc.plan()                                      # stage once
+    gb_keys16 = gb_keys
     for label, q in (
             ("TOP-K (k=10; warm wall-clock incl tunnel RPC)",
              lambda: engine.query_topk(cc, 10)),
             ("HISTOGRAM (6 bins; warm wall-clock incl tunnel RPC)",
-             lambda: engine.query_histogram(cc, edges6))):
+             lambda: engine.query_histogram(cc, edges6)),
+            ("GROUP-BY (16 groups; warm wall-clock incl tunnel RPC)",
+             lambda: engine.query_groupby(cc, gb_keys16, 16)),
+            ("MEDIAN (exact rank-select; warm wall-clock incl RPC)",
+             lambda: engine.query_median(cc))):
         q()
         t0 = time.perf_counter()
         q()
@@ -224,6 +229,8 @@ def main():
     gb = engine.query_groupby(small, sk, 3, aggs=("sum", "count"))
     assert all(float(gb["sum"][g]) == math.fsum(base[sk == g].tolist())
                for g in range(3))
+    assert engine.query_median(small) == np.median(base)
+    assert engine.query_quantile(small, 0.9) == np.quantile(base, 0.9)
 
     # ---- UNCOMPRESSED scan on device (table-6 "Uncompressed" row):
     # the same SUM-shaped aggregate over raw f64 bit planes resident in
