@@ -1917,49 +1917,99 @@ def _mxu_reduce(X, colid, n_cols_onehot: int):
     return out.astype(jnp.int32).astype(jnp.int64).sum(axis=0)
 
 
+def _mxu_scan(bits, keys, ng: int, f64: bool):
+    """Streamed form of digit-cols + one-hot matmul for large columns:
+    ``lax.map`` over value slices keeps the materialized one-hot and
+    feature operands bounded (~64 MB per step) — at GiB scale the
+    whole-column operands would exceed HBM (the one-hot alone is
+    ~2 B/value/group).  Returns ([C, G] i64 exact sums, [n] bool oob).
+    """
+    n = bits.shape[0]
+    n_w = 4 if f64 else 3
+    G = ng * n_w + 1
+    B = n // _GB_MXU_CHUNK
+    bc = max(1, min(B, (64 * 1024 * 1024)
+                    // (_GB_MXU_CHUNK * max(G, 16) * 2)))
+    S = -(-B // bc)
+    m = bc * _GB_MXU_CHUNK
+    pad = S * m - n
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros(pad, bits.dtype)])
+        keys = jnp.concatenate(
+            [keys, jnp.full(pad, np.int32(ng), jnp.int32)])
+
+    def body(args):
+        b, k = args
+        X, colid, oob = _mxu_digit_cols(b, k, ng, f64)
+        return _mxu_reduce(X, colid, G), oob
+
+    parts, oob = jax.lax.map(
+        body, (bits.reshape(S, m), keys.reshape(S, m)))
+    return parts.sum(axis=0), oob.reshape(-1)[:n]
+
+
 def _mxu_extremes(bits, keys, ng: int, f64: bool):
     """Per-group total-order key extremes via broadcast-select reduces
-    (fused by XLA; no scatter).  Returns biased-i32 words
-    (mh, ml, nh, nl), lo words zero for f32."""
+    (fused by XLA; no scatter), streamed over ~4M-value slices with a
+    lexicographic (hi, lo) combine so nothing [n, G]-shaped ever
+    materializes.  Returns biased-i32 words (mh, ml, nh, nl), lo words
+    zero for f32."""
     iota = jnp.arange(ng, dtype=jnp.int32)
-    mm = keys[:, None] == iota[None, :]
     i32min, i32max = jnp.int32(-(1 << 31)), jnp.int32((1 << 31) - 1)
-    if f64:
-        vb = jnp.where(bits == jnp.uint64(1 << 63), jnp.uint64(0), bits)
-        ks = (vb >> jnp.uint64(63)) != 0
-        ku = jnp.where(ks, ~vb, vb | jnp.uint64(1 << 63))
-        khi = _biased_i32((ku >> jnp.uint64(32)).astype(jnp.uint32))
-        klo = _biased_i32((ku & jnp.uint64(0xFFFFFFFF)).astype(
-            jnp.uint32))
-    else:
-        vb = jnp.where(bits == jnp.uint32(1 << 31), jnp.uint32(0), bits)
-        ks = (vb >> jnp.uint32(31)) != 0
-        ku = jnp.where(ks, ~vb, vb | jnp.uint32(1 << 31))
-        khi = _biased_i32(ku)
-        klo = jnp.zeros_like(khi)
-    mh = jnp.max(jnp.where(mm, khi[:, None], i32min), axis=0)
-    mhn = jnp.max(jnp.where(mm, mh[None, :], i32min), axis=1)
-    ml = jnp.max(jnp.where(mm & (khi == mhn)[:, None], klo[:, None],
-                           i32min), axis=0)
-    nh = jnp.min(jnp.where(mm, khi[:, None], i32max), axis=0)
-    nhn = jnp.min(jnp.where(mm, nh[None, :], i32max), axis=1)
-    nl = jnp.min(jnp.where(mm & (khi == nhn)[:, None], klo[:, None],
-                           i32max), axis=0)
+    n = bits.shape[0]
+    m = min(n, 1 << 22)
+    S = -(-n // m)
+    pad = S * m - n
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros(pad, bits.dtype)])
+        keys = jnp.concatenate(
+            [keys, jnp.full(pad, np.int32(ng), jnp.int32)])
+
+    def body(args):
+        b, k = args
+        if f64:
+            vb = jnp.where(b == jnp.uint64(1 << 63), jnp.uint64(0), b)
+            ks = (vb >> jnp.uint64(63)) != 0
+            ku = jnp.where(ks, ~vb, vb | jnp.uint64(1 << 63))
+            khi = _biased_i32((ku >> jnp.uint64(32)).astype(jnp.uint32))
+            klo = _biased_i32((ku & jnp.uint64(0xFFFFFFFF)).astype(
+                jnp.uint32))
+        else:
+            vb = jnp.where(b == jnp.uint32(1 << 31), jnp.uint32(0), b)
+            ks = (vb >> jnp.uint32(31)) != 0
+            ku = jnp.where(ks, ~vb, vb | jnp.uint32(1 << 31))
+            khi = _biased_i32(ku)
+            klo = jnp.zeros_like(khi)
+        mm = k[:, None] == iota[None, :]
+        mh = jnp.max(jnp.where(mm, khi[:, None], i32min), axis=0)
+        mhn = jnp.max(jnp.where(mm, mh[None, :], i32min), axis=1)
+        ml = jnp.max(jnp.where(mm & (khi == mhn)[:, None], klo[:, None],
+                               i32min), axis=0)
+        nh = jnp.min(jnp.where(mm, khi[:, None], i32max), axis=0)
+        nhn = jnp.min(jnp.where(mm, nh[None, :], i32max), axis=1)
+        nl = jnp.min(jnp.where(mm & (khi == nhn)[:, None], klo[:, None],
+                               i32max), axis=0)
+        return mh, ml, nh, nl
+
+    mh_s, ml_s, nh_s, nl_s = jax.lax.map(
+        body, (bits.reshape(S, m), keys.reshape(S, m)))
+    mh = mh_s.max(axis=0)
+    ml = jnp.max(jnp.where(mh_s == mh[None, :], ml_s, i32min), axis=0)
+    nh = nh_s.min(axis=0)
+    nl = jnp.min(jnp.where(nh_s == nh[None, :], nl_s, i32max), axis=0)
     return mh, ml, nh, nl
 
 
 @functools.partial(jax.jit, static_argnames=("ng",))
 def _groupby_mxu_f64(bits, keys, *, ng: int):
-    X, colid, oob = _mxu_digit_cols(bits, keys, ng, True)
-    C = _mxu_reduce(X, colid, ng * 4 + 1)
+    C, oob = _mxu_scan(bits, keys, ng, True)
     mh, ml, nh, nl = _mxu_extremes(bits, keys, ng, True)
     return (C, oob, oob.sum(dtype=jnp.int32), mh, ml, nh, nl)
 
 
 @functools.partial(jax.jit, static_argnames=("ng",))
 def _groupby_mxu_f32(bits, keys, *, ng: int):
-    X, colid, oob = _mxu_digit_cols(bits, keys, ng, False)
-    C = _mxu_reduce(X, colid, ng * 3 + 1)
+    C, oob = _mxu_scan(bits, keys, ng, False)
     mh, ml, nh, nl = _mxu_extremes(bits, keys, ng, False)
     return (C, oob, oob.sum(dtype=jnp.int32), mh, ml, nh, nl)
 
@@ -2016,60 +2066,83 @@ def query_groupby(col, keys, num_groups: int,
     plan = col.plan()
     outs = plan.run(patch=True)
     kplanes = _groupby_key_planes_cached(col, plan, keys_id, num_groups)
-    bit_chunks, key_chunks = [], []
-    for (bits, _), kp in zip(_masked_bits(col, plan, outs), kplanes):
-        bit_chunks.append(bits.reshape(-1))
-        key_chunks.append(kp.reshape(-1))
-    bits_all = (bit_chunks[0] if len(bit_chunks) == 1
-                else jnp.concatenate(bit_chunks))
-    keys_all = (key_chunks[0] if len(key_chunks) == 1
-                else jnp.concatenate(key_chunks))
-    n = bits_all.shape[0]
     use_mxu = num_groups <= _GB_MXU_MAX_GROUPS
-    step_n = _GB_MXU_CHUNK if use_mxu else _GB_CHUNK
-    n_pad = -(-n // step_n) * step_n
-    if n_pad != n:
-        bits_all = jnp.concatenate(
-            [bits_all, jnp.zeros(n_pad - n, bits_all.dtype)])
-        keys_all = jnp.concatenate(
-            [keys_all,
-             jnp.full(n_pad - n, np.int32(num_groups), jnp.int32)])
     totals = [0] * num_groups
     sp = np.zeros((num_groups, 3), np.int64)
     ct = np.zeros(num_groups, np.int64)
     scale = 1075 if f64 else 150
     if use_mxu:
+        # per-BUCKET device passes (no whole-column bits concat: at GiB
+        # scale the planes + concatenated u64 bits + scan temporaries
+        # together exceed HBM), combined exactly on the host
         fn = _groupby_mxu_f64 if f64 else _groupby_mxu_f32
-        C, oob, ocnt, mh, ml, nh, nl = fn(bits_all, keys_all,
-                                          ng=num_groups)
-        C = np.asarray(C)
-        mh, ml, nh, nl = (np.asarray(mh), np.asarray(ml),
-                          np.asarray(nh), np.asarray(nl))
+        fixed = _f64_fixed if f64 else _f32_fixed
+        Cs = None
+        mh = ml = nh = nl = None
+        for (bits, _), kp in zip(_masked_bits(col, plan, outs), kplanes):
+            b, k = bits.reshape(-1), kp.reshape(-1)
+            nb = b.shape[0]
+            nb_pad = -(-nb // _GB_MXU_CHUNK) * _GB_MXU_CHUNK
+            if nb_pad != nb:
+                b = jnp.concatenate(
+                    [b, jnp.zeros(nb_pad - nb, b.dtype)])
+                k = jnp.concatenate(
+                    [k, jnp.full(nb_pad - nb, np.int32(num_groups),
+                                 jnp.int32)])
+            C, oob, ocnt, h, l, h2, l2 = fn(b, k, ng=num_groups)
+            C = np.asarray(C)
+            h, l, h2, l2 = (np.asarray(h), np.asarray(l),
+                            np.asarray(h2), np.asarray(l2))
+            Cs = C if Cs is None else Cs + C
+            if mh is None:
+                mh, ml, nh, nl = h, l, h2, l2
+            else:
+                take = (h > mh) | ((h == mh) & (l > ml))
+                mh, ml = np.where(take, h, mh), np.where(take, l, ml)
+                take = (h2 < nh) | ((h2 == nh) & (l2 < nl))
+                nh, nl = np.where(take, h2, nh), np.where(take, l2, nl)
+            if int(ocnt):
+                # host bignum corrections for out-of-envelope values
+                # (rare: extreme exceptions, ALP_RD raw doubles incl.
+                # subnormals)
+                idx = jnp.asarray(np.flatnonzero(np.asarray(oob)))
+                ob = np.asarray(jnp.take(b, idx))
+                ok = np.asarray(jnp.take(k, idx))
+                for bb, g in zip(ob.tolist(), ok.tolist()):
+                    fx, cls = fixed(int(bb))
+                    ct[g] += 1
+                    if cls:
+                        sp[g, cls - 1] += 1
+                    else:
+                        totals[g] += fx
         n_w, base_w = (4, 30) if f64 else (3, 2)
         n_parts = 12 if f64 else 8
-        pz, cz = np.nonzero(C[:n_parts, :num_groups * n_w])
+        pz, cz = np.nonzero(Cs[:n_parts, :num_groups * n_w])
         for p, c in zip(pz.tolist(), cz.tolist()):
             g, w = divmod(c, n_w)
-            totals[g] += int(C[p, c]) << (
+            totals[g] += int(Cs[p, c]) << (
                 32 * (base_w + w) + 32 * (p // 4) + 8 * (p % 4))
         for g in range(num_groups):
-            sp[g] = C[n_parts:n_parts + 3, g * n_w]
-            ct[g] = C[n_parts + 3, g * n_w:(g + 1) * n_w].sum()
-        if int(ocnt):
-            # host bignum corrections for out-of-envelope values (rare:
-            # extreme exceptions, ALP_RD raw doubles incl. subnormals)
-            idx = np.flatnonzero(np.asarray(oob))
-            ob = np.asarray(jnp.take(bits_all, jnp.asarray(idx)))
-            ok = np.asarray(jnp.take(keys_all, jnp.asarray(idx)))
-            fixed = _f64_fixed if f64 else _f32_fixed
-            for b, g in zip(ob.tolist(), ok.tolist()):
-                fx, cls = fixed(int(b))
-                ct[g] += 1
-                if cls:
-                    sp[g, cls - 1] += 1
-                else:
-                    totals[g] += fx
+            sp[g] += Cs[n_parts:n_parts + 3, g * n_w]
+            ct[g] += Cs[n_parts + 3, g * n_w:(g + 1) * n_w].sum()
     else:
+        key_chunks = []
+        bit_chunks = []
+        for (bits, _), kp in zip(_masked_bits(col, plan, outs), kplanes):
+            bit_chunks.append(bits.reshape(-1))
+            key_chunks.append(kp.reshape(-1))
+        bits_all = (bit_chunks[0] if len(bit_chunks) == 1
+                    else jnp.concatenate(bit_chunks))
+        keys_all = (key_chunks[0] if len(key_chunks) == 1
+                    else jnp.concatenate(key_chunks))
+        n = bits_all.shape[0]
+        n_pad = -(-n // _GB_CHUNK) * _GB_CHUNK
+        if n_pad != n:
+            bits_all = jnp.concatenate(
+                [bits_all, jnp.zeros(n_pad - n, bits_all.dtype)])
+            keys_all = jnp.concatenate(
+                [keys_all,
+                 jnp.full(n_pad - n, np.int32(num_groups), jnp.int32)])
         chunk = _groupby_chunk_f64 if f64 else _groupby_chunk_f32
         ngp = num_groups + 1
         dn = spn = ctn = None
@@ -2226,10 +2299,8 @@ def make_groupby_step(col, keys, num_groups: int, plan=None):
             else:
                 bits = out
                 acc = acc ^ out[0, 0, 0]
-            X, colid, _ = _mxu_digit_cols(bits.reshape(-1),
-                                          kp.reshape(-1),
-                                          num_groups, f64)
-            c = _mxu_reduce(X, colid, n_onehot)
+            c, _ = _mxu_scan(bits.reshape(-1), kp.reshape(-1),
+                             num_groups, f64)
             ctot = c if ctot is None else ctot + c
         return acc ^ ctot.sum().astype(jnp.uint32)
 

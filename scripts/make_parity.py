@@ -156,9 +156,18 @@ def main():
              "verified (slope-timed)"),
             ("HISTOGRAM (6 bins; fused pipeline)",
              "no histogram in reference", "verified (slope-timed)"),
+            ("GROUP-BY SUM (16 groups; one program)",
+             "no GROUP-BY in reference",
+             "verified (exact per-group fsum; one-hot MXU matmul — "
+             "scatter serializes on TPU, DEVNOTES)"),
             ("TOP-K (k=10; warm wall-clock", "—",
              "tunnel-bound (~35 ms/dispatch RPC)"),
             ("HISTOGRAM (6 bins; warm wall-clock", "—", "tunnel-bound"),
+            ("GROUP-BY (16 groups; warm wall-clock", "—",
+             "tunnel-bound"),
+            ("MEDIAN (exact rank-select", "no quantile in reference",
+             "tunnel-bound (10 bisection passes x dispatch RPC; "
+             "== np.quantile, verified on chip)"),
             ("COLD first SUM", "—",
              "tunnel-bound (restore runs AT the raw-transfer bound; "
              "the tunnel wire is ~36 MB/s — the bench prints the "
