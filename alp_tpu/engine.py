@@ -2477,3 +2477,149 @@ def query_quantile(col, q, interpolation: str = "linear"):
 def query_median(col) -> float:
     """MEDIAN(column): exact rank selection; ``np.median`` analog."""
     return query_quantile(col, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Filtered aggregation: SELECT SUM(v) WHERE lo <= v <= hi (exact)
+# ---------------------------------------------------------------------------
+
+
+def _mxu_digit_cols_pred(bits, klo_hi, klo_lo, khi_hi, khi_lo,
+                         f64: bool):
+    """Value-predicate variant of :func:`_mxu_digit_cols`: the column
+    id comes from the value's own total-order key lying in
+    ``[klo, khi]`` (two biased-i32 word compares, hi-then-lo) instead
+    of a positional key plane, so the one-hot is only
+    ``n_windows + 1`` columns wide.  Out-of-range and trash rows fall
+    into the last column; the oob mask flags out-of-envelope values
+    whose predicate the HOST re-evaluates exactly."""
+    X, colid0, oob = _mxu_digit_cols(
+        bits, jnp.zeros(bits.shape[0], jnp.int32), 1, f64)
+    n_w = 4 if f64 else 3
+    if f64:
+        vb = jnp.where(bits == jnp.uint64(1 << 63), jnp.uint64(0), bits)
+        ks = (vb >> jnp.uint64(63)) != 0
+        ku = jnp.where(ks, ~vb, vb | jnp.uint64(1 << 63))
+        ah = _biased_i32((ku >> jnp.uint64(32)).astype(jnp.uint32))
+        al = _biased_i32((ku & jnp.uint64(0xFFFFFFFF)).astype(
+            jnp.uint32))
+        ge = (ah > klo_hi) | ((ah == klo_hi) & (al >= klo_lo))
+        le = (ah < khi_hi) | ((ah == khi_hi) & (al <= khi_lo))
+    else:
+        vb = jnp.where(bits == jnp.uint32(1 << 31), jnp.uint32(0), bits)
+        ks = (vb >> jnp.uint32(31)) != 0
+        ku = jnp.where(ks, ~vb, vb | jnp.uint32(1 << 31))
+        ah = _biased_i32(ku)
+        ge, le = ah >= klo_hi, ah <= khi_hi
+    inr = ge & le
+    # key-0 colid already routes oob rows to the trash column; the
+    # predicate additionally trashes out-of-range rows
+    colid = jnp.where(inr, colid0, jnp.int32(n_w))
+    return X, colid, oob
+
+
+def _mxu_scan_pred(bits, valid, kws, f64: bool):
+    """Streamed digit-cols + one-hot matmul for the predicate SUM
+    (lax.map slices, same bounds as :func:`_mxu_scan`).  ``valid``
+    masks plan pad slots (group-pad vectors, the partial last vector's
+    tail) into the trash column."""
+    n = bits.shape[0]
+    n_w = 4 if f64 else 3
+    G = n_w + 1
+    B = n // _GB_MXU_CHUNK
+    bc = max(1, min(B, (64 * 1024 * 1024) // (_GB_MXU_CHUNK * 16 * 2)))
+    S = -(-B // bc)
+    m = bc * _GB_MXU_CHUNK
+    pad = S * m - n
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros(pad, bits.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+
+    def body(args):
+        b, v = args
+        X, colid, oob = _mxu_digit_cols_pred(b, *kws, f64)
+        colid = jnp.where(v, colid, jnp.int32(n_w))
+        return _mxu_reduce(X, colid, G), oob & v
+
+    parts, oob = jax.lax.map(
+        body, (bits.reshape(S, m), valid.reshape(S, m)))
+    return parts.sum(axis=0), oob.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("f64",))
+def _filter_sum_mxu(bits, valid, klo_hi, klo_lo, khi_hi, khi_lo, *,
+                    f64: bool):
+    C, oob = _mxu_scan_pred(bits, valid,
+                            (klo_hi, klo_lo, khi_hi, khi_lo), f64)
+    return C, oob, oob.sum(dtype=jnp.int32)
+
+
+def query_filter_sum(col, lo: float, hi: float) -> float:
+    """SELECT SUM(v) WHERE lo <= v <= hi — EXACT (the correctly-rounded
+    sum of the selected values, bit-identical to ``math.fsum`` over
+    them), with the predicate evaluated on exact total-order keys
+    inside the same one-hot MXU digit pass the GROUP-BY uses (the
+    one-hot is just n_windows+1 columns, so the pass is nearly free on
+    top of the decode).  Empty selection sums to 0.0; a selected
+    +inf/-inf pair (or any NaN inside the range — only possible when a
+    bound is NaN) follows IEEE rules like :func:`query_sum`.
+    """
+    if col.n_values == 0:
+        return 0.0
+    f64 = col.dtype == np.float64
+    kt = np.uint64 if f64 else np.uint32
+    klo = kt(_float_key(lo, col.dtype))
+    khi = kt(_float_key(hi, col.dtype))
+    if klo > khi:
+        return 0.0
+    sb = np.uint32(1 << 31)
+    if f64:
+        kws = tuple(jnp.int32(np.int32(w ^ sb)) for w in (
+            np.uint32(klo >> np.uint64(32)),
+            np.uint32(klo & np.uint64(0xFFFFFFFF)),
+            np.uint32(khi >> np.uint64(32)),
+            np.uint32(khi & np.uint64(0xFFFFFFFF))))
+    else:
+        kws = (jnp.int32(np.int32(np.uint32(klo) ^ sb)), jnp.int32(0),
+               jnp.int32(np.int32(np.uint32(khi) ^ sb)), jnp.int32(0))
+    plan = col.plan()
+    outs = plan.run(patch=True)
+    total = 0
+    sp = np.zeros(3, np.int64)
+    fixed = _f64_fixed if f64 else _f32_fixed
+    n_w, base_w = (4, 30) if f64 else (3, 2)
+    n_parts = 12 if f64 else 8
+    Cs = None
+    for bits, last in _masked_bits(col, plan, outs):
+        b = bits.reshape(-1)
+        nb = b.shape[0]
+        # all groups but the last are fully valid; `last` masks the
+        # final group's pad slots (they decode REAL bit patterns that
+        # must not enter the predicate sum)
+        valid = jnp.concatenate(
+            [jnp.ones(nb - last.size, bool), last.reshape(-1)])
+        nb_pad = -(-nb // _GB_MXU_CHUNK) * _GB_MXU_CHUNK
+        if nb_pad != nb:
+            b = jnp.concatenate([b, jnp.zeros(nb_pad - nb, b.dtype)])
+            valid = jnp.concatenate(
+                [valid, jnp.zeros(nb_pad - nb, bool)])
+        C, oob, ocnt = _filter_sum_mxu(b, valid, *kws, f64=f64)
+        Cn = np.asarray(C)
+        Cs = Cn if Cs is None else Cs + Cn
+        if int(ocnt):
+            idx = jnp.asarray(np.flatnonzero(np.asarray(oob)))
+            ob = np.asarray(jnp.take(b, idx))
+            sel = _pred_key(ob.astype(kt), int(klo), int(khi))
+            for bb in ob[sel].tolist():
+                fx, cls = fixed(int(bb))
+                if cls:
+                    sp[cls - 1] += 1
+                else:
+                    total += fx
+    pz, cz = np.nonzero(Cs[:n_parts, :n_w])
+    for p, c in zip(pz.tolist(), cz.tolist()):
+        total += int(Cs[p, c]) << (
+            32 * (base_w + c) + 32 * (p // 4) + 8 * (p % 4))
+    sp += Cs[n_parts:n_parts + 3, 0]
+    return col.dtype.type(_finish_sum(
+        total, int(sp[0]), int(sp[1]), int(sp[2]), 1075 if f64 else 150))

@@ -84,6 +84,25 @@ def main():
     want = int(np.sum((d >= 10.0) & (d <= 60.0)))
     all_ok &= check("fused filter COUNT",
                     engine.query_filter_count(cc, 10.0, 60.0) == want)
+    # GROUP-BY: exact per-group fsum via the one-hot MXU matmul pass
+    gk = (np.arange(d.size) * 17) % 6
+    gb = engine.query_groupby(cc, gk, 6)
+    all_ok &= check(
+        "GROUP-BY exact (sum/count/min/max x 6 groups)",
+        all(float(gb["sum"][g]) == math.fsum(d[gk == g].tolist())
+            and gb["count"][g] == (gk == g).sum()
+            and gb["max"][g] == d[gk == g].max()
+            and gb["min"][g] == d[gk == g].min() for g in range(6)))
+    # QUANTILE: exact rank selection == numpy
+    all_ok &= check(
+        "QUANTILE == np.quantile (0/0.25/0.5/0.9/1)",
+        all(engine.query_quantile(cc, q) == np.quantile(d, q)
+            for q in (0.0, 0.25, 0.5, 0.9, 1.0)))
+    # filtered SUM: exact predicate aggregation
+    all_ok &= check(
+        "FILTER SUM exact (10 <= v <= 60)",
+        engine.query_filter_sum(cc, 10.0, 60.0)
+        == math.fsum(d[(d >= 10.0) & (d <= 60.0)].tolist()))
 
     path = os.path.join(ROOT, "results", "tpu_validation.txt")
     with open(path, "w") as f:

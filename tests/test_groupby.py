@@ -206,3 +206,74 @@ def test_make_groupby_step_runs():
     c2 = step(jnp.uint32(0), *metas)
     assert np.asarray(c1).shape == ()
     assert int(np.asarray(c1)) == int(np.asarray(c2))   # deterministic
+
+
+def test_mxu_path_matches_scatter_path():
+    """The one-hot MXU formulation and the general segment-sum path are
+    two independent device implementations of the same aggregates —
+    fuzz them against each other (the MXU path handles specials and
+    out-of-envelope values via feature columns + host corrections; the
+    scatter path computes full 64-window partials directly)."""
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n = int(rng.integers(500, 9000))
+        data = np.round(rng.normal(0.0, 10.0 ** rng.integers(0, 4), n),
+                        int(rng.integers(0, 4)))
+        for _ in range(int(rng.integers(0, 4))):
+            data[rng.integers(0, n)] = rng.choice(
+                [np.nan, np.inf, -np.inf, 1e300, 5e-324, -0.0])
+        col = alp_tpu.compress(data)
+        G = int(rng.integers(1, 10))
+        keys = rng.integers(0, G, n)
+        mxu = engine.query_groupby(col, keys, G)
+        # force the scatter path by lowering the cutoff
+        old = engine._GB_MXU_MAX_GROUPS
+        engine._GB_MXU_MAX_GROUPS = 0
+        try:
+            sca = engine.query_groupby(col, keys.copy(), G)
+        finally:
+            engine._GB_MXU_MAX_GROUPS = old
+        for a in ("sum", "count", "min", "max", "mean"):
+            ma, sa = mxu[a], sca[a]
+            both_nan = (np.isnan(ma) if ma.dtype.kind == "f"
+                        else np.zeros(len(ma), bool))
+            if sa.dtype.kind == "f":
+                both_nan &= np.isnan(sa)
+            eq = (ma == sa) | both_nan
+            assert eq.all(), (trial, a, ma, sa)
+
+
+def test_filter_sum_exact():
+    """SELECT SUM(v) WHERE lo <= v <= hi — exact over every bucket kind
+    (same one-hot MXU digit pass as GROUP-BY, predicate colid)."""
+    rng = np.random.default_rng(88)
+    d = np.round(rng.normal(10, 30, 50000), 2)
+    d[3] = np.inf
+    d[9] = 8e306      # out-of-envelope exception
+    d[11] = -0.0
+    cc = alp_tpu.compress(d)
+    for lo, hi in ((-20.0, 25.0), (0.0, 0.0), (-1e9, 1e9),
+                   (100.0, np.inf), (5.0, -5.0)):
+        got = engine.query_filter_sum(cc, lo, hi)
+        sel = d[(d >= lo) & (d <= hi)] if lo <= hi else np.empty(0)
+        want = math.fsum(sel.tolist())
+        assert got == want or (np.isnan(got) and np.isnan(want)), \
+            (lo, hi, got, want)
+
+
+def test_filter_sum_rd_f32_ragged():
+    rng = np.random.default_rng(89)
+    pd = rng.normal(48.8, 0.4, 9000)                 # ALP_RD
+    cr = alp_tpu.compress(pd)
+    sel = pd[(pd >= 48.5) & (pd <= 49.0)]
+    assert float(engine.query_filter_sum(cr, 48.5, 49.0)) == \
+        math.fsum(sel.tolist())
+    d32 = np.round(rng.normal(3, 4, 20001), 2).astype(np.float32)
+    c32 = alp_tpu.compress(d32)
+    from fractions import Fraction
+    sel = d32[(d32 >= -2) & (d32 <= 5)]
+    fr = sum((Fraction(float(x)) for x in sel), Fraction(0))
+    want = float(np.float32(fr)) if fr else 0.0
+    assert float(engine.query_filter_sum(c32, -2.0, 5.0)) == want
+    # consistency with the fused COUNT on the same predicate
+    assert engine.query_filter_count(c32, -2.0, 5.0) == sel.size
