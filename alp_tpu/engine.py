@@ -2014,55 +2014,15 @@ def _groupby_mxu_f32(bits, keys, *, ng: int):
     return (C, oob, oob.sum(dtype=jnp.int32), mh, ml, nh, nl)
 
 
-def query_groupby(col, keys, num_groups: int,
-                  aggs=("sum", "count", "min", "max", "mean")) -> dict:
-    """GROUP-BY aggregate: ``SELECT key, AGG(v) ... GROUP BY key`` over a
-    compressed column and an int key column, entirely on device except
-    the final per-group bignum assembly.
-
-    ``keys`` is an int array of length ``col.n_values`` with values in
-    ``[0, num_groups)``.  Returns a dict of ``[num_groups]`` numpy
-    arrays for the requested aggregates:
-
-    - ``sum``/``mean``: EXACT — each group's result is the correctly-
-      rounded float of the group's true rational sum (mean: sum/n),
-      bit-identical to ``math.fsum`` per group, via the same
-      superaccumulator windows as :func:`query_sum` reduced per group.
-      IEEE special rules per group (any NaN, or +inf with -inf -> NaN;
-      else the infinity wins).  Empty groups: sum 0.0, mean NaN.
-    - ``count``: rows per group (COUNT(*), specials included).
-    - ``min``/``max``: exact total-order extremes (native-i32 two-word
-      compares — XLA's emulated f64 compares are NOT exact on TPU,
-      round-2 finding).  NaN sorts above +inf / below -inf per the
-      IEEE total order (matching :func:`query_min`); empty groups NaN.
-
-    The decode side is the standard fused per-bucket scan
-    (``plan.run(patch=True)`` — exceptions are already patched).  The
-    grouped reduction itself is the one-hot MXU matmul formulation
-    (:func:`_mxu_digit_cols`: scatter serializes on TPU) for up to
-    ``_GB_MXU_MAX_GROUPS`` groups, with host bignum corrections for the
-    rare out-of-envelope values; larger group counts take the general
-    segment-sum path (exact everywhere, slower on TPU).
-    """
-    keys_id = keys                       # identity key for the plane cache
-    keys = np.ascontiguousarray(np.asarray(keys, np.int64))
-    if keys.shape != (col.n_values,):
-        raise ValueError(f"keys must have shape ({col.n_values},)")
-    if num_groups <= 0 or num_groups > (1 << 24):
-        raise ValueError("num_groups must be in [1, 2^24]")
-    if keys.size and (keys.min() < 0 or keys.max() >= num_groups):
-        raise ValueError("keys out of range [0, num_groups)")
+def _groupby_raw(col, keys_id, num_groups: int):
+    """Device GROUP-BY pass returning RAW per-group accumulators —
+    (integer digit ``totals`` at the dtype's superaccumulator scale,
+    ``sp`` [G, 3] special counts, ``ct`` [G] row counts, and biased-i32
+    total-order key extreme words (mh, ml, nh, nl)) — exactly additive
+    across groups, which is what sliding windows combine before their
+    single rounding.  ``keys_id`` is the caller's key array (identity
+    key for the staged-plane cache)."""
     f64 = col.dtype == np.float64
-    out = {}
-    if col.n_values == 0:
-        for a in aggs:
-            if a == "count":
-                out[a] = np.zeros(num_groups, np.int64)
-            elif a == "sum":
-                out[a] = np.zeros(num_groups, col.dtype)
-            else:
-                out[a] = np.full(num_groups, np.nan, col.dtype)
-        return out
     plan = col.plan()
     outs = plan.run(patch=True)
     kplanes = _groupby_key_planes_cached(col, plan, keys_id, num_groups)
@@ -2070,7 +2030,6 @@ def query_groupby(col, keys, num_groups: int,
     totals = [0] * num_groups
     sp = np.zeros((num_groups, 3), np.int64)
     ct = np.zeros(num_groups, np.int64)
-    scale = 1075 if f64 else 150
     if use_mxu:
         # per-BUCKET device passes (no whole-column bits concat: at GiB
         # scale the planes + concatenated u64 bits + scan temporaries
@@ -2172,6 +2131,61 @@ def query_groupby(col, keys, num_groups: int,
         ct = ctn[:num_groups].astype(np.int64)
         mh, ml = mh[:num_groups], ml[:num_groups]
         nh, nl = nh[:num_groups], nl[:num_groups]
+    return totals, sp, ct, mh, ml, nh, nl
+
+
+def query_groupby(col, keys, num_groups: int,
+                  aggs=("sum", "count", "min", "max", "mean")) -> dict:
+    """GROUP-BY aggregate: ``SELECT key, AGG(v) ... GROUP BY key`` over a
+    compressed column and an int key column, entirely on device except
+    the final per-group bignum assembly.
+
+    ``keys`` is an int array of length ``col.n_values`` with values in
+    ``[0, num_groups)``.  Returns a dict of ``[num_groups]`` numpy
+    arrays for the requested aggregates:
+
+    - ``sum``/``mean``: EXACT — each group's result is the correctly-
+      rounded float of the group's true rational sum (mean: sum/n),
+      bit-identical to ``math.fsum`` per group, via the same
+      superaccumulator windows as :func:`query_sum` reduced per group.
+      IEEE special rules per group (any NaN, or +inf with -inf -> NaN;
+      else the infinity wins).  Empty groups: sum 0.0, mean NaN.
+    - ``count``: rows per group (COUNT(*), specials included).
+    - ``min``/``max``: exact total-order extremes (native-i32 two-word
+      compares — XLA's emulated f64 compares are NOT exact on TPU,
+      round-2 finding).  NaN sorts above +inf / below -inf per the
+      IEEE total order (matching :func:`query_min`); empty groups NaN.
+
+    The decode side is the standard fused per-bucket scan
+    (``plan.run(patch=True)`` — exceptions are already patched).  The
+    grouped reduction itself is the one-hot MXU matmul formulation
+    (:func:`_mxu_digit_cols`: scatter serializes on TPU) for up to
+    ``_GB_MXU_MAX_GROUPS`` groups, with host bignum corrections for the
+    rare out-of-envelope values; larger group counts take the general
+    segment-sum path (exact everywhere, slower on TPU).
+    """
+    keys_id = keys                       # identity key for the plane cache
+    keys = np.ascontiguousarray(np.asarray(keys, np.int64))
+    if keys.shape != (col.n_values,):
+        raise ValueError(f"keys must have shape ({col.n_values},)")
+    if num_groups <= 0 or num_groups > (1 << 24):
+        raise ValueError("num_groups must be in [1, 2^24]")
+    if keys.size and (keys.min() < 0 or keys.max() >= num_groups):
+        raise ValueError("keys out of range [0, num_groups)")
+    f64 = col.dtype == np.float64
+    out = {}
+    if col.n_values == 0:
+        for a in aggs:
+            if a == "count":
+                out[a] = np.zeros(num_groups, np.int64)
+            elif a == "sum":
+                out[a] = np.zeros(num_groups, col.dtype)
+            else:
+                out[a] = np.full(num_groups, np.nan, col.dtype)
+        return out
+    totals, sp, ct, mh, ml, nh, nl = _groupby_raw(
+        col, keys_id, num_groups)
+    scale = 1075 if f64 else 150
     res = {}
     if "count" in aggs:
         res["count"] = ct.copy()
@@ -2225,17 +2239,33 @@ def query_groupby(col, keys, num_groups: int,
 
 
 def query_window(col, window: int,
-                 aggs=("sum", "count", "min", "max", "mean")) -> dict:
-    """Tumbling-window aggregates: window ``w`` covers rows
-    ``[w*window, (w+1)*window)`` in original row order; same aggregate
-    semantics (and exactness) as :func:`query_groupby`.  Returns
-    ``[ceil(n / window)]`` arrays."""
+                 aggs=("sum", "count", "min", "max", "mean"),
+                 hop: int | None = None) -> dict:
+    """Windowed aggregates over row order, EXACT like
+    :func:`query_groupby`.
+
+    Tumbling (default, ``hop is None`` or ``hop == window``): window
+    ``w`` covers rows ``[w*window, (w+1)*window)``; returns
+    ``[ceil(n / window)]`` arrays.
+
+    Sliding (``hop < window``, ``hop`` must divide ``window``): window
+    ``i`` covers ``[i*hop, i*hop + window)``.  One device GROUP-BY pass
+    computes hop-sized CELLS; each sliding window then combines its
+    ``window/hop`` cells' INTEGER digit totals / counts / special
+    counts / key extremes on the host and rounds ONCE — so overlapping
+    windows stay bit-identical to ``math.fsum`` over their rows, at the
+    device cost of a single non-overlapping pass.
+    """
     if window <= 0:
         raise ValueError("window must be positive")
     n = col.n_values
-    nw = max(-(-n // window), 1)
-    # reuse one keys array per window size so the key-plane cache hits
-    # on repeated queries (identity-keyed; _groupby_key_planes_cached)
+    if hop is None:
+        hop = window
+    if hop <= 0 or window % hop:
+        raise ValueError("hop must be positive and divide window")
+    ncells = max(-(-n // hop), 1)
+    # reuse one keys array per hop size so the key-plane cache hits on
+    # repeated queries (identity-keyed; _groupby_key_planes_cached)
     wc = getattr(col, "_window_keys_cache", None)
     if wc is None:
         wc = {}
@@ -2243,11 +2273,73 @@ def query_window(col, window: int,
             col._window_keys_cache = wc
         except AttributeError:
             pass
-    keys = wc.get(window)
+    keys = wc.get(hop)
     if keys is None:
-        keys = np.arange(n, dtype=np.int64) // window
-        wc[window] = keys
-    return query_groupby(col, keys, nw, aggs)
+        keys = np.arange(n, dtype=np.int64) // hop
+        wc[hop] = keys
+    if hop == window:
+        return query_groupby(col, keys, ncells, aggs)
+    k = window // hop
+    if n == 0:
+        return query_groupby(col, keys, 1, aggs)
+    totals, sp, ct, mh, ml, nh, nl = _groupby_raw(col, keys, ncells)
+    nw = max(-(-max(n - window, 0) // hop) + 1, 1)
+    f64 = col.dtype == np.float64
+    scale = 1075 if f64 else 150
+    res = {}
+    w_tot = [sum(totals[i:i + k]) for i in range(nw)]
+    w_sp = np.stack([sp[i:i + k].sum(axis=0) for i in range(nw)])
+    w_ct = np.array([ct[i:i + k].sum() for i in range(nw)], np.int64)
+    if "count" in aggs:
+        res["count"] = w_ct
+    if "sum" in aggs:
+        res["sum"] = np.array(
+            [_finish_sum(w_tot[i], int(w_sp[i, 0]), int(w_sp[i, 1]),
+                         int(w_sp[i, 2]), scale) for i in range(nw)],
+            col.dtype)
+    if "mean" in aggs:
+        from fractions import Fraction
+        means = np.full(nw, np.nan, col.dtype)
+        for i in range(nw):
+            if w_ct[i] == 0:
+                continue
+            if w_sp[i, 0] or (w_sp[i, 1] and w_sp[i, 2]):
+                continue
+            elif w_sp[i, 1]:
+                means[i] = np.inf
+            elif w_sp[i, 2]:
+                means[i] = -np.inf
+            elif w_tot[i] == 0:
+                means[i] = 0.0
+            else:
+                means[i] = col.dtype.type(float(Fraction(
+                    w_tot[i], int(w_ct[i]) << scale)))
+        res["mean"] = means
+
+    def _key_of(h, l):
+        if f64:
+            return ((int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                         ^ np.uint32(1 << 31))) << 32) | int(
+                np.uint32(np.int64(l) & 0xFFFFFFFF) ^ np.uint32(1 << 31))
+        return int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                   ^ np.uint32(1 << 31))
+
+    if "max" in aggs or "min" in aggs:
+        maxs = np.full(nw, np.nan, col.dtype)
+        mins = np.full(nw, np.nan, col.dtype)
+        for i in range(nw):
+            if w_ct[i] == 0:
+                continue
+            live = [j for j in range(i, min(i + k, ncells)) if ct[j]]
+            bh = max((int(mh[j]), int(ml[j])) for j in live)
+            bl = min((int(nh[j]), int(nl[j])) for j in live)
+            maxs[i] = _key_float(_key_of(*bh), col.dtype)
+            mins[i] = _key_float(_key_of(*bl), col.dtype)
+        if "max" in aggs:
+            res["max"] = maxs
+        if "min" in aggs:
+            res["min"] = mins
+    return {a: res[a] for a in aggs if a in res}
 
 
 def groupby_keys(kcol) -> tuple:

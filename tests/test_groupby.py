@@ -277,3 +277,33 @@ def test_filter_sum_rd_f32_ragged():
     assert float(engine.query_filter_sum(c32, -2.0, 5.0)) == want
     # consistency with the fused COUNT on the same predicate
     assert engine.query_filter_count(c32, -2.0, 5.0) == sel.size
+
+
+def test_window_sliding_exact():
+    """Sliding windows (hop < window): one non-overlapping device pass,
+    per-window integer-total combines, ONE rounding per window —
+    bit-identical to fsum over each overlapping window."""
+    rng = np.random.default_rng(90)
+    n = 5555
+    d = np.round(rng.normal(100, 30, n), 3)
+    d[7] = 9e305               # out-of-envelope exception
+    d[60] = -0.0
+    cc = alp_tpu.compress(d)
+    W, H = 1000, 250
+    res = engine.query_window(cc, W, hop=H)
+    nw = (n - W - 1) // H + 2
+    assert len(res["sum"]) == nw
+    for i in range(nw):
+        sel = d[i * H:i * H + W]
+        assert float(res["sum"][i]) == math.fsum(sel.tolist()), i
+        assert res["count"][i] == sel.size
+        assert res["max"][i] == sel.max()
+        assert res["min"][i] == sel.min()
+        assert res["mean"][i] == pytest.approx(
+            math.fsum(sel.tolist()) / sel.size, rel=1e-15)
+    with pytest.raises(ValueError):
+        engine.query_window(cc, 1000, hop=300)   # hop must divide
+    # window longer than the column: one partial window
+    small = engine.query_window(cc, 10000, hop=2500)
+    assert len(small["sum"]) == 1
+    assert float(small["sum"][0]) == math.fsum(d.tolist())
