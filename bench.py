@@ -94,7 +94,11 @@ def bench_dataset(path):
         return acc
 
     metas = [a for t in arg_tuples for a in t]
-    dt = loop_bench(step, tuple(metas), ITERS)
+    # best-of-2: the program is already compiled for the second pass, so
+    # it costs seconds and guards the headline against one-off dispatch
+    # hiccups (observed: a single 78 GB/s outlier on a 143 GB/s column)
+    dt = min(loop_bench(step, tuple(metas), ITERS),
+             loop_bench(step, tuple(metas), ITERS))
     return plan.decoded_bytes / dt / 1e9
 
 
