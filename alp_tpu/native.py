@@ -352,6 +352,45 @@ def competitor_decode_chunked(name: str, streams: list, ns: np.ndarray,
         _ptr(out, ctypes.c_uint64), ctypes.c_int(threads))
 
 
+def competitor_encode_chunked(name: str, data: np.ndarray, chunk: int,
+                              threads: int):
+    """Thread-parallel competitor ENCODE over independent rowgroup-sized
+    chunks (competitors.cpp cmp_chunked_encode_f64, OpenMP — the
+    table-6 COMP-column analog; reference
+    publication/tables/table_6.md COMP1 measures the same encode side
+    under the e2e TBB pool).
+
+    Returns ``(flat u64 stream words, word_off i64[n_chunks],
+    out_words i64[n_chunks], ns i64[n_chunks])`` — per-chunk stream c is
+    ``flat[word_off[c] : word_off[c] + out_words[c]]``, decodable with
+    :func:`competitor_decode_chunked` for validation."""
+    bits = np.ascontiguousarray(data).view(np.uint64)
+    n = len(bits)
+    n_chunks = -(-n // chunk)
+    ns = np.full(n_chunks, chunk, np.int64)
+    if n % chunk:
+        ns[-1] = n % chunk
+    in_off = np.zeros(n_chunks, np.int64)
+    np.cumsum(ns[:-1], out=in_off[1:])
+    if name == "pde":
+        caps = (ns + 1) // 2 + (ns + 7) // 8
+    else:
+        caps = ns + (ns * 88) // 64 + 4       # worst-case bits/value
+    cap_off = np.zeros(n_chunks, np.int64)
+    np.cumsum(caps[:-1], out=cap_off[1:])
+    out = _scratch("cmp_enc", int(caps.sum()), (int(caps.sum()),),
+                   np.uint64)
+    out_words = np.zeros(n_chunks, np.int64)
+    cl = competitors_lib()
+    cl.cmp_chunked_encode_f64(
+        ctypes.c_int(_CODEC_IDS[name]), _ptr(bits, ctypes.c_uint64),
+        _ptr(in_off, ctypes.c_long), _ptr(ns, ctypes.c_long),
+        ctypes.c_long(n_chunks), _ptr(out, ctypes.c_uint64),
+        _ptr(cap_off, ctypes.c_long), _ptr(out_words, ctypes.c_long),
+        ctypes.c_int(threads))
+    return out, cap_off, out_words, ns
+
+
 _SCRATCH: dict = {}
 
 

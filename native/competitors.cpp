@@ -10,8 +10,10 @@
 // tests/test_competitors.py).  These are the single-core host codecs
 // the ALP TPU decode is compared against (table-6-style speed ratios).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -409,6 +411,95 @@ void cmp_chunked_decode_f64(int codec, const uint64_t* stream_words,
                                    ns[c], (double*)o);
                 break;
         }
+    }
+}
+
+// ---------------------- PDE encode (native) ----------------------
+// Mirror of alp_tpu/competitors/pde_codec.pde_encode (reference
+// publication/.../btrblocks/scheme/double/Pseudodecimal.cpp:82-123):
+// smallest exponent e in [0, 22] whose i32-significand round trip is
+// bit-exact wins; everything else becomes an exception (code 23,
+// sig slot 0, value patched verbatim by the caller).  Returns the
+// exception count.  This is the encode-side competitor the reference's
+// table-6 COMP1 column shows at 129x slower than ALP compression.
+long cmp_pde_encode_f64(const uint64_t* bits, long n, int32_t* sig,
+                        uint8_t* exp) {
+    static const double FRAC[23] = {
+        1.0,   1e-1,  1e-2,  1e-3,  1e-4,  1e-5,  1e-6,  1e-7,
+        1e-8,  1e-9,  1e-10, 1e-11, 1e-12, 1e-13, 1e-14, 1e-15,
+        1e-16, 1e-17, 1e-18, 1e-19, 1e-20, 1e-21, 1e-22};
+    const double lim = 1073741823.0;            // 2^(31-1) - 1
+    long patches = 0;
+    for (long i = 0; i < n; i++) {
+        uint64_t b = bits[i];
+        double v;
+        memcpy(&v, &b, 8);
+        sig[i] = 0;
+        exp[i] = 23;
+        if (((b >> 52) & 0x7FF) == 0x7FF) { patches++; continue; }
+        bool ok = false;
+        for (int e = 0; e <= 22 && !ok; e++) {
+            double sd = nearbyint(v / FRAC[e]);   // RNE like np.round
+            if (!(sd >= -lim && sd <= lim)) continue;
+            int32_t si = (int32_t)sd;
+            double back = (double)si * FRAC[e];
+            uint64_t bb;
+            memcpy(&bb, &back, 8);
+            if (bb == b) {
+                sig[i] = si;
+                exp[i] = (uint8_t)e;
+                ok = true;
+            }
+        }
+        if (!ok) patches++;
+    }
+    return patches;
+}
+
+// --------------------- chunked multithreaded encode ----------------------
+// Encode-side analog of cmp_chunked_decode_f64 for the table-6 COMP
+// column (reference publication/tables/table_6.md COMP1; the e2e
+// benchmark compresses independent rowgroup blocks under the same TBB
+// thread pool).  Each chunk writes into its own worst-case-sized region
+// of `out` at out_cap_off[c]; actual word counts land in out_words.
+void cmp_chunked_encode_f64(int codec, const uint64_t* in,
+                            const long* in_off, const long* ns,
+                            long n_chunks, uint64_t* out,
+                            const long* out_cap_off, long* out_words,
+                            int threads) {
+#pragma omp parallel for num_threads(threads) schedule(dynamic)
+    for (long c = 0; c < n_chunks; c++) {
+        const uint64_t* s = in + in_off[c];
+        uint64_t* o = out + out_cap_off[c];
+        long nbits = 0;
+        switch (codec) {
+            case 0: nbits = cmp_gorillas_encode_f64(s, ns[c], o); break;
+            case 1: nbits = cmp_chimp_encode_f64(s, ns[c], o); break;
+            case 2: {
+                std::vector<int64_t> scratch(1 << 14);
+                nbits = cmp_chimp128_encode_f64(s, ns[c], o,
+                                                scratch.data());
+                break;
+            }
+            case 3: {
+                std::vector<int64_t> scratch(1 << 14);
+                nbits = cmp_patas_encode_f64(s, ns[c], o,
+                                             scratch.data());
+                break;
+            }
+            case 4: {
+                // PDE chunk stream layout = pde_chunk_stream: sig i32[n]
+                // then exp u8[n], each padded to whole u64 words
+                long sig_words = (ns[c] + 1) / 2;
+                long exp_words = (ns[c] + 7) / 8;
+                memset(o, 0, (size_t)(sig_words + exp_words) * 8);
+                cmp_pde_encode_f64(s, ns[c], (int32_t*)o,
+                                   (uint8_t*)(o + sig_words));
+                nbits = (sig_words + exp_words) * 64;
+                break;
+            }
+        }
+        out_words[c] = (nbits + 63) / 64;
     }
 }
 

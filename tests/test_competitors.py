@@ -128,6 +128,48 @@ class TestNativeCodecs:
                 f"{name}/{label} roundtrip"
 
 
+def test_native_chunked_encode_roundtrip():
+    """cmp_chunked_encode_f64 (the table-6 COMP-column encoder: OpenMP
+    over rowgroup chunks) round-trips through the chunked decoder and
+    produces thread-count-independent streams; the PDE chunk matches
+    the Python pde_encode spec exactly."""
+    from alp_tpu import native
+    from alp_tpu.competitors import pde_codec as pde
+    try:
+        native.competitors_lib()
+    except native.NativeUnavailable:
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(7)
+    data = np.round(rng.normal(20.0, 8.0, 30000), 2)
+    data[::577] = rng.standard_normal(data[::577].shape) * 1e200
+    data[1234] = np.nan
+    data[2345] = -0.0
+    CH = 7000                                # uneven tail chunk
+    for name in ("gorillas", "chimp", "chimp128", "patas", "pde"):
+        flat, cap_off, ow, ns = native.competitor_encode_chunked(
+            name, data, CH, 8)
+        streams = [flat[cap_off[c]:cap_off[c] + ow[c]].copy()
+                   for c in range(len(ns))]
+        out = np.zeros(len(data), np.uint64)
+        native.competitor_decode_chunked(name, streams, ns, out, 2)
+        o = out.view(np.float64).copy()
+        if name == "pde":
+            for c in range(len(ns)):
+                n, off = int(ns[c]), c * CH
+                expv = streams[c][(n + 1) // 2:].view(np.uint8)[:n]
+                sel = expv == 23
+                o[off:off + n][sel] = data[off:off + n][sel]
+            s_, e_, _ = pde.pde_encode(data[:CH])
+            assert np.array_equal(
+                streams[0][:(CH + 1) // 2].view(np.int32)[:CH], s_)
+            assert np.array_equal(
+                streams[0][(CH + 1) // 2:].view(np.uint8)[:CH], e_)
+        assert np.array_equal(o.view(np.uint64), data.view(np.uint64))
+        _, _, ow1, _ = native.competitor_encode_chunked(
+            name, data, CH, 1)
+        assert np.array_equal(ow1, ow)
+
+
 class TestZstd:
     """Real Zstd via ctypes libzstd (reference fetches zstd v1.5.5,
     compresses rowgroup chunks at level 3 — bench_compression_ratio/
