@@ -30,10 +30,24 @@ _jax.config.update("jax_enable_x64", True)
 # disk cache (works through the axon remote-compile tunnel) makes every
 # later process start warm.
 if not _os.environ.get("ALP_TPU_NO_COMPILE_CACHE"):
+    # the dir is keyed by the host CPU's feature fingerprint: XLA:CPU
+    # persists AOT executables whose cache key does NOT include the
+    # exact CPU features, so a cache shared across heterogeneous
+    # machines serves artifacts with instructions this host lacks
+    # (loader warns "could lead to execution errors such as SIGILL";
+    # observed as intermittent segfaults in long pytest runs)
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _cpu_flags = next(
+                (_ln for _ln in _f if _ln.startswith("flags")), "")
+    except OSError:
+        _cpu_flags = ""
+    import hashlib as _hashlib
+    _cpu_tag = _hashlib.sha256(_cpu_flags.encode()).hexdigest()[:8]
     _cache = _os.environ.get(
         "ALP_TPU_COMPILE_CACHE",
         _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
+            _os.path.abspath(__file__))), f".jax_cache-{_cpu_tag}"))
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -2134,6 +2134,491 @@ def _groupby_raw(col, keys_id, num_groups: int):
     return totals, sp, ct, mh, ml, nh, nl
 
 
+# ---------------------------------------------------------------------------
+# Sorted-permutation GROUP-BY: the scan-speed repeated-keys path.
+#
+# The one-hot MXU formulation pays ~2 B/value/group of HBM one-hot traffic
+# per query and falls off a cliff past 128 groups.  For repeated queries
+# with the SAME keys array (the steady-state grouped-query shape) we
+# instead cache a GROUP-SORTED re-encoding of the column: a stable argsort
+# of the keys turns every group into a contiguous value range, so grouped
+# exact SUM/COUNT/MIN/MAX reduce to per-vector superaccumulator partials
+# (kernels.falp.exact_sum_planes_f64) + an exclusive prefix sum + two
+# static gathers per group — no [n, G] operand, no scatter, no group-count
+# dependence.  Group-boundary-straddling vectors, the padded last vector,
+# and out-of-envelope vectors (rare: specials/subnormal-magnitude
+# exceptions) are precomputed ONCE at cache build from the true permuted
+# bits; every query re-runs only the fused decode + partials pass.
+# The reference has no GROUP-BY at all (its e2e set stops at SCAN/SUM,
+# publication/source_code/bench_end_to_end/include/benchmarks/alp/
+# config.hpp:16-92).
+# ---------------------------------------------------------------------------
+
+_GB_SORT_MAX_GROUPS = 1 << 16      # host boundary math is O(G) per build
+_GB_SORT_MIN_USES = 2              # build the cache on the 2nd same-keys
+                                   # query; first touch stays on the MXU
+                                   # path (the build costs a decode +
+                                   # gather + device re-encode)
+
+
+def _lex_scan_combine(a, b):
+    """Segmented lexicographic (min, max) combine for associative_scan:
+    state = (gid, mnh, mnl, mxh, mxl); a new segment resets."""
+    ga, mnh_a, mnl_a, mxh_a, mxl_a = a
+    gb_, mnh_b, mnl_b, mxh_b, mxl_b = b
+    same = ga == gb_
+    lt = (mnh_a < mnh_b) | ((mnh_a == mnh_b) & (mnl_a < mnl_b))
+    mnh = jnp.where(same & lt, mnh_a, mnh_b)
+    mnl = jnp.where(same & lt, mnl_a, mnl_b)
+    gt = (mxh_a > mxh_b) | ((mxh_a == mxh_b) & (mxl_a > mxl_b))
+    mxh = jnp.where(same & gt, mxh_a, mxh_b)
+    mxl = jnp.where(same & gt, mxl_a, mxl_b)
+    return gb_, mnh, mnl, mxh, mxl
+
+
+def _sorted_gb_build(col, keys: np.ndarray, num_groups: int):
+    """Build the sorted GROUP-BY cache entry (f64 columns).
+
+    Returns a dict with the permuted column, static per-bucket index
+    arrays and the host-precomputed contributions of every vector the
+    device pass cannot aggregate (boundary / padded / out-of-envelope),
+    or None when the column is ineligible (too many host-handled
+    vectors: the envelope covers all ALP-decodable magnitudes, so this
+    only triggers for subnormal-heavy raw-double data)."""
+    from . import device_compress as dcz
+    from .kernels import falp as kfalp
+    n = col.n_values
+    plan = col.plan()
+    order = np.argsort(keys, kind="stable").astype(np.int64)
+    bounds = np.zeros(num_groups + 1, np.int64)
+    np.cumsum(np.bincount(keys.astype(np.int64),
+                          minlength=num_groups), out=bounds[1:])
+    # concat position of every global value in the bucket-major plane
+    # flattening (vector-major value order inside each bucket)
+    pos_of_value = np.empty(n, np.int64)
+    ar = np.arange(C.VECTOR_SIZE)
+    base = 0
+    for g in plan.groups:
+        gr = -(-g.n_vectors // 8)
+        vecs = np.asarray(g.vec_indices, np.int64)
+        starts = (base + np.arange(len(vecs))) * C.VECTOR_SIZE
+        full = vecs * C.VECTOR_SIZE + C.VECTOR_SIZE <= n
+        if full.any():
+            pos_of_value[(vecs[full] * C.VECTOR_SIZE)[:, None] + ar] = (
+                starts[full][:, None] + ar)
+        for v, s in zip(vecs[~full].tolist(), starts[~full].tolist()):
+            m = n - v * C.VECTOR_SIZE         # the one partial vector
+            pos_of_value[v * C.VECTOR_SIZE:n] = s + ar[:m]
+        base += gr * 8
+    perm = pos_of_value[order].astype(np.int32)
+
+    nv2 = -(-n // C.VECTOR_SIZE)
+    G2 = -(-nv2 // 8)
+    padn = G2 * 8 * C.VECTOR_SIZE - n
+    # the boundary/last part of H is known before any device work
+    H = {nv2 - 1}
+    for b in bounds[1:-1]:
+        if b % C.VECTOR_SIZE:
+            H.add(int(b) // C.VECTOR_SIZE)
+    H0 = np.array(sorted(v for v in H if v < nv2), np.int64)
+    if len(H0) > max(4 * num_groups + 64, 2048):
+        return None                       # host math is O(|H| * 1024)
+
+    # staged permute (small programs keep peak HBM ~2.5x the column:
+    # donation cannot alias the shape-changing buffers here): bucket
+    # planes -> value order -> gather by the group-sorted permutation
+    # -> tile planes; the boundary vectors' true bits are sliced while
+    # the value-ordered copy is still alive
+    nb = len(plan.groups)
+
+    def _flatten(*planes):
+        fh, fl = [], []
+        for b in range(nb):
+            hi, lo = planes[2 * b], planes[2 * b + 1]
+            Gb = hi.shape[0]
+            fh.append(hi.reshape(Gb, 64, 8, 16)
+                      .transpose(0, 2, 1, 3).reshape(-1))
+            fl.append(lo.reshape(Gb, 64, 8, 16)
+                      .transpose(0, 2, 1, 3).reshape(-1))
+        return (fh[0] if nb == 1 else jnp.concatenate(fh),
+                fl[0] if nb == 1 else jnp.concatenate(fl))
+
+    def _gather(cat, pidx):
+        ph = jnp.take(cat, pidx)
+        if padn:
+            ph = jnp.concatenate(
+                [ph, jnp.broadcast_to(ph[-1], (padn,))])
+        return ph
+
+    def _to_planes(ph, bidx):
+        bnd = jnp.take(ph.reshape(-1, C.VECTOR_SIZE), bidx, axis=0)
+        v = ph.reshape(G2, 8, 64, 16).transpose(0, 2, 1, 3).reshape(
+            G2, 64, 128)
+        return v, bnd
+
+    outs = plan.run(patch=True)
+    flat_planes = [a for pair in outs for a in pair]
+    del outs
+    cat_h, cat_l = jax.jit(_flatten)(*flat_planes)
+    jax.block_until_ready((cat_h, cat_l))
+    del flat_planes
+    pidx = jnp.asarray(perm)
+    bidx = jnp.asarray(H0 if len(H0) else np.zeros(1, np.int64))
+    g_jit = jax.jit(_gather, donate_argnums=(0,))
+    p_jit = jax.jit(_to_planes, donate_argnums=(0,))
+    ph = g_jit(cat_h, pidx)
+    jax.block_until_ready(ph)
+    del cat_h
+    vhi, bnd_h = p_jit(ph, bidx)
+    jax.block_until_ready(vhi)
+    del ph
+    pl_ = g_jit(cat_l, pidx)
+    jax.block_until_ready(pl_)
+    del cat_l, pidx
+    vlo, bnd_l = p_jit(pl_, bidx)
+    jax.block_until_ready(vlo)
+    del pl_
+    bnd_h, bnd_l = jax.device_get((bnd_h, bnd_l))
+
+    # out-of-envelope vectors (exact-sum row 15 on the TRUE permuted
+    # planes): rare patched values / subnormal raw doubles the device
+    # digit pass cannot aggregate
+    rows = kfalp.exact_sum_planes_f64(vhi, vlo)
+    oob_v = np.flatnonzero(
+        np.asarray(rows[:, 15, :].astype(jnp.int64))
+        .reshape(G2, 8, 16).sum(axis=2).reshape(-1) > 0)
+    del rows
+    oob_new = sorted(int(v) for v in oob_v if v < nv2 and v not in H)
+    H.update(oob_new)
+    H = np.array(sorted(v for v in H if v < nv2), np.int64)
+    if len(H) > max(4 * num_groups + 64, 2048):
+        return None
+    if oob_new:
+        # tiny per-class slices of the planes (8 lane classes)
+        ov = np.array(oob_new, np.int64)
+        parts_h = np.empty((len(ov), C.VECTOR_SIZE), np.uint32)
+        parts_l = np.empty((len(ov), C.VECTOR_SIZE), np.uint32)
+        for c in range(8):
+            sel = np.flatnonzero(ov % 8 == c)
+            if not len(sel):
+                continue
+            rows_c = jnp.take(vhi, jnp.asarray(ov[sel] // 8), axis=0)
+            rl_c = jnp.take(vlo, jnp.asarray(ov[sel] // 8), axis=0)
+            hc, lc = jax.device_get(
+                (rows_c[:, :, 16 * c:16 * c + 16],
+                 rl_c[:, :, 16 * c:16 * c + 16]))
+            parts_h[sel] = hc.reshape(len(sel), -1)
+            parts_l[sel] = lc.reshape(len(sel), -1)
+        bmap = {int(v): i for i, v in enumerate(H0.tolist())}
+        omap = {int(v): i for i, v in enumerate(oob_new)}
+        hb = np.empty((len(H), C.VECTOR_SIZE), np.uint32)
+        lb = np.empty((len(H), C.VECTOR_SIZE), np.uint32)
+        for i, v in enumerate(H.tolist()):
+            if v in bmap:
+                hb[i], lb[i] = bnd_h[bmap[v]], bnd_l[bmap[v]]
+            else:
+                hb[i], lb[i] = parts_h[omap[v]], parts_l[omap[v]]
+    elif len(H):
+        hb, lb = bnd_h, bnd_l
+    else:
+        hb = lb = np.zeros((0, C.VECTOR_SIZE), np.uint32)
+    hbits = (hb.astype(np.uint64) << np.uint64(32)) | lb.astype(
+        np.uint64)
+
+    pcol = dcz.compress_device(planes=(vhi, vlo), n_values=n)
+    del vhi, vlo
+    pplan = pcol.plan()
+
+    # per-group host contributions from H vectors (exact fixed-point)
+    h_tot = [0] * num_groups
+    h_sp = np.zeros((num_groups, 3), np.int64)
+    h_cnt = np.zeros(num_groups, np.int64)
+    h_keys = [[] for _ in range(num_groups)]
+    for row, v in enumerate(H.tolist()):
+        v0 = v * C.VECTOR_SIZE
+        v1 = min(v0 + C.VECTOR_SIZE, n)
+        gs = np.searchsorted(bounds, v0, side="right") - 1
+        ge = np.searchsorted(bounds, v1 - 1, side="right") - 1
+        bits = hbits[row]
+        for g in range(int(gs), int(ge) + 1):
+            a = max(int(bounds[g]), v0) - v0
+            b = min(int(bounds[g + 1]), v1) - v0
+            if a >= b:
+                continue
+            sl = bits[a:b]
+            h_cnt[g] += b - a
+            e = (sl >> np.uint64(52)).astype(np.int64) & 0x7FF
+            m = sl & np.uint64((1 << 52) - 1)
+            s = (sl >> np.uint64(63)).astype(np.int64)
+            spec = e == 2047
+            h_sp[g, 0] += int((spec & (m != 0)).sum())
+            h_sp[g, 1] += int((spec & (m == 0) & (s == 0)).sum())
+            h_sp[g, 2] += int((spec & (m == 0) & (s == 1)).sum())
+            fin = ~spec
+            if fin.any():
+                mp = np.where(e > 0, m | np.uint64(1 << 52), m)[fin]
+                ee = np.maximum(e[fin], 1)
+                sg = 1 - 2 * s[fin]
+                t = 0
+                for mi, ei, si in zip(mp.tolist(), ee.tolist(),
+                                      sg.tolist()):
+                    t += si * (mi << ei)
+                h_tot[g] += t
+            # extremes use the IEEE total order, specials included
+            # (NaN above +inf / below -inf, matching query_min/max)
+            h_keys[g].append(_np_work_keys(sl, True))
+    h_mn = np.full(num_groups, np.iinfo(np.uint64).max, np.uint64)
+    h_mx = np.zeros(num_groups, np.uint64)
+    h_has = np.zeros(num_groups, bool)
+    for g in range(num_groups):
+        if h_keys[g]:
+            kk = np.concatenate(h_keys[g])
+            h_mn[g] = kk.min()
+            h_mx[g] = kk.max()
+            h_has[g] = True
+
+    # static per-bucket machinery for the device pass
+    Hset = set(H.tolist())
+    b_static = []
+    for g in pplan.groups:
+        vecs = np.asarray(g.vec_indices, np.int64)
+        interior = np.array([v not in Hset for v in vecs.tolist()])
+        # full-vector range of each group in vector space
+        lo_vec = -(-bounds[:-1] // C.VECTOR_SIZE)
+        hi_vec = bounds[1:] // C.VECTOR_SIZE
+        lo_idx = np.searchsorted(vecs, lo_vec).astype(np.int32)
+        hi_idx = np.searchsorted(vecs, hi_vec).astype(np.int32)
+        # per-vector group id (H vectors keep their containing group;
+        # they are masked out of the reductions anyway)
+        gid = (np.searchsorted(bounds, vecs * C.VECTOR_SIZE,
+                               side="right") - 1).astype(np.int32)
+        # last interior vector index per group (for the segmented-scan
+        # gather); has[g] marks groups with >= 1 interior vector here
+        endi = np.zeros(num_groups, np.int32)
+        has = np.zeros(num_groups, bool)
+        gi = gid.copy()
+        gi[~interior] = -1
+        for i_, gg in enumerate(gi.tolist()):
+            if gg >= 0:
+                endi[gg] = i_
+                has[gg] = True
+        b_static.append(dict(
+            interior=interior, lo_idx=lo_idx, hi_idx=hi_idx, gid=gid,
+            endi=endi, has=has))
+
+    counts = np.array(
+        [int(bounds[g + 1] - bounds[g]) for g in range(num_groups)],
+        np.int64)
+    return dict(pcol=pcol, pplan=pplan, bounds=bounds, G=num_groups,
+                b_static=b_static, h_tot=h_tot, h_sp=h_sp, h_cnt=h_cnt,
+                h_mn=h_mn, h_mx=h_mx, h_has=h_has, counts=counts)
+
+
+def _make_grouped_pass(entry):
+    """ONE traced program per cache entry: fused decode (+ exception
+    patch) of the permuted column, per-vector superaccumulator partials
+    and key extremes, exclusive prefix + static gathers for grouped
+    sums, and a segmented associative scan for grouped extremes.
+    Returns (jitted fn, flat device args)."""
+    from .kernels import falp as kfalp
+    pplan = entry["pplan"]
+    G = entry["G"]
+    groups = pplan.groups
+    arg_counts = []
+    flat = []
+    excs = []
+    for g in groups:
+        a = kdecode.group_arrays(g)
+        arg_counts.append(len(a))
+        flat.extend(a)
+        if g.exc_g is not None and g.exc_g.shape[0]:
+            excs.append((jnp.asarray(g.exc_g), jnp.asarray(g.exc_slot),
+                         jnp.asarray(g.exc_lane), jnp.asarray(g.exc_hi),
+                         jnp.asarray(g.exc_lo)))
+        else:
+            excs.append(None)
+    b_static = entry["b_static"]
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(2 ** 31 - 1)
+
+    def prog(*metas):
+        tot = jnp.zeros((G, 16), jnp.int64)
+        mnh = jnp.full((G,), imax)
+        mnl = jnp.full((G,), imax)
+        mxh = jnp.full((G,), imin)
+        mxl = jnp.full((G,), imin)
+        i = 0
+        for g, narg, exc, st in zip(groups, arg_counts, excs, b_static):
+            args = list(metas[i:i + narg])
+            i += narg
+            out = kdecode.group_decode(g, np.float64)(*args)
+            if exc is not None:
+                idx = (exc[0], exc[1], exc[2])
+                out = (out[0].at[idx].set(exc[3]),
+                       out[1].at[idx].set(exc[4]))
+            hi, lo = out
+            nvb = g.n_vectors
+            se = kfalp.sum_extremes_planes_f64(hi, lo)
+            rows = se[:, 0:16, :]
+            ext = se[:, 16:24, :]
+            pv = (rows.astype(jnp.int64).reshape(-1, 16, 8, 16)
+                  .sum(axis=3).transpose(0, 2, 1)
+                  .reshape(-1, 16))[:nvb]
+            pv = jnp.where(jnp.asarray(st["interior"])[:, None], pv, 0)
+            csx = jnp.concatenate(
+                [jnp.zeros((1, 16), jnp.int64),
+                 jnp.cumsum(pv, axis=0)])
+            tot = tot + (jnp.take(csx, jnp.asarray(st["hi_idx"]),
+                                  axis=0)
+                         - jnp.take(csx, jnp.asarray(st["lo_idx"]),
+                                    axis=0))
+            er = ext.reshape(-1, 8, 8, 16)        # [Gb, row, vec, lane]
+            a_ = er[:, 0]
+            b_ = er[:, 1]
+            vh = jnp.min(a_, axis=2)
+            vl = jnp.min(jnp.where(a_ == vh[..., None], b_, imax),
+                         axis=2)
+            c_ = er[:, 2]
+            d_ = er[:, 3]
+            wh = jnp.max(c_, axis=2)
+            wl = jnp.max(jnp.where(c_ == wh[..., None], d_, imin),
+                         axis=2)
+            vh, vl, wh, wl = (x.reshape(-1)[:nvb]
+                              for x in (vh, vl, wh, wl))
+            ok = jnp.asarray(st["interior"])
+            vh = jnp.where(ok, vh, imax)
+            vl = jnp.where(ok, vl, imax)
+            wh = jnp.where(ok, wh, imin)
+            wl = jnp.where(ok, wl, imin)
+            gid = jnp.asarray(st["gid"])
+            _, sh, sl_, th, tl = jax.lax.associative_scan(
+                _lex_scan_combine, (gid, vh, vl, wh, wl))
+            endi = jnp.asarray(st["endi"])
+            has = jnp.asarray(st["has"])
+            eh = jnp.where(has, jnp.take(sh, endi), imax)
+            el = jnp.where(has, jnp.take(sl_, endi), imax)
+            fh = jnp.where(has, jnp.take(th, endi), imin)
+            fl = jnp.where(has, jnp.take(tl, endi), imin)
+            lt = (eh < mnh) | ((eh == mnh) & (el < mnl))
+            mnh = jnp.where(lt, eh, mnh)
+            mnl = jnp.where(lt, el, mnl)
+            gt = (fh > mxh) | ((fh == mxh) & (fl > mxl))
+            mxh = jnp.where(gt, fh, mxh)
+            mxl = jnp.where(gt, fl, mxl)
+        return tot, mnh, mnl, mxh, mxl
+
+    return jax.jit(prog), tuple(flat)
+
+
+def _query_groupby_sorted(col, entry, aggs):
+    """Answer a grouped query from the sorted cache: one fused device
+    pass + the precomputed host pieces."""
+    from .kernels import falp as kfalp
+    prog_ent = entry.get("prog")
+    if prog_ent is None:
+        prog_ent = entry["prog"] = _make_grouped_pass(entry)
+    prog, flat = prog_ent
+    G = entry["G"]
+    tot, mnh, mnl, mxh, mxl = jax.device_get(prog(*flat))
+    tot = tot.astype(np.int64)
+    assert not tot[:, 15].any()           # interiors are in-envelope
+    totals = []
+    W0, NW = kfalp._SUM_W0, kfalp._SUM_NWIN
+    for g in range(G):
+        t = int(entry["h_tot"][g])
+        for w in range(NW):
+            tw = int(tot[g, w]) + (int(tot[g, w + NW]) << 16)
+            if tw:
+                t += tw << (32 * (W0 + w))
+        totals.append(t)
+    sp = entry["h_sp"] + tot[:, 12:15]
+    ct = entry["counts"]
+    res = {}
+    if "count" in aggs:
+        res["count"] = ct.copy()
+    if "sum" in aggs:
+        res["sum"] = np.array(
+            [_finish_sum(totals[g], int(sp[g, 0]), int(sp[g, 1]),
+                         int(sp[g, 2]), 1075) for g in range(G)],
+            np.float64)
+    if "mean" in aggs:
+        from fractions import Fraction
+        means = np.full(G, np.nan, np.float64)
+        for g in range(G):
+            if ct[g] == 0:
+                continue
+            if sp[g, 0] or (sp[g, 1] and sp[g, 2]):
+                continue
+            elif sp[g, 1]:
+                means[g] = np.inf
+            elif sp[g, 2]:
+                means[g] = -np.inf
+            elif totals[g] == 0:
+                means[g] = 0.0
+            else:
+                means[g] = np.float64(float(Fraction(
+                    totals[g], int(ct[g]) << 1075)))
+        res["mean"] = means
+    if "min" in aggs or "max" in aggs:
+        sb = np.uint32(1 << 31)
+        dev_mn = ((mnh.astype(np.int64).astype(np.uint64)
+                   & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
+        dev_mn |= ((mnl.astype(np.int64).astype(np.uint64)
+                    & np.uint64(0xFFFFFFFF)) ^ sb)
+        dev_mx = ((mxh.astype(np.int64).astype(np.uint64)
+                   & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
+        dev_mx |= ((mxl.astype(np.int64).astype(np.uint64)
+                    & np.uint64(0xFFFFFFFF)) ^ sb)
+        dev_has = mnh < (2 ** 31 - 1)
+        kmn = np.where(entry["h_has"]
+                       & (~dev_has | (entry["h_mn"] < dev_mn)),
+                       entry["h_mn"], dev_mn)
+        kmx = np.where(entry["h_has"]
+                       & (~dev_has | (entry["h_mx"] > dev_mx)),
+                       entry["h_mx"], dev_mx)
+        if "max" in aggs:
+            vals = np.full(G, np.nan, np.float64)
+            for g in range(G):
+                if ct[g]:
+                    vals[g] = _key_float(int(kmx[g]), np.float64)
+            res["max"] = vals
+        if "min" in aggs:
+            vals = np.full(G, np.nan, np.float64)
+            for g in range(G):
+                if ct[g]:
+                    vals[g] = _key_float(int(kmn[g]), np.float64)
+            res["min"] = vals
+    return {a: res[a] for a in aggs if a in res}
+
+
+def _sorted_gb_entry(col, keys_id, keys, num_groups: int):
+    """Sorted-cache lookup with a use-counter build policy: entries
+    build on the :data:`_GB_SORT_MIN_USES`-th query with the same keys
+    identity (immediately when the MXU gate would overflow).  Returns
+    the entry dict, or None (not built / ineligible)."""
+    cache = getattr(col, "_gb_sorted", None)
+    if cache is None:
+        try:
+            cache = col._gb_sorted = {}
+        except AttributeError:
+            return None
+    k = (id(keys_id), num_groups)
+    ent = cache.get(k)
+    if isinstance(ent, dict):
+        return ent
+    if ent == "ineligible":
+        return None
+    uses = cache.get(("uses", k), 0) + 1
+    cache[("uses", k)] = uses
+    if uses < _GB_SORT_MIN_USES and num_groups <= _GB_MXU_MAX_GROUPS:
+        return None
+    built = _sorted_gb_build(col, keys, num_groups)
+    cache[k] = built if built is not None else "ineligible"
+    # hold a reference to the keys object so id() stays unique
+    cache[("ref", k)] = keys_id
+    return built
+
+
 def query_groupby(col, keys, num_groups: int,
                   aggs=("sum", "count", "min", "max", "mean")) -> dict:
     """GROUP-BY aggregate: ``SELECT key, AGG(v) ... GROUP BY key`` over a
@@ -2165,6 +2650,13 @@ def query_groupby(col, keys, num_groups: int,
     segment-sum path (exact everywhere, slower on TPU).
     """
     keys_id = keys                       # identity key for the plane cache
+    # identity fast path: a built sorted-cache entry already validated
+    # this exact keys object — skip the O(n) conversion/min/max scans
+    cache0 = getattr(col, "_gb_sorted", None)
+    if cache0 is not None:
+        ent0 = cache0.get((id(keys_id), num_groups))
+        if isinstance(ent0, dict):
+            return _query_groupby_sorted(col, ent0, aggs)
     keys = np.ascontiguousarray(np.asarray(keys, np.int64))
     if keys.shape != (col.n_values,):
         raise ValueError(f"keys must have shape ({col.n_values},)")
@@ -2183,6 +2675,12 @@ def query_groupby(col, keys, num_groups: int,
             else:
                 out[a] = np.full(num_groups, np.nan, col.dtype)
         return out
+    if f64 and num_groups <= _GB_SORT_MAX_GROUPS:
+        # scan-speed sorted-permutation path (repeated keys; always for
+        # group counts past the MXU one-hot gate)
+        ent = _sorted_gb_entry(col, keys_id, keys, num_groups)
+        if ent is not None:
+            return _query_groupby_sorted(col, ent, aggs)
     totals, sp, ct, mh, ml, nh, nl = _groupby_raw(
         col, keys_id, num_groups)
     scale = 1075 if f64 else 150
@@ -2406,6 +2904,506 @@ def make_groupby_step(col, keys, num_groups: int, plan=None):
 # ---------------------------------------------------------------------------
 
 
+def _rank_corr_arrays(col, plan):
+    """Device-resident exact-count correction arrays for the
+    single-dispatch rank bisection, built once per plan and cached:
+
+    - (ckh, ckl, cw): biased-i32 total-order key words + i32 weights of
+      every correction term — each exception contributes its TRUE
+      stored key at +1 and its kernel-decoded slot key at -1 (the fused
+      counts see the patched fill), and the partial last vector's pad
+      slots contribute the pad value's key at -(pad count).  This is
+      the uploaded mirror of :func:`_pred_corrections`.
+    - (tkh, tkl): biased-i32 key words of the TRUE exception keys only,
+      for the bracket min/max snap (kernel extremes miss values stored
+      as exceptions).
+    """
+    cached = getattr(plan, "_rank_corr", None)
+    if cached is not None:
+        return cached
+    f32 = plan.dtype == np.float32
+    keys_c, w_c, keys_t = [], [], []
+    for g in plan.groups:
+        if g.exc_g is None or not g.exc_g.shape[0]:
+            continue
+        tb, db = _group_exception_bits(col, g)
+        tk = _np_work_keys(tb, True)
+        dk = _np_work_keys(db, True)
+        keys_c.append(tk)
+        w_c.append(np.ones(len(tk), np.int32))
+        keys_c.append(dk)
+        w_c.append(np.full(len(dk), -1, np.int32))
+        keys_t.append(tk)
+    # padded tail of the partial last vector (same fused-pad semantics
+    # as _partial_vector_correction: every bucket kind counts pads here)
+    n_valid = col.n_values - (col.n_vectors - 1) * C.VECTOR_SIZE
+    if n_valid != C.VECTOR_SIZE:
+        v_last = col.n_vectors - 1
+        pos = np.int64(n_valid - 1)
+        exc_pos = col.exc_positions[v_last]
+        hit = np.nonzero(exc_pos == pos)[0]
+        wt = np.uint64 if not f32 else np.uint32
+        gl = next(g for g in plan.groups if v_last in g.vec_indices)
+        if gl.scheme == C.SCHEME_ALP_RD:
+            left = (int(col.exc_values[v_last][hit[0]]) if hit.size
+                    else None)
+            bits = wt(_rd_bits_at(col, int(v_last), int(pos), left))
+        elif hit.size:
+            bits = np.asarray(col.exc_values[v_last][hit[0]],
+                              col.dtype).view(wt)
+        else:
+            bits = _decode_positions(col, np.array([v_last]),
+                                     np.array([pos]))[0]
+        keys_c.append(_np_work_keys(np.array([bits], wt), True))
+        w_c.append(np.array([-(C.VECTOR_SIZE - n_valid)], np.int32))
+
+    def biased_words(keys):
+        if f32:
+            kh = (keys.astype(np.uint32) ^ np.uint32(1 << 31)).view(
+                np.int32)
+            return kh, np.zeros_like(kh)
+        kh = ((keys >> np.uint64(32)).astype(np.uint32)
+              ^ np.uint32(1 << 31)).view(np.int32)
+        kl = ((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+              ^ np.uint32(1 << 31)).view(np.int32)
+        return kh, kl
+
+    kt = np.uint32 if f32 else np.uint64
+    kc = (np.concatenate(keys_c) if keys_c else np.zeros(0, kt))
+    wc = (np.concatenate(w_c) if w_c else np.zeros(0, np.int32))
+    tc = (np.concatenate(keys_t) if keys_t else np.zeros(0, kt))
+    if not len(kc):                       # keep shapes non-empty
+        kc, wc = np.zeros(1, kt), np.zeros(1, np.int32)
+    if not len(tc):
+        tc = None                         # sentinel: no true-key snaps
+    ckh, ckl = biased_words(kc)
+    arrs = (jnp.asarray(ckh), jnp.asarray(ckl), jnp.asarray(wc))
+    if tc is None:
+        tkh = jnp.full((1,), np.int32(2 ** 31 - 1), jnp.int32)
+        tkl = tkh
+        arrs += (tkh, tkl, False)
+    else:
+        tkh, tkl = biased_words(tc)
+        arrs += (jnp.asarray(tkh), jnp.asarray(tkl), True)
+    plan._rank_corr = arrs
+    return arrs
+
+
+def _bucket_rankpass(g, args, thr_hi, thr_lo, br, *, n_thr: int,
+                     n_rank: int, f32: bool):
+    """Counts + bracketed extremes of one bucket (rank-pass dispatch;
+    const buckets compare their per-vector key in XLA)."""
+    from .kernels import falp as kfalp
+    if f32:
+        if g.scheme == C.SCHEME_ALP_RD:
+            return kfalp.rd_decode_dict_f32_rankpass(
+                args[0], args[1], args[2:], thr_hi, br, rbw=g.bw,
+                lbw=g.meta[1], n_thr=n_thr, n_rank=n_rank)
+        return kfalp.falp_decode_f32_rankpass(
+            args[0], args[1], args[2], args[3], thr_hi, br, bw=g.bw,
+            n_thr=n_thr, n_rank=n_rank)
+    if g.scheme == C.SCHEME_ALP_RD:
+        return kfalp.rd_decode_dict_f64_rankpass(
+            args[0], args[1], args[2:], thr_hi, thr_lo, br, rbw=g.bw,
+            lbw=g.meta[1], n_thr=n_thr, n_rank=n_rank)
+    if g.variant == "const":
+        kh, kl = _key_words_from_limbs(args[0], args[1])
+        ah, al = _biased_i32(kh), _biased_i32(kl)
+        th, tl = _biased_i32(thr_hi), _biased_i32(thr_lo)
+        rows = []
+        zero = jnp.zeros_like(ah)
+        for e in range(thr_hi.shape[0]):
+            if e < n_thr:
+                le = (ah < th[e, 0]) | ((ah == th[e, 0])
+                                        & (al <= tl[e, 0]))
+                rows.append(le.astype(jnp.int32) * jnp.int32(64))
+            else:
+                rows.append(zero)
+        pc = jnp.stack(rows, axis=1)
+        brb = _biased_i32(br)
+        imin = jnp.int32(_I32_MIN)
+        imax = jnp.int32(2 ** 31 - 1)
+        mrows = []
+        for r in range(br.shape[0] // 4):
+            if r < n_rank:
+                lh, ll = brb[4 * r, 0], brb[4 * r + 1, 0]
+                hh, hl = brb[4 * r + 2, 0], brb[4 * r + 3, 0]
+                ge = (ah > lh) | ((ah == lh) & (al >= ll))
+                le = (ah < hh) | ((ah == hh) & (al <= hl))
+                inb = ge & le
+                mrows.append(jnp.where(inb, ah, imax))
+                mrows.append(jnp.where(inb, al, imax))
+                mrows.append(jnp.where(inb, ah, imin))
+                mrows.append(jnp.where(inb, al, imin))
+            else:
+                mrows += [zero] * 4
+        return pc, jnp.stack(mrows, axis=1)
+    return kfalp.falp_decode_f64_variant_rankpass(
+        args[0], tuple(args[1:]), thr_hi, thr_lo, br, variant=g.variant,
+        bw=g.bw, flags=g.flags, n_thr=n_thr, n_rank=n_rank)
+
+
+_RANK_MAX_IT = 36          # the key-space uniform probes alone shrink
+                           # >= 4x/pass: 4^36 >> 2^64; value-space
+                           # probes, snap and interpolation only help
+
+
+def _rank_bisect_program(plan, R: int, has_true: bool):
+    """Build (and cache on the plan) the ONE-dispatch rank-selection
+    program: a ``lax.while_loop`` whose body runs one fused
+    multi-threshold count + bracketed-extreme scan over every bucket,
+    applies the uploaded exception/pad corrections EXACTLY, narrows
+    each rank's bracket with the probe counts, and SNAPS it to the
+    lexicographic [min, max] key actually present inside (combining
+    kernel extremes with the true exception keys) — on decimal-
+    quantized data the snap collapses brackets to the value lattice in
+    a handful of passes.  Returns a jitted
+    ``fn(ranks, ckh, ckl, cw, tkh, tkl, *metas) ->
+    (lo, hi, n_negnan, le_pinf, iters)``.
+    """
+    cache = _plan_prog_cache(plan)
+    ckey = ("rankbisect", R, has_true)
+    if ckey in cache:
+        return cache[ckey]
+    f32, per, L, _ = _plan_geometry(plan)
+    groups = plan.groups
+    arg_counts = [len(kdecode.group_arrays(g)) for g in groups]
+    lane_oks = _lane_oks(plan, per, L)
+    B = max(4, 20 // R)                  # probes per rank per pass
+    n_thr = R * B + 2                    # + (negnan, le_pinf) specials
+    E_pad = -(-n_thr // 8) * 8
+    rows_pr = 2 if f32 else 4
+    M_pad = -(-(R * rows_pr) // 8) * 8
+    width = 32 if f32 else 64
+    kt = jnp.uint32 if f32 else jnp.uint64
+    npkt = np.uint32 if f32 else np.uint64
+    TOP = npkt((1 << width) - 1)
+    dt = np.float32 if f32 else np.float64
+    k_ninf = npkt(_float_key(float("-inf"), np.dtype(dt)) - 1)
+    k_pinf = npkt(_float_key(float("inf"), np.dtype(dt)))
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(2 ** 31 - 1)
+
+    def lex_min(h, l):
+        mh = jnp.min(h)
+        return mh, jnp.min(jnp.where(h == mh, l, imax))
+
+    def lex_max(h, l):
+        mh = jnp.max(h)
+        return mh, jnp.max(jnp.where(h == mh, l, imin))
+
+    def words(u):
+        # biased-i32 (hi, lo) words of u64/u32 working keys
+        if f32:
+            return _biased_i32(u), jnp.zeros(u.shape, jnp.int32)
+        return (_biased_i32((u >> jnp.uint64(32)).astype(jnp.uint32)),
+                _biased_i32((u & jnp.uint64(0xFFFFFFFF)).astype(
+                    jnp.uint32)))
+
+    def unwords(bh, bl):
+        uh = jax.lax.bitcast_convert_type(bh, jnp.uint32) ^ jnp.uint32(
+            1 << 31)
+        if f32:
+            return uh
+        ul = jax.lax.bitcast_convert_type(bl, jnp.uint32) ^ jnp.uint32(
+            1 << 31)
+        return (uh.astype(jnp.uint64) << jnp.uint64(32)) | ul.astype(
+            jnp.uint64)
+
+    B_u = B - B // 3                     # uniform probes...
+    B_k = max(2, B_u // 2)               # ...in key space (closure)
+    B_v = B_u - B_k                      # ...in value space (floats
+    #                                      are log-spaced in key space;
+    #                                      value-linear probes match
+    #                                      real CDFs across exponents)
+    B_g = B - B_u                        # CDF-interpolated cluster
+    SBK = (np.uint32(1 << 31) if f32 else np.uint64(1 << 63))
+    ft = jnp.float32                     # probe arithmetic (see key2f)
+
+    def prog(ranks, nvals, lo0, hi0, ckh, ckl, cw, tkh, tkl, *metas):
+        # key <-> approximate value, all-native ops: the TPU X64
+        # rewriter has no f64<->u64 bitcast, so f64 keys go through an
+        # f32 approximation (probe positions only steer convergence;
+        # exactness never depends on them).  f32 keys bitcast natively.
+        if f32:
+            def key2f(k):
+                bits = jnp.where(k >= SBK, k ^ SBK, ~k)
+                return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+            def f2key(v):
+                bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                return jnp.where(bits >= SBK, ~bits, bits | SBK)
+        else:
+            def key2f(k):
+                bits = jnp.where(k >= SBK, k ^ SBK, ~k)
+                h = (bits >> jnp.uint64(32)).astype(jnp.uint32)
+                s = h >> jnp.uint32(31)
+                e11 = ((h >> jnp.uint32(20)) & jnp.uint32(0x7FF)).astype(
+                    jnp.int32)
+                m20 = h & jnp.uint32(0xFFFFF)
+                e8 = jnp.clip(e11 - 1023 + 127, 1, 254).astype(jnp.uint32)
+                fb = ((s << jnp.uint32(31)) | (e8 << jnp.uint32(23))
+                      | (m20 << jnp.uint32(3)))
+                return jax.lax.bitcast_convert_type(fb, jnp.float32)
+
+            def f2key(v):
+                fb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                s = fb >> jnp.uint32(31)
+                e8 = ((fb >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32)
+                m23 = fb & jnp.uint32(0x7FFFFF)
+                e11 = jnp.clip(e8 - 127 + 1023, 0, 2046).astype(
+                    jnp.uint32)
+                h = ((s << jnp.uint32(31)) | (e11 << jnp.uint32(20))
+                     | (m23 >> jnp.uint32(3)))
+                bits = h.astype(jnp.uint64) << jnp.uint64(32)
+                neg = bits >= SBK
+                return jnp.where(neg, ~bits, bits | SBK)
+        def body(state):
+            it, lo, hi, c_lo, c_hi, _, _ = state
+            W = hi - lo
+            # uniform half, STAGGERED across ranks: adjacent quantile
+            # ranks carry near-identical brackets, so un-staggered
+            # per-rank probes collapse into duplicates and the shared
+            # fanout drops from R*B_u to ~B_u (measured: 5x shrink per
+            # pass instead of 21x).  Rank j probes at
+            # t = lo + floor(W * (k*R + j) / (B_u*R)): identical
+            # brackets yield R*B_u DISTINCT probes, and rank 0 still
+            # probes lo itself (duplicate-heavy closure; every key in
+            # [lo, hi) is probed once W <= B_u*R)
+            D = B_k * R
+            m = (jnp.arange(B_k, dtype=kt)[None, :] * kt(R)
+                 + jnp.arange(R, dtype=kt)[:, None])      # [R, B_k]
+            q = W // kt(D)
+            rem = W % kt(D)
+            t_u = lo[:, None] + m * q[:, None] + (m * rem[:, None]) // kt(D)
+            # value-space uniform probes (same stagger), clamped into
+            # [lo, hi); ±inf/NaN endpoints produce SOME key — probe
+            # positions never affect exactness, only convergence speed
+            Dv = B_v * R + 1
+            mv = (jnp.arange(B_v, dtype=jnp.int32)[None, :] * R
+                  + jnp.arange(R, dtype=jnp.int32)[:, None] + 1)
+            vlo = key2f(lo)[:, None]
+            vhi = key2f(hi)[:, None]
+            vv = vlo + (vhi - vlo) * (mv.astype(ft) / ft(Dv))
+            t_v = jnp.clip(f2key(vv), lo[:, None],
+                           lo[:, None] + jnp.maximum(W, kt(1))[:, None]
+                           - kt(1))
+            # interpolated half: geometric cluster around the CDF
+            # estimate t* = lo + W * (r - c_lo) / (c_hi - c_lo) — on
+            # smooth count profiles this is interpolation search
+            # (probe placement only; exactness never depends on it)
+            den = jnp.maximum(c_hi - c_lo, jnp.int64(1))
+            num = jnp.clip(ranks - c_lo, 0, den)
+            frac = num.astype(jnp.float32) / den.astype(jnp.float32)
+            toff = jnp.minimum((W.astype(jnp.float32) * frac).astype(kt),
+                               jnp.maximum(W, kt(1)) - kt(1))
+            tstar = lo + toff
+            # ladder scales stagger by rank too (W/8, W/64, ... for rank
+            # 0; W/16, W/128, ... for rank 1), halving duplicate probes
+            # when brackets coincide
+            jr = jnp.arange(R, dtype=kt)
+            gs = [tstar]
+            j = 1
+            while len(gs) < B_g:
+                d = W >> (kt(3 * j) + jr)
+                gs.append(jnp.minimum(tstar + d,
+                                      lo + jnp.maximum(W, kt(1))
+                                      - kt(1)))
+                if len(gs) < B_g:
+                    gs.append(jnp.where(tstar - lo >= d, tstar - d, lo))
+                j += 1
+            t = jnp.concatenate([t_u, t_v,
+                                 jnp.stack(gs[:B_g], axis=1)],
+                                axis=1)                       # [R, B]
+            thrs = jnp.concatenate(
+                [t.reshape(-1),
+                 jnp.array([k_ninf, k_pinf], npkt),
+                 jnp.full((E_pad - n_thr,), k_pinf, kt)])
+            if f32:
+                thr_hi = jnp.broadcast_to(thrs[:, None], (E_pad, 128))
+                thr_lo = thr_hi
+            else:
+                thr_hi = jnp.broadcast_to(
+                    (thrs >> jnp.uint64(32)).astype(jnp.uint32)[:, None],
+                    (E_pad, 128))
+                thr_lo = jnp.broadcast_to(
+                    (thrs & jnp.uint64(0xFFFFFFFF)).astype(
+                        jnp.uint32)[:, None], (E_pad, 128))
+            # bracket planes (u32 working words, rows_pr rows per rank)
+            if f32:
+                brv = jnp.stack([lo, hi], axis=1).reshape(-1)
+            else:
+                brv = jnp.stack(
+                    [(lo >> jnp.uint64(32)).astype(jnp.uint64),
+                     lo & jnp.uint64(0xFFFFFFFF),
+                     (hi >> jnp.uint64(32)).astype(jnp.uint64),
+                     hi & jnp.uint64(0xFFFFFFFF)],
+                    axis=1).reshape(-1)
+            brv = jnp.concatenate(
+                [brv, jnp.zeros(M_pad - R * rows_pr, brv.dtype)]).astype(
+                    jnp.uint32)
+            br = jnp.broadcast_to(brv[:, None], (M_pad, 128))
+
+            tot = jnp.zeros((n_thr,), jnp.int64)
+            mn_h = [[] for _ in range(R)]
+            mn_l = [[] for _ in range(R)]
+            mx_h = [[] for _ in range(R)]
+            mx_l = [[] for _ in range(R)]
+            i = 0
+            for g, n, lane_ok in zip(groups, arg_counts, lane_oks):
+                args = list(metas[i:i + n])
+                i += n
+                pc, mm = _bucket_rankpass(g, args, thr_hi, thr_lo, br,
+                                          n_thr=n_thr, n_rank=R,
+                                          f32=f32)
+                ok = jnp.asarray(lane_ok)
+                pc = pc.at[-1].set(jnp.where(ok[None, :], pc[-1],
+                                             jnp.int32(0)))
+                tot = tot + pc[:, :n_thr, :].astype(jnp.int64).sum(
+                    axis=(0, 2))
+                for r in range(R):
+                    if f32:
+                        a = mm[:, 2 * r, :]
+                        b = mm[:, 2 * r + 1, :]
+                        a = a.at[-1].set(jnp.where(ok, a[-1], imax))
+                        b = b.at[-1].set(jnp.where(ok, b[-1], imin))
+                        h1, l1 = jnp.min(a), jnp.zeros((), jnp.int32)
+                        h2, l2 = jnp.max(b), jnp.zeros((), jnp.int32)
+                    else:
+                        a = mm[:, 4 * r, :]
+                        b = mm[:, 4 * r + 1, :]
+                        c = mm[:, 4 * r + 2, :]
+                        d = mm[:, 4 * r + 3, :]
+                        a = a.at[-1].set(jnp.where(ok, a[-1], imax))
+                        b = b.at[-1].set(jnp.where(ok, b[-1], imax))
+                        c = c.at[-1].set(jnp.where(ok, c[-1], imin))
+                        d = d.at[-1].set(jnp.where(ok, d[-1], imin))
+                        h1, l1 = lex_min(a, b)
+                        h2, l2 = lex_max(c, d)
+                    mn_h[r].append(h1)
+                    mn_l[r].append(l1)
+                    mx_h[r].append(h2)
+                    mx_l[r].append(l2)
+            # exact count corrections (exceptions + pad tail)
+            th_b, tl_b = words(thrs[:n_thr])
+            le = ((ckh[:, None] < th_b[None, :])
+                  | ((ckh[:, None] == th_b[None, :])
+                     & (ckl[:, None] <= tl_b[None, :])))
+            tot = tot + (le * cw[:, None]).astype(jnp.int64).sum(axis=0)
+            # per-rank extreme combine (+ true exception keys in bracket)
+            lo_bh, lo_bl = words(lo)
+            hi_bh, hi_bl = words(hi)
+            key_mn, key_mx = [], []
+            for r in range(R):
+                hset = jnp.stack(mn_h[r])
+                lset = jnp.stack(mn_l[r])
+                Hset = jnp.stack(mx_h[r])
+                Lset = jnp.stack(mx_l[r])
+                if has_true:
+                    ge = ((tkh > lo_bh[r]) | ((tkh == lo_bh[r])
+                                              & (tkl >= lo_bl[r])))
+                    le_ = ((tkh < hi_bh[r]) | ((tkh == hi_bh[r])
+                                               & (tkl <= hi_bl[r])))
+                    inb = ge & le_
+                    eh, el = lex_min(jnp.where(inb, tkh, imax),
+                                     jnp.where(inb, tkl, imax))
+                    Eh, El = lex_max(jnp.where(inb, tkh, imin),
+                                     jnp.where(inb, tkl, imin))
+                    hset = jnp.concatenate([hset, eh[None]])
+                    lset = jnp.concatenate([lset, el[None]])
+                    Hset = jnp.concatenate([Hset, Eh[None]])
+                    Lset = jnp.concatenate([Lset, El[None]])
+                h1, l1 = lex_min(hset, lset)
+                h2, l2 = lex_max(Hset, Lset)
+                key_mn.append(unwords(h1, l1))
+                key_mx.append(unwords(h2, l2))
+            key_mn = jnp.stack(key_mn)
+            key_mx = jnp.stack(key_mx)
+            # probe update (EVERY probe narrows EVERY rank — adjacent
+            # quantile ranks share nearly-identical brackets) + snap;
+            # (c_lo, c_hi) track the exact counts at (lo - 1, hi) for
+            # the next pass's interpolation (count monotonicity keeps
+            # them consistent under cross-rank and snap updates)
+            cnt_all = tot[:R * B]
+            t_all = t.reshape(-1)
+            ge = cnt_all[None, :] >= ranks[:, None]       # [R, R*B]
+            hi_c = jnp.min(jnp.where(ge, t_all[None, :], TOP), axis=1)
+            lo_c = jnp.max(jnp.where(ge, kt(0),
+                                     t_all[None, :] + kt(1)), axis=1)
+            big = jnp.int64(1 << 62)
+            c_hi_n = jnp.minimum(c_hi, jnp.min(
+                jnp.where(ge, cnt_all[None, :], big), axis=1))
+            c_lo_n = jnp.maximum(c_lo, jnp.max(
+                jnp.where(ge, jnp.int64(-1), cnt_all[None, :]), axis=1))
+            hi_n = jnp.minimum(jnp.minimum(hi, hi_c), key_mx)
+            lo_n = jnp.maximum(jnp.maximum(lo, lo_c), key_mn)
+            return (it + 1, lo_n, hi_n, c_lo_n, c_hi_n,
+                    tot[n_thr - 2], tot[n_thr - 1])
+
+        def cond(state):
+            it, lo, hi = state[0], state[1], state[2]
+            # it == 0: always run one pass — the NaN counts ride the
+            # scan even when the extent init already closed the bracket
+            return (it < _RANK_MAX_IT) & ((it == 0) | jnp.any(lo < hi))
+
+        state0 = (jnp.int32(0), jnp.broadcast_to(lo0, (R,)),
+                  jnp.broadcast_to(hi0, (R,)),
+                  jnp.zeros((R,), jnp.int64),
+                  jnp.full((R,), 1, jnp.int64) * nvals, jnp.int64(0),
+                  jnp.int64(0))
+        it, lo, hi, _, _, negnan, le_pinf = jax.lax.while_loop(
+            cond, body, state0)
+        return lo, hi, negnan, le_pinf, it
+
+    fn = jax.jit(prog)
+    cache[ckey] = fn
+    return fn
+
+
+def _select_rank_keys_device(col, plan, ranks) -> dict:
+    """Single-dispatch exact rank selection: the whole bisection runs
+    on device (:func:`_rank_bisect_program`); also returns the column's
+    (negative-NaN, positive-NaN) counts from the same dispatch.  At
+    most 4 ranks per dispatch; more chunk into several.  Returns
+    ``(keys dict, n_negnan, n_posnan)``."""
+    ckh, ckl, cw, tkh, tkl, has_true = _rank_corr_arrays(col, plan)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+    kt = np.uint32 if col.dtype == np.float32 else np.uint64
+    top = kt(~kt(0))
+    # global key extent, computed once per plan (fused keymax kernels):
+    # starting the bisection pre-zoomed saves one full pass per query
+    ext = getattr(plan, "_key_extent", None)
+    if ext is None:
+        vmin, vmax = query_min(col), query_max(col)
+        if np.isnan(vmin) or np.isnan(vmax):
+            ext = (kt(0), top)            # NaNs: full range (results
+        else:                             # are discarded anyway)
+            ext = (kt(_float_key(float(vmin), col.dtype)),
+                   kt(_float_key(float(vmax), col.dtype)))
+        if ext[0] > ext[1]:
+            ext = (kt(0), top)
+        plan._key_extent = ext
+    out = {}
+    negnan = posnan = 0
+    for s in range(0, len(ranks), 4):
+        chunk = list(ranks[s:s + 4])
+        R = len(chunk)
+        prog = _rank_bisect_program(plan, R, has_true)
+        outs = prog(
+            jnp.asarray(np.array(chunk, np.int64)),
+            jnp.int64(col.n_values), ext[0], ext[1],
+            ckh, ckl, cw, tkh, tkl, *metas)
+        lo, hi, nn, lep, it = jax.device_get(outs)   # ONE fetch
+        if not (lo == hi).all():          # cannot happen (probe t_0=lo
+            return None                   # guarantees progress); guard
+        negnan = int(nn)
+        posnan = col.n_values - int(lep)
+        for r, k in zip(chunk, lo.tolist()):
+            out[r] = int(k)
+    return out, negnan, posnan
+
+
 def _select_rank_keys(col, plan, ranks) -> dict:
     """Exact total-order keys at the given 1-based ascending ranks, by
     multi-way bisection over the key space with the SAME cached
@@ -2515,10 +3513,6 @@ def query_quantile(col, q, interpolation: str = "linear"):
         out = np.full(qs.shape, np.nan, col.dtype)
         return col.dtype.type(out[0]) if scalar else out
     plan = col.plan()
-    n_negnan, n_posnan = _special_rank_counts(col, plan)
-    if n_negnan or n_posnan:
-        out = np.full(qs.shape, np.nan, col.dtype)
-        return col.dtype.type(out[0]) if scalar else out
     hs = qs * (n - 1)
     ranks = set()
     for h in hs:
@@ -2530,7 +3524,21 @@ def query_quantile(col, q, interpolation: str = "linear"):
         if h != i and interpolation in (
                 "linear", "higher", "midpoint", "nearest") and i + 1 < n:
             ranks.add(i + 2)
-    keys = _select_rank_keys(col, plan, sorted(ranks))
+    # single-dispatch on-device bisection (NaN counts ride the same
+    # dispatch); the multi-pass host bisection remains as the guard
+    # fallback
+    res = _select_rank_keys_device(col, plan, sorted(ranks))
+    if res is not None:
+        keys, n_negnan, n_posnan = res
+        if n_negnan or n_posnan:
+            out = np.full(qs.shape, np.nan, col.dtype)
+            return col.dtype.type(out[0]) if scalar else out
+    else:
+        n_negnan, n_posnan = _special_rank_counts(col, plan)
+        if n_negnan or n_posnan:
+            out = np.full(qs.shape, np.nan, col.dtype)
+            return col.dtype.type(out[0]) if scalar else out
+        keys = _select_rank_keys(col, plan, sorted(ranks))
     vals = {r: _key_float(k, col.dtype) for r, k in keys.items()}
     dt = col.dtype.type
     out = np.empty(qs.shape, col.dtype)

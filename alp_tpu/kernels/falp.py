@@ -482,7 +482,7 @@ _SUM_NWIN = _SUM_JMAX - _SUM_W0 + 3   # accumulator windows incl. spill
 _SUM_ROWS = 16        # 2 * 6 digit-half rows + nan/pinf/ninf/rare
 
 
-def _exact_sum_rows(r: U64, out_ref):
+def _exact_sum_rows(r: U64, out_ref, off: int = 0):
     """Write the 16 exact-SUM rows for a block of decoded f64 bits:
     rows [0, 6): signed i32 sums of the LOW 16-bit digit halves per
     accumulator window; rows [6, 12): the HIGH halves; rows 12-14:
@@ -524,19 +524,20 @@ def _exact_sum_rows(r: U64, out_ref):
                 th = jnp.where(eq[k], digs[p][1], zero)
                 accl = tl if accl is None else accl + tl
                 acch = th if acch is None else acch + th
-        out_ref[:, w - _SUM_W0, :] = accl.sum(axis=1, dtype=jnp.int32)
-        out_ref[:, w - _SUM_W0 + _SUM_NWIN, :] = acch.sum(
+        out_ref[:, off + w - _SUM_W0, :] = accl.sum(axis=1,
+                                                    dtype=jnp.int32)
+        out_ref[:, off + w - _SUM_W0 + _SUM_NWIN, :] = acch.sum(
             axis=1, dtype=jnp.int32)
 
     def count(mask):
         return mask.astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
 
-    out_ref[:, 12, :] = count(is_special & mant_nz)
-    out_ref[:, 13, :] = count(is_special & ~mant_nz & ~sign)
-    out_ref[:, 14, :] = count(is_special & ~mant_nz & sign)
+    out_ref[:, off + 12, :] = count(is_special & mant_nz)
+    out_ref[:, off + 13, :] = count(is_special & ~mant_nz & ~sign)
+    out_ref[:, off + 14, :] = count(is_special & ~mant_nz & sign)
     rare = (((j < jnp.int32(_SUM_W0)) | (j > jnp.int32(_SUM_JMAX)))
             & ((mh | ml) != 0))
-    out_ref[:, 15, :] = count(rare)
+    out_ref[:, off + 15, :] = count(rare)
 
 
 def _exact_sum_planes_kernel(hi_ref, lo_ref, out_ref):
@@ -1897,6 +1898,424 @@ def rd_decode_dict_f32_prefix_counts(right_packed, left_packed,
       arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
       *arrs[2:], thr)
     return out[:G]
+
+
+# ---------------------------------------------------------------------------
+# RANK-PASS epilogue: one fused scan returning BOTH multi-threshold prefix
+# counts AND per-rank bracketed key extremes.  This is the body of the
+# single-dispatch quantile/median bisection (engine._select_rank_keys_device):
+# each while_loop iteration narrows every rank's bracket with the probe
+# counts, then SNAPS it to [min key in bracket, max key in bracket] — on
+# decimal-quantized data (everything ALP classic compresses) the snap
+# collapses the bracket to the actual value lattice, converging in ~3-6
+# passes instead of log_B(2^64).  The reference has no rank selection at
+# all (its e2e query set stops at SCAN/SUM aggregates,
+# publication/source_code/bench_end_to_end/include/benchmarks/alp/
+# config.hpp:16-92); this is the repo's own "queries at TPU speed" breadth.
+#
+# Soundness of the snap under unpatched exception slots (the kernels see
+# FILL values where exceptions live, and GARBAGE for RD): extra or wrong
+# keys in the kernel multiset only ever WIDEN the computed [min, max]
+# envelope union (the engine lexicographically combines it with the
+# column's true exception keys), so the true r-th key always stays inside
+# the snapped bracket; garbage can only weaken the snap, never break it.
+# ---------------------------------------------------------------------------
+
+_I32_MAX = 2 ** 31 - 1
+
+
+def _bracket_minmax_rows(ah, al, br_ref, out_ref, n_rank: int):
+    """Per-rank bracketed key extremes: for rank r with bracket key
+    words in ``br_ref`` rows [4r..4r+3] = (lo_hi, lo_lo, hi_hi, hi_lo)
+    (u32 working-order, lane-replicated), emit per-lane rows
+    [4r..4r+3] = (min_hi, min_lo, max_hi, max_lo) biased-i32 of the
+    lexicographic min/max key among slots inside [lo, hi]; empty lanes
+    carry (+I32_MAX, +I32_MAX) / (I32_MIN, I32_MIN) sentinels."""
+    br = _bias_i32(br_ref[:])
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(_I32_MAX)
+    zero = jnp.zeros((out_ref.shape[0], 128), jnp.int32)
+    for r in range(out_ref.shape[1] // 4):
+        if r < n_rank:
+            lh = br[4 * r, :][None, None, :]
+            ll = br[4 * r + 1, :][None, None, :]
+            hh = br[4 * r + 2, :][None, None, :]
+            hl = br[4 * r + 3, :][None, None, :]
+            ge = (ah > lh) | ((ah == lh) & (al >= ll))
+            le = (ah < hh) | ((ah == hh) & (al <= hl))
+            inb = ge & le
+            mnh = jnp.min(jnp.where(inb, ah, imax), axis=1)
+            mnl = jnp.min(jnp.where(inb & (ah == mnh[:, None, :]), al,
+                                    imax), axis=1)
+            mxh = jnp.max(jnp.where(inb, ah, imin), axis=1)
+            mxl = jnp.max(jnp.where(inb & (ah == mxh[:, None, :]), al,
+                                    imin), axis=1)
+            out_ref[:, 4 * r, :] = mnh
+            out_ref[:, 4 * r + 1, :] = mnl
+            out_ref[:, 4 * r + 2, :] = mxh
+            out_ref[:, 4 * r + 3, :] = mxl
+        else:
+            out_ref[:, 4 * r, :] = zero
+            out_ref[:, 4 * r + 1, :] = zero
+            out_ref[:, 4 * r + 2, :] = zero
+            out_ref[:, 4 * r + 3, :] = zero
+
+
+def _key_extremes_planes_kernel(hi_ref, lo_ref, out_ref):
+    """Per-lane-column key extremes over decoded f64 bit planes: rows
+    0-3 = (min_hi, min_lo, max_hi, max_lo) biased-i32 total-order key
+    words of each lane column's lexicographic extreme; rows 4-7 zero
+    (8-row block for layout friendliness)."""
+    r = U64(hi_ref[:], lo_ref[:])
+    ah, al = _key_words_f64(r, False)
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(_I32_MAX)
+    mnh = jnp.min(ah, axis=1)
+    mnl = jnp.min(jnp.where(ah == mnh[:, None, :], al, imax), axis=1)
+    mxh = jnp.max(ah, axis=1)
+    mxl = jnp.max(jnp.where(ah == mxh[:, None, :], al, imin), axis=1)
+    out_ref[:, 0, :] = mnh
+    out_ref[:, 1, :] = mnl
+    out_ref[:, 2, :] = mxh
+    out_ref[:, 3, :] = mxl
+    zero = jnp.zeros_like(mnh)
+    for k in range(4, 8):
+        out_ref[:, k, :] = zero
+
+
+@jax.jit
+def key_extremes_planes_f64(hi, lo):
+    """[G, 64, 128] decoded f64 bit planes -> [G, 8, 128] i32 biased
+    key-word extremes per lane column (rows 0-3 = min hi/lo, max hi/lo;
+    the grouped-aggregate per-vector reduction input)."""
+    G = hi.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        hi, lo = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                  for a in (hi, lo))
+    Gp = G + pad
+    out = pl.pallas_call(
+        _key_extremes_planes_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((gb, 8, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 8, 128), jnp.int32),
+        interpret=_interpret(),
+    )(hi, lo)
+    return out[:G]
+
+
+def _sum_extremes_planes_kernel(hi_ref, lo_ref, out_ref):
+    """Fused grouped-aggregate epilogue over decoded planes: rows
+    [0, 16) = the exact-SUM superaccumulator rows (_exact_sum_rows),
+    rows [16, 24) = the per-lane key extremes (min hi/lo, max hi/lo,
+    4 zero rows) — ONE read of the planes instead of two."""
+    r = U64(hi_ref[:], lo_ref[:])
+    _exact_sum_rows(r, out_ref, off=0)
+    ah, al = _key_words_f64(r, False)
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(_I32_MAX)
+    mnh = jnp.min(ah, axis=1)
+    mnl = jnp.min(jnp.where(ah == mnh[:, None, :], al, imax), axis=1)
+    mxh = jnp.max(ah, axis=1)
+    mxl = jnp.max(jnp.where(ah == mxh[:, None, :], al, imin), axis=1)
+    out_ref[:, 16, :] = mnh
+    out_ref[:, 17, :] = mnl
+    out_ref[:, 18, :] = mxh
+    out_ref[:, 19, :] = mxl
+    zero = jnp.zeros_like(mnh)
+    for k in range(20, 24):
+        out_ref[:, k, :] = zero
+
+
+@jax.jit
+def sum_extremes_planes_f64(hi, lo):
+    """[G, 64, 128] decoded f64 bit planes -> [G, 24, 128] i32: the 16
+    exact-SUM rows plus the 8 key-extreme rows in one fused scan (the
+    sorted GROUP-BY per-vector partials input)."""
+    G = hi.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    if pad:
+        hi, lo = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                  for a in (hi, lo))
+    Gp = G + pad
+    out = pl.pallas_call(
+        _sum_extremes_planes_kernel,
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, 64, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((gb, 24, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, 24, 128), jnp.int32),
+        interpret=_interpret(),
+    )(hi, lo)
+    return out[:G]
+
+
+def _falp_f64_variant_rank_kernel(packed_ref, *refs, variant: str,
+                                  bw: int, fl: int, n_meta: int,
+                                  n_thr: int, n_rank: int):
+    metas = refs[:n_meta]
+    th_ref, tl_ref, br_ref = refs[n_meta:n_meta + 3]
+    out_cnt, out_mm = refs[-2], refs[-1]
+    shape = (out_cnt.shape[0], 64, 128)
+    r = _any_variant_value_f64(variant, packed_ref, metas, shape, bw=bw,
+                               fl=fl)
+    ah, al = _key_words_f64(r, False)
+    _prefix_count_rows(ah, al, th_ref, tl_ref, out_cnt, n_thr)
+    _bracket_minmax_rows(ah, al, br_ref, out_mm, n_rank)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bw", "flags",
+                                             "n_thr", "n_rank"))
+def falp_decode_f64_variant_rankpass(packed, metas, thr_hi, thr_lo, br,
+                                     *, variant: str, bw: int,
+                                     flags: int = 0, n_thr: int,
+                                     n_rank: int):
+    """Fused decode + prefix counts + per-rank bracketed key extremes
+    for any f64 ALP variant in ONE scan (the quantile bisection body).
+    ``br``: [BR_pad, 128] u32 working-order bracket words (4 rows per
+    rank).  Returns (counts [G, E_pad, 128] i32,
+    mm [G, BR_pad, 128] i32)."""
+    G = metas[0].shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed,) + tuple(metas)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr_hi.shape[0]
+    M_pad = br.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    br_spec = pl.BlockSpec((M_pad, 128), lambda i: (i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f64_variant_rank_kernel, variant=variant,
+                          bw=bw, fl=flags, n_meta=len(metas),
+                          n_thr=n_thr, n_rank=n_rank),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * len(metas) + [thr_spec] * 2 + [br_spec],
+        out_specs=[pl.BlockSpec((gb, E_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gb, M_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Gp, M_pad, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:], thr_hi, thr_lo, br)
+    return out[0][:G], out[1][:G]
+
+
+def _rd_dict_f64_rank_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                             d5, d6, d7, th_ref, tl_ref, br_ref,
+                             out_cnt, out_mm, *, rbw: int, lbw: int,
+                             n_thr: int, n_rank: int):
+    r = _rd_dict_value_f64(right_ref, left_ref,
+                           (d0, d1, d2, d3, d4, d5, d6, d7),
+                           rbw=rbw, lbw=lbw)
+    ah, al = _key_words_f64(r, False)
+    _prefix_count_rows(ah, al, th_ref, tl_ref, out_cnt, n_thr)
+    _bracket_minmax_rows(ah, al, br_ref, out_mm, n_rank)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "n_thr",
+                                             "n_rank"))
+def rd_decode_dict_f64_rankpass(right_packed, left_packed, dict_planes,
+                                thr_hi, thr_lo, br, *, rbw: int,
+                                lbw: int, n_thr: int, n_rank: int):
+    """ALP_RD f64 twin of :func:`falp_decode_f64_variant_rankpass`."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr_hi.shape[0]
+    M_pad = br.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    br_spec = pl.BlockSpec((M_pad, 128), lambda i: (i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f64_rank_kernel, rbw=rbw, lbw=lbw,
+                          n_thr=n_thr, n_rank=n_rank),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(2 * rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(2 * lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 8 + [thr_spec] * 2 + [br_spec],
+        out_specs=[pl.BlockSpec((gb, E_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gb, M_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Gp, M_pad, 128), jnp.int32)],
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:], thr_hi, thr_lo, br)
+    return out[0][:G], out[1][:G]
+
+
+def _bracket_minmax_rows_f32(ak, br_ref, out_ref, n_rank: int):
+    """f32 twin of :func:`_bracket_minmax_rows`: single-word keys, rows
+    [2r..2r+1] of ``br_ref`` = (lo, hi), output rows (min, max)."""
+    br = _bias_i32(br_ref[:])
+    imin = jnp.int32(_I32_MIN)
+    imax = jnp.int32(_I32_MAX)
+    zero = jnp.zeros((out_ref.shape[0], 128), jnp.int32)
+    for r in range(out_ref.shape[1] // 2):
+        if r < n_rank:
+            lo_ = br[2 * r, :][None, None, :]
+            hi_ = br[2 * r + 1, :][None, None, :]
+            inb = (ak >= lo_) & (ak <= hi_)
+            out_ref[:, 2 * r, :] = jnp.min(
+                jnp.where(inb, ak, imax), axis=1)
+            out_ref[:, 2 * r + 1, :] = jnp.max(
+                jnp.where(inb, ak, imin), axis=1)
+        else:
+            out_ref[:, 2 * r, :] = zero
+            out_ref[:, 2 * r + 1, :] = zero
+
+
+def _falp_f32_rank_kernel(packed_ref, base, fact, frac, t_ref, br_ref,
+                          out_cnt, out_mm, *, bw: int, n_thr: int,
+                          n_rank: int):
+    bits = _f32_decode_bits(packed_ref, base, fact, frac,
+                            (out_cnt.shape[0], 32, 128), bw=bw)
+    ak = _f32_key_biased(bits, False)
+    _prefix_count_rows_f32(ak, t_ref, out_cnt, n_thr)
+    _bracket_minmax_rows_f32(ak, br_ref, out_mm, n_rank)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "n_thr", "n_rank"))
+def falp_decode_f32_rankpass(packed, base, fact, frac_bits, thr, br, *,
+                             bw: int, n_thr: int, n_rank: int):
+    """f32 ALP rank pass: prefix counts + per-rank bracketed extremes
+    ([G, E_pad, 128], [G, BR_pad, 128] with 2 rows per rank)."""
+    G = base.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (packed, base, fact, frac_bits.view(jnp.float32))
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr.shape[0]
+    M_pad = br.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    br_spec = pl.BlockSpec((M_pad, 128), lambda i: (i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_falp_f32_rank_kernel, bw=bw, n_thr=n_thr,
+                          n_rank=n_rank),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(bw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 3 + [thr_spec, br_spec],
+        out_specs=[pl.BlockSpec((gb, E_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gb, M_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Gp, M_pad, 128), jnp.int32)],
+        interpret=_interpret(),
+    )((arrs[0] if bw else jnp.zeros((Gp, 1, 128), jnp.uint32)),
+      *arrs[1:], thr, br)
+    return out[0][:G], out[1][:G]
+
+
+def _rd_dict_f32_rank_kernel(right_ref, left_ref, d0, d1, d2, d3, d4,
+                             d5, d6, d7, t_ref, br_ref, out_cnt, out_mm,
+                             *, rbw: int, lbw: int, n_thr: int,
+                             n_rank: int):
+    bits = _rd_dict_value_f32(right_ref, left_ref,
+                              (d0, d1, d2, d3, d4, d5, d6, d7),
+                              (out_cnt.shape[0], 32, 128), rbw=rbw,
+                              lbw=lbw)
+    ak = _f32_key_biased(bits, False)
+    _prefix_count_rows_f32(ak, t_ref, out_cnt, n_thr)
+    _bracket_minmax_rows_f32(ak, br_ref, out_mm, n_rank)
+
+
+@functools.partial(jax.jit, static_argnames=("rbw", "lbw", "n_thr",
+                                             "n_rank"))
+def rd_decode_dict_f32_rankpass(right_packed, left_packed, dict_planes,
+                                thr, br, *, rbw: int, lbw: int,
+                                n_thr: int, n_rank: int):
+    """ALP_RD f32 twin of :func:`falp_decode_f32_rankpass`."""
+    G = right_packed.shape[0]
+    gb = min(_BLOCK_GROUPS_F32, max(G, 1))
+    pad = (-G) % gb
+    arrs = (right_packed, left_packed) + tuple(dict_planes)
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrs)
+    Gp = G + pad
+    E_pad = thr.shape[0]
+    M_pad = br.shape[0]
+    meta_spec = pl.BlockSpec((gb, 128), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM)
+    thr_spec = pl.BlockSpec((E_pad, 128), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    br_spec = pl.BlockSpec((M_pad, 128), lambda i: (i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rd_dict_f32_rank_kernel, rbw=rbw, lbw=lbw,
+                          n_thr=n_thr, n_rank=n_rank),
+        grid=(Gp // gb,),
+        in_specs=[pl.BlockSpec((gb, max(rbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gb, max(lbw, 1), 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [meta_spec] * 8 + [thr_spec, br_spec],
+        out_specs=[pl.BlockSpec((gb, E_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gb, M_pad, 128),
+                                lambda i: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Gp, E_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Gp, M_pad, 128), jnp.int32)],
+        interpret=_interpret(),
+    )(arrs[0] if rbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      arrs[1] if lbw else jnp.zeros((Gp, 1, 128), jnp.uint32),
+      *arrs[2:], thr, br)
+    return out[0][:G], out[1][:G]
 
 
 def _rd_dict_f32_count_kernel(right_ref, left_ref, d0, d1, d2, d3, d4, d5,

@@ -129,19 +129,34 @@ def main():
                  round(plan.decoded_bytes / dth / 1e9, 2), ""))
     print(rows[-1], flush=True)
 
-    # GROUP-BY (16 groups): decode + superaccumulator digits +
-    # key-segmented sums in one program (engine.make_groupby_step; the
+    # GROUP-BY (16 groups): the sorted-permutation path — fused decode
+    # + per-vector superaccumulator partials + prefix/gather grouped
+    # sums + segmented-scan extremes, ONE program per query over the
+    # group-sorted re-encoding (engine._sorted_gb_build; the
     # exact-answer API is engine.query_groupby).  Beyond-reference
     # engine breadth — the reference's e2e set stops at q1 aggregates.
     gb_rng = np.random.default_rng(3)
     gb_keys = gb_rng.integers(0, 16, cc.n_values)
-    stepg, metasg = engine.make_groupby_step(cc, gb_keys, 16, plan=plan)
-    dtg = loop_bench(stepg, metasg, 20)
-    rows.append(("GROUP-BY SUM (16 groups; one program)", "ALP", "1 chip",
+    engine.query_groupby(cc, gb_keys, 16)          # first touch (MXU)
+    engine.query_groupby(cc, gb_keys, 16)          # builds sorted cache
+    entg = cc._gb_sorted[(id(gb_keys), 16)]
+    progg, flatg = entg["prog"]
+    import jax.numpy as jnp
+
+    def stepg(carry, *args):
+        args = list(args)
+        args[1] = args[1] ^ carry      # loop data dependence
+        tot = progg(*args)[0]
+        return carry ^ tot.sum(dtype=jnp.int64).astype(jnp.uint32)
+
+    dtg = loop_bench(stepg, flatg, 10)
+    rows.append(("GROUP-BY SUM+MIN/MAX (16 groups; sorted path, one "
+                 "program)", "ALP", "1 chip",
                  round(plan.decoded_bytes / dtg / 1e9, 2), ""))
     print(rows[-1], flush=True)
     cc.plan()                                      # stage once
     gb_keys16 = gb_keys
+    gb_keys512 = gb_rng.integers(0, 512, cc.n_values)
     for label, q in (
             ("TOP-K (k=10; warm wall-clock incl tunnel RPC)",
              lambda: engine.query_topk(cc, 10)),
@@ -149,6 +164,8 @@ def main():
              lambda: engine.query_histogram(cc, edges6)),
             ("GROUP-BY (16 groups; warm wall-clock incl tunnel RPC)",
              lambda: engine.query_groupby(cc, gb_keys16, 16)),
+            ("GROUP-BY (512 groups; warm wall-clock incl tunnel RPC)",
+             lambda: engine.query_groupby(cc, gb_keys512, 512)),
             ("MEDIAN (exact rank-select; warm wall-clock incl RPC)",
              lambda: engine.query_median(cc))):
         q()

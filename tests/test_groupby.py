@@ -151,6 +151,72 @@ def test_groupby_many_groups():
         assert float(res["sum"][g]) == want
 
 
+def test_groupby_sorted_path_matches_mxu():
+    """The sorted-permutation cache (built on the 2nd same-keys query)
+    must agree aggregate-for-aggregate with the one-hot MXU path."""
+    rng = np.random.default_rng(21)
+    n = 50000
+    data = np.round(rng.normal(20.0, 8.0, n), 2)
+    data[5] = np.nan
+    data[6] = np.inf
+    data[7] = -np.inf
+    data[8] = -0.0
+    data[9] = 1e301          # out-of-envelope exception
+    col = alp_tpu.compress(data)
+    G = 11
+    keys = rng.integers(0, G, n)
+    r1 = engine.query_groupby(col, keys, G)          # MXU (1st use)
+    r2 = engine.query_groupby(col, keys, G)          # sorted (2nd use)
+    assert isinstance(col._gb_sorted.get((id(keys), G)), dict)
+    for a in r1:
+        x, y = r1[a].astype(float), r2[a].astype(float)
+        same = (x == y) | (np.isnan(x) & np.isnan(y))
+        assert same.all(), (a, x, y)
+    _check_sums(r2, data, keys, G, np.float64)
+
+
+def test_groupby_sorted_many_groups_exact():
+    """Past the MXU one-hot gate (128) the sorted path engages on the
+    FIRST query and stays exact at 512 groups (the old segment-sum
+    cliff)."""
+    rng = np.random.default_rng(22)
+    n = 70000
+    data = np.round(rng.normal(0.0, 50.0, n), 1)
+    col = alp_tpu.compress(data)
+    G = 512
+    keys = rng.integers(0, G, n)
+    res = engine.query_groupby(col, keys, G)
+    assert isinstance(col._gb_sorted.get((id(keys), G)), dict)
+    assert np.array_equal(res["count"], np.bincount(keys, minlength=G))
+    for g in rng.choice(G, 20, replace=False):
+        sel = data[keys == g]
+        want = math.fsum(float(x) for x in sel) if sel.size else 0.0
+        assert float(res["sum"][g]) == want
+        if sel.size:
+            assert res["min"][g] == sel.min()
+            assert res["max"][g] == sel.max()
+
+
+def test_groupby_sorted_rd_and_tail():
+    """Sorted path on a high-precision (ALP_RD) column with a partial
+    last vector: per-group fsum exactness end to end."""
+    import alp_tpu.engine as E
+    old = E._GB_SORT_MIN_USES
+    E._GB_SORT_MIN_USES = 1
+    try:
+        rng = np.random.default_rng(23)
+        n = 13333
+        data = rng.standard_normal(n)
+        col = alp_tpu.compress(data)
+        G = 6
+        keys = rng.integers(0, G, n)
+        res = engine.query_groupby(col, keys, G)
+        assert isinstance(col._gb_sorted.get((id(keys), G)), dict)
+        _check_sums(res, data, keys, G, np.float64)
+    finally:
+        E._GB_SORT_MIN_USES = old
+
+
 def test_groupby_validation():
     data = np.arange(100, dtype=np.float64)
     col = alp_tpu.compress(data)
