@@ -2134,6 +2134,107 @@ def _groupby_raw(col, keys_id, num_groups: int):
     return totals, sp, ct, mh, ml, nh, nl
 
 
+def _distinct_program(plan):
+    """ONE-dispatch COUNT(DISTINCT): fused decode + exception patch per
+    bucket, canonical total-order keys (pad slots duplicated onto a real
+    value, every NaN collapsed to one canonical key), a full-column
+    2-key i32 sort, and the adjacent-unequal count.  Cached per plan."""
+    cache = _plan_prog_cache(plan)
+    if "distinct" in cache:
+        return cache["distinct"]
+    f32, per, L, slots = _plan_geometry(plan)
+    groups = plan.groups
+    arg_counts = [len(kdecode.group_arrays(g)) for g in groups]
+    excs = []
+    for g in groups:
+        if g.exc_g is not None and g.exc_g.shape[0]:
+            excs.append(tuple(jnp.asarray(x) for x in (
+                g.exc_g, g.exc_slot, g.exc_lane,
+                g.exc_hi if g.exc_hi is not None else g.exc_lo,
+                g.exc_lo)))
+        else:
+            excs.append(None)
+    lane_oks = _lane_oks(plan, per, L)
+    dt = np.float32 if f32 else np.float64
+    k_pinf = _float_key(float("inf"), np.dtype(dt))
+    k_ninf = _float_key(float("-inf"), np.dtype(dt))
+
+    def prog(*metas):
+        khs, kls = [], []
+        i = 0
+        for g, n, exc, lane_ok in zip(groups, arg_counts, excs,
+                                      lane_oks):
+            args = list(metas[i:i + n])
+            i += n
+            out = kdecode.group_decode(g, dt)(*args)
+            if f32:
+                if exc is not None:
+                    out = out.at[(exc[0], exc[1], exc[2])].set(exc[4])
+                vb = jnp.where(out == jnp.uint32(1 << 31),
+                               jnp.uint32(0), out)
+                sign = (vb >> jnp.uint32(31)) != 0
+                kh = jnp.where(sign, ~vb, vb | jnp.uint32(1 << 31))
+                kl = jnp.zeros_like(kh)
+            else:
+                if exc is not None:
+                    idx = (exc[0], exc[1], exc[2])
+                    out = (out[0].at[idx].set(exc[3]),
+                           out[1].at[idx].set(exc[4]))
+                kh, kl = _key_words_from_limbs(out[0], out[1])
+            ok = jnp.asarray(lane_ok)
+            fill_h = kh[0, 0, 0]
+            fill_l = kl[0, 0, 0]
+            kh = kh.at[-1].set(jnp.where(ok[None, :], kh[-1], fill_h))
+            kl = kl.at[-1].set(jnp.where(ok[None, :], kl[-1], fill_l))
+            khs.append(kh.reshape(-1))
+            kls.append(kl.reshape(-1))
+        kh = khs[0] if len(khs) == 1 else jnp.concatenate(khs)
+        kl = kls[0] if len(kls) == 1 else jnp.concatenate(kls)
+        # collapse every NaN (above +inf or below -inf in the total
+        # order) onto ONE canonical key
+        if f32:
+            nan = (kh > jnp.uint32(k_pinf)) | (kh < jnp.uint32(k_ninf))
+            kh = jnp.where(nan, jnp.uint32(k_pinf) + 1, kh)
+        else:
+            ph = jnp.uint32(k_pinf >> 32)
+            pl2 = jnp.uint32(k_pinf & 0xFFFFFFFF)
+            nh = jnp.uint32(k_ninf >> 32)
+            nl2 = jnp.uint32(k_ninf & 0xFFFFFFFF)
+            nan = ((kh > ph) | ((kh == ph) & (kl > pl2))
+                   | (kh < nh) | ((kh == nh) & (kl < nl2)))
+            kh = jnp.where(nan, ph + jnp.uint32(1), kh)
+            kl = jnp.where(nan, jnp.uint32(0), kl)
+        sh, sl = jax.lax.sort((_biased_i32(kh), _biased_i32(kl)),
+                              num_keys=2)
+        ne = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+        return ne.astype(jnp.int32).sum(dtype=jnp.int64) + 1
+
+    fn = jax.jit(prog)
+    cache["distinct"] = fn
+    return fn
+
+
+def query_distinct(col) -> int:
+    """COUNT(DISTINCT v): the exact number of distinct values, entirely
+    on device in ONE dispatch (decode + patch + canonical total-order
+    keys + 2-key sort + adjacent-unequal count).
+
+    Semantics: -0.0 == 0.0 (canonicalised keys, like MIN/MAX); every
+    NaN counts as ONE distinct value regardless of payload.  The
+    reference engine has no DISTINCT (its e2e set stops at SCAN/SUM,
+    bench_end_to_end/include/benchmarks/alp/config.hpp:16-92)."""
+    if col.n_values == 0:
+        return 0
+    plan = col.plan()
+    prog = _distinct_program(plan)
+    metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
+    base = int(prog(*metas))
+    # pad-slot correction: padded tail slots duplicate the column's
+    # final value and pad lanes its bucket's first value — duplicates
+    # never change a distinct count, so `base` is already exact
+    return base
+
+
 # ---------------------------------------------------------------------------
 # Sorted-permutation GROUP-BY: the scan-speed repeated-keys path.
 #

@@ -167,7 +167,16 @@ def main():
             ("GROUP-BY (512 groups; warm wall-clock incl tunnel RPC)",
              lambda: engine.query_groupby(cc, gb_keys512, 512)),
             ("MEDIAN (exact rank-select; warm wall-clock incl RPC)",
-             lambda: engine.query_median(cc))):
+             lambda: engine.query_median(cc)),
+            ("DISTINCT COUNT (one-dispatch sort; warm incl RPC)",
+             lambda: engine.query_distinct(cc)),
+            ("WINDOW tumbling 1M SUM (warm wall-clock incl RPC)",
+             lambda: engine.query_window(cc, 1 << 20,
+                                         aggs=("sum", "count"))),
+            ("WINDOW sliding 1M/256K SUM (warm wall-clock incl RPC)",
+             lambda: engine.query_window(cc, 1 << 20,
+                                         aggs=("sum", "count"),
+                                         hop=1 << 18))):
         q()
         t0 = time.perf_counter()
         q()

@@ -217,6 +217,35 @@ def test_groupby_sorted_rd_and_tail():
         E._GB_SORT_MIN_USES = old
 
 
+def test_distinct_count_exact():
+    """COUNT(DISTINCT): exact on decimals, raw doubles, f32, constants;
+    -0.0 == 0.0 and all NaNs collapse to one."""
+    rng = np.random.default_rng(31)
+
+    def ref(d):
+        k = engine._np_work_keys(np.ascontiguousarray(d).view(
+            np.uint64 if d.dtype == np.float64 else np.uint32), True)
+        kpinf = engine._float_key(float("inf"), d.dtype)
+        kninf = engine._float_key(float("-inf"), d.dtype)
+        nan = (k > k.dtype.type(kpinf)) | (k < k.dtype.type(kninf))
+        k = np.where(nan, k.dtype.type(kpinf) + k.dtype.type(1), k)
+        return len(np.unique(k))
+
+    d = np.round(rng.normal(20, 8, 40000), 2)
+    d[3] = np.nan
+    d[4] = -np.nan
+    d[5] = np.inf
+    d[6] = -0.0
+    d[7] = 0.0
+    cases = [d, rng.standard_normal(15000),
+             np.round(rng.normal(0, 3, 1533), 1),
+             np.repeat(np.float64(3.25), 5000),
+             np.round(rng.normal(20, 8, 20000), 2).astype(np.float32)]
+    for i, c in enumerate(cases):
+        col = alp_tpu.compress(np.ascontiguousarray(c))
+        assert engine.query_distinct(col) == ref(c), i
+
+
 def test_groupby_validation():
     data = np.arange(100, dtype=np.float64)
     col = alp_tpu.compress(data)
