@@ -371,13 +371,23 @@ inline void encode_vector64(const double* data, long vi,
     double* excv = out_exc_values + size_t(vi) * kVec;
     uint16_t* excp = out_exc_positions + size_t(vi) * kVec;
     uint8_t ok[kVec];
+    const uint64_t factv = uint64_t(ctx.fact_arr[ff]);
+    const double fracv = ctx.frac_arr[fe];
+    const double ev = ctx.exp_arr[fe];
+    const double fv = ctx.frac_arr[ff];
+    const double magic = ctx.magic;
 #pragma omp simd
     for (int j = 0; j < kVec; ++j) {
       const double v = vec[j];
       const double vr = is_special64(v) ? 9223372036854774784.0 : v;
-      const int64_t n = encode_value64(vr, ff, fe, ctx);
+      double tmp = vr * ev * fv;
+      tmp = tmp + magic - magic;
+      const bool in_range =
+          tmp >= -9.223372036854776e18 && tmp < 9.223372036854776e18;
+      const int64_t cast = int64_t(in_range ? tmp : 0.0);
+      const int64_t n = in_range ? cast : INT64_MIN;
       enc[j] = n;
-      ok[j] = decode_value64(n, ff, fe, ctx) == vr;
+      ok[j] = double(int64_t(uint64_t(n) * factv)) * fracv == vr;
     }
     int n_exc = 0;
     int64_t first_ok = 0;
@@ -712,13 +722,27 @@ inline void encode_vector32(const float* data, long vi,
     uint16_t* excp = out_exc_positions + size_t(vi) * kVec;
     uint8_t ok[kVec];
     const float upper = ctx.upper_pt;
+    // loop-invariant table reads hoisted so the verify stays a pure
+    // vector pipeline; the reference's OOB FACT_ARR quirk (factor index
+    // past the table decodes NaN, never equal) collapses to fact_oob
+    const bool fact_oob = ff >= ctx.fact_len;
+    const uint32_t factv = fact_oob ? 0u : uint32_t(ctx.fact_arr[ff]);
+    const float fracv = ctx.frac_arr[fe];
+    const float ev = ctx.exp_arr[fe];
+    const float fv = ctx.frac_arr[ff];
+    const float magic = ctx.magic;
 #pragma omp simd
     for (int j = 0; j < kVec; ++j) {
       const float v = vec[j];
       const float vr = is_special32(v) ? upper : v;
-      const int32_t n = encode_value32(vr, ff, fe, ctx);
+      float tmp = vr * ev * fv;
+      tmp = tmp + magic - magic;
+      const bool in_range = tmp >= -2147483648.0f && tmp < 2147483648.0f;
+      const int32_t cast = int32_t(in_range ? tmp : 0.0f);
+      const int32_t n = in_range ? cast : INT32_MIN;
       enc[j] = n;
-      ok[j] = decode_value32(n, ff, fe, ctx) == vr;
+      ok[j] = !fact_oob &
+              (float(int32_t(uint32_t(n) * factv)) * fracv == vr);
     }
     int n_exc = 0;
     int32_t first_ok = 0;

@@ -398,8 +398,9 @@ def main():
     data32 = np.tile(base, REPS // 2).astype(np.float32)   # ~100 MiB
     from alp_tpu import container as _ct
     cc32 = _ct.compress(data32)
+    _ct.decompress(cc32)                     # page-warm both paths
     best_c = best_d = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _ct.compress(data32)
         best_c = min(best_c, time.perf_counter() - t0)
