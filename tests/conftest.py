@@ -19,3 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    A full single-process run compiles 500+ XLA:CPU programs (several
+    of them large while_loop pipelines); holding them all live has
+    produced process-state-dependent segfaults deep into the run (the
+    crashing executable passes in isolation every time).  The persistent
+    on-disk compile cache makes the re-tracing cheap."""
+    yield
+    jax.clear_caches()
