@@ -2717,6 +2717,13 @@ def _sorted_gb_entry(col, keys_id, keys, num_groups: int):
     cache[k] = built if built is not None else "ineligible"
     # hold a reference to the keys object so id() stays unique
     cache[("ref", k)] = keys_id
+    if built is not None:
+        # the MXU path's staged key planes (~4 B/value of HBM) are
+        # superseded by the sorted entry: drop them for this identity
+        kc = getattr(col, "_gb_key_cache", None)
+        if kc is not None:
+            kc[:] = [e for e in kc
+                     if not (e[0] is keys_id and e[1] == num_groups)]
     return built
 
 
@@ -3462,6 +3469,82 @@ def _rank_bisect_program(plan, R: int, has_true: bool):
     return fn
 
 
+def _key_extent_fused(col, plan):
+    """[min, max] total-order key envelope of the column via the fused
+    per-lane-column keymax kernels in both orders — no decoded planes
+    ever hit HBM.  Kernel extremes cover every NON-exception value
+    (exception slots decode fills — themselves values — or RD garbage,
+    either of which can only move the kernel envelope INWARD or
+    outward harmlessly); the true exception keys widen it exactly."""
+    f32, per, L, _ = _plan_geometry(plan)
+    lane_oks = _lane_oks(plan, per, L)
+    kt = np.uint32 if f32 else np.uint64
+    imin = jnp.int32(_I32_MIN)
+    width = 32 if f32 else 64
+    mask_all = (1 << width) - 1
+
+    def bucket_max(g, args, inv):
+        from .kernels import falp as kfalp
+        if f32:
+            if g.scheme == C.SCHEME_ALP_RD:
+                mh = kfalp.rd_decode_dict_f32_keymax(
+                    args[0], args[1], args[2:], rbw=g.bw,
+                    lbw=g.meta[1], invert=inv)
+            else:
+                mh = kfalp.falp_decode_f32_keymax(
+                    args[0], args[1], args[2], args[3], bw=g.bw,
+                    invert=inv)
+            return mh, jnp.zeros_like(mh)
+        if g.scheme == C.SCHEME_ALP_RD:
+            return kfalp.rd_decode_dict_f64_keymax(
+                args[0], args[1], args[2:], rbw=g.bw, lbw=g.meta[1],
+                invert=inv)
+        if g.variant == "const":
+            kh, kl = _key_words_from_limbs(args[0], args[1])
+            if inv:
+                kh, kl = ~kh, ~kl
+            return _biased_i32(kh), _biased_i32(kl)
+        return kfalp.falp_decode_f64_variant_keymax(
+            args[0], tuple(args[1:]), variant=g.variant, bw=g.bw,
+            flags=g.flags, invert=inv)
+
+    def work_max(inv):
+        best = None
+        for g, lane_ok in zip(plan.groups, lane_oks):
+            args = kdecode.group_arrays(g)
+            mh, ml = bucket_max(g, args, inv)
+            ok = jnp.asarray(lane_ok)
+            mh = mh.at[-1].set(jnp.where(ok, mh[-1], imin))
+            ml = ml.at[-1].set(jnp.where(ok, ml[-1], imin))
+            h = jnp.max(mh)
+            lv = jnp.max(jnp.where(mh == h, ml, imin))
+            h, lv = int(h), int(lv)
+            if best is None or (h, lv) > best:
+                best = (h, lv)
+        sb = 1 << 31
+        uh = (best[0] & 0xFFFFFFFF) ^ sb       # i32 -> u32 un-bias
+        ul = (best[1] & 0xFFFFFFFF) ^ sb
+        k = uh if f32 else ((uh << 32) | ul)
+        if inv:
+            k = (~k) & mask_all
+        return k
+
+    try:
+        kmax = work_max(False)
+        kmin = work_max(True)
+    except Exception:
+        return None
+    # widen with the true exception keys (host, cached bits)
+    for g in plan.groups:
+        if g.exc_g is None or not g.exc_g.shape[0]:
+            continue
+        tk = _np_work_keys(_group_exception_bits(col, g)[0], True)
+        if len(tk):
+            kmin = min(kmin, int(tk.min()))
+            kmax = max(kmax, int(tk.max()))
+    return kt(kmin), kt(kmax)
+
+
 def _select_rank_keys_device(col, plan, ranks) -> dict:
     """Single-dispatch exact rank selection: the whole bisection runs
     on device (:func:`_rank_bisect_program`); also returns the column's
@@ -3472,17 +3555,17 @@ def _select_rank_keys_device(col, plan, ranks) -> dict:
     metas = [a for g in plan.groups for a in kdecode.group_arrays(g)]
     kt = np.uint32 if col.dtype == np.float32 else np.uint64
     top = kt(~kt(0))
-    # global key extent, computed once per plan (fused keymax kernels):
-    # starting the bisection pre-zoomed saves one full pass per query
+    # global key extent, computed once per plan: fused keymax scans in
+    # both orders (no decoded-plane materialization — query_min/max
+    # would transiently hold ~2x the column in HBM), widened by the
+    # true exception keys (kernel extremes see fills/garbage, which can
+    # only SHRINK the kernel envelope).  Starting the bisection
+    # pre-zoomed saves one full pass per query; the extent only needs
+    # to CONTAIN every true key, never to be tight.
     ext = getattr(plan, "_key_extent", None)
     if ext is None:
-        vmin, vmax = query_min(col), query_max(col)
-        if np.isnan(vmin) or np.isnan(vmax):
-            ext = (kt(0), top)            # NaNs: full range (results
-        else:                             # are discarded anyway)
-            ext = (kt(_float_key(float(vmin), col.dtype)),
-                   kt(_float_key(float(vmax), col.dtype)))
-        if ext[0] > ext[1]:
+        ext = _key_extent_fused(col, plan)
+        if ext is None or ext[0] > ext[1]:
             ext = (kt(0), top)
         plan._key_extent = ext
     out = {}
