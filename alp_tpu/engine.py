@@ -2426,9 +2426,17 @@ def _sorted_gb_build(col, keys: np.ndarray, num_groups: int):
     hbits = (hb.astype(np.uint64) << np.uint64(32)) | lb.astype(
         np.uint64)
 
-    pcol = dcz.compress_device(planes=(vhi, vlo), n_values=n)
+    # already-ordered keys (windows / pre-sorted groupings): every
+    # group is contiguous in the COLUMN's own row order, so the column
+    # IS its own sorted re-encoding — skip the device re-compress (and
+    # the extra resident pcol)
+    ordered = bool(n < 2 or np.all(keys[1:] >= keys[:-1]))
+    if ordered:
+        pcol, pplan = col, plan
+    else:
+        pcol = dcz.compress_device(planes=(vhi, vlo), n_values=n)
+        pplan = pcol.plan()
     del vhi, vlo
-    pplan = pcol.plan()
 
     # per-group host contributions from H vectors (exact fixed-point)
     h_tot = [0] * num_groups
@@ -2611,9 +2619,13 @@ def _make_grouped_pass(entry):
     return jax.jit(prog), tuple(flat)
 
 
-def _query_groupby_sorted(col, entry, aggs):
-    """Answer a grouped query from the sorted cache: one fused device
-    pass + the precomputed host pieces."""
+def _query_groupby_sorted_raw(col, entry):
+    """One fused device pass over the sorted cache + host assembly:
+    returns RAW per-group accumulators (``totals`` integer digit sums,
+    ``sp`` [G, 3] special counts, ``ct`` counts, and u64 total-order
+    key extremes ``kmn``/``kmx`` with a ``has`` validity mask) —
+    exactly additive across groups (the sliding-window combine
+    contract)."""
     from .kernels import falp as kfalp
     prog_ent = entry.get("prog")
     if prog_ent is None:
@@ -2634,6 +2646,30 @@ def _query_groupby_sorted(col, entry, aggs):
         totals.append(t)
     sp = entry["h_sp"] + tot[:, 12:15]
     ct = entry["counts"]
+    sb = np.uint32(1 << 31)
+    dev_mn = ((mnh.astype(np.int64).astype(np.uint64)
+               & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
+    dev_mn |= ((mnl.astype(np.int64).astype(np.uint64)
+                & np.uint64(0xFFFFFFFF)) ^ sb)
+    dev_mx = ((mxh.astype(np.int64).astype(np.uint64)
+               & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
+    dev_mx |= ((mxl.astype(np.int64).astype(np.uint64)
+                & np.uint64(0xFFFFFFFF)) ^ sb)
+    dev_has = mnh < (2 ** 31 - 1)
+    kmn = np.where(entry["h_has"]
+                   & (~dev_has | (entry["h_mn"] < dev_mn)),
+                   entry["h_mn"], dev_mn)
+    kmx = np.where(entry["h_has"]
+                   & (~dev_has | (entry["h_mx"] > dev_mx)),
+                   entry["h_mx"], dev_mx)
+    return totals, sp, ct, kmn, kmx
+
+
+def _query_groupby_sorted(col, entry, aggs):
+    """Answer a grouped query from the sorted cache: one fused device
+    pass + the precomputed host pieces."""
+    totals, sp, ct, kmn, kmx = _query_groupby_sorted_raw(col, entry)
+    G = entry["G"]
     res = {}
     if "count" in aggs:
         res["count"] = ct.copy()
@@ -2661,22 +2697,6 @@ def _query_groupby_sorted(col, entry, aggs):
                     totals[g], int(ct[g]) << 1075)))
         res["mean"] = means
     if "min" in aggs or "max" in aggs:
-        sb = np.uint32(1 << 31)
-        dev_mn = ((mnh.astype(np.int64).astype(np.uint64)
-                   & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
-        dev_mn |= ((mnl.astype(np.int64).astype(np.uint64)
-                    & np.uint64(0xFFFFFFFF)) ^ sb)
-        dev_mx = ((mxh.astype(np.int64).astype(np.uint64)
-                   & np.uint64(0xFFFFFFFF)) ^ sb) << np.uint64(32)
-        dev_mx |= ((mxl.astype(np.int64).astype(np.uint64)
-                    & np.uint64(0xFFFFFFFF)) ^ sb)
-        dev_has = mnh < (2 ** 31 - 1)
-        kmn = np.where(entry["h_has"]
-                       & (~dev_has | (entry["h_mn"] < dev_mn)),
-                       entry["h_mn"], dev_mn)
-        kmx = np.where(entry["h_has"]
-                       & (~dev_has | (entry["h_mx"] > dev_mx)),
-                       entry["h_mx"], dev_mx)
         if "max" in aggs:
             vals = np.full(G, np.nan, np.float64)
             for g in range(G):
@@ -2888,9 +2908,30 @@ def query_window(col, window: int,
     k = window // hop
     if n == 0:
         return query_groupby(col, keys, 1, aggs)
-    totals, sp, ct, mh, ml, nh, nl = _groupby_raw(col, keys, ncells)
-    nw = max(-(-max(n - window, 0) // hop) + 1, 1)
     f64 = col.dtype == np.float64
+    ent = (None if not f64 or ncells > _GB_SORT_MAX_GROUPS
+           else _sorted_gb_entry(col, keys, keys, ncells))
+    if ent is not None:
+        # hop cells are contiguous rows: the sorted machinery serves
+        # them with pcol == col (no re-encode, no [n, G] operand)
+        totals, sp, ct, kmn, kmx = _query_groupby_sorted_raw(col, ent)
+    else:
+        totals, sp, ct, mh, ml, nh, nl = _groupby_raw(col, keys, ncells)
+
+        def _cell_key(h, l):
+            if f64:
+                return ((int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                             ^ np.uint32(1 << 31))) << 32) | int(
+                    np.uint32(np.int64(l) & 0xFFFFFFFF)
+                    ^ np.uint32(1 << 31))
+            return int(np.uint32(np.int64(h) & 0xFFFFFFFF)
+                       ^ np.uint32(1 << 31))
+
+        kmx = np.array([_cell_key(mh[j], ml[j]) for j in range(ncells)],
+                       np.uint64)
+        kmn = np.array([_cell_key(nh[j], nl[j]) for j in range(ncells)],
+                       np.uint64)
+    nw = max(-(-max(n - window, 0) // hop) + 1, 1)
     scale = 1075 if f64 else 150
     res = {}
     w_tot = [sum(totals[i:i + k]) for i in range(nw)]
@@ -2922,14 +2963,6 @@ def query_window(col, window: int,
                     w_tot[i], int(w_ct[i]) << scale)))
         res["mean"] = means
 
-    def _key_of(h, l):
-        if f64:
-            return ((int(np.uint32(np.int64(h) & 0xFFFFFFFF)
-                         ^ np.uint32(1 << 31))) << 32) | int(
-                np.uint32(np.int64(l) & 0xFFFFFFFF) ^ np.uint32(1 << 31))
-        return int(np.uint32(np.int64(h) & 0xFFFFFFFF)
-                   ^ np.uint32(1 << 31))
-
     if "max" in aggs or "min" in aggs:
         maxs = np.full(nw, np.nan, col.dtype)
         mins = np.full(nw, np.nan, col.dtype)
@@ -2937,10 +2970,10 @@ def query_window(col, window: int,
             if w_ct[i] == 0:
                 continue
             live = [j for j in range(i, min(i + k, ncells)) if ct[j]]
-            bh = max((int(mh[j]), int(ml[j])) for j in live)
-            bl = min((int(nh[j]), int(nl[j])) for j in live)
-            maxs[i] = _key_float(_key_of(*bh), col.dtype)
-            mins[i] = _key_float(_key_of(*bl), col.dtype)
+            maxs[i] = _key_float(max(int(kmx[j]) for j in live),
+                                 col.dtype)
+            mins[i] = _key_float(min(int(kmn[j]) for j in live),
+                                 col.dtype)
         if "max" in aggs:
             res["max"] = maxs
         if "min" in aggs:

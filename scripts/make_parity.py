@@ -156,18 +156,28 @@ def main():
              "verified (slope-timed)"),
             ("HISTOGRAM (6 bins; fused pipeline)",
              "no histogram in reference", "verified (slope-timed)"),
-            ("GROUP-BY SUM (16 groups; one program)",
+            ("GROUP-BY SUM+MIN/MAX (16 groups; sorted path",
              "no GROUP-BY in reference",
-             "verified (exact per-group fsum; one-hot MXU matmul — "
-             "scatter serializes on TPU, DEVNOTES)"),
+             "verified (exact per-group fsum; sorted-permutation "
+             "path: per-vector superaccumulator partials + prefix "
+             "gathers, no [n,G] operand)"),
             ("TOP-K (k=10; warm wall-clock", "—",
              "tunnel-bound (~35 ms/dispatch RPC)"),
             ("HISTOGRAM (6 bins; warm wall-clock", "—", "tunnel-bound"),
             ("GROUP-BY (16 groups; warm wall-clock", "—",
-             "tunnel-bound"),
+             "verified (ONE dispatch over the group-sorted "
+             "re-encoding)"),
+            ("GROUP-BY (512 groups; warm wall-clock", "—",
+             "verified (no group-count cliff: same sorted path)"),
             ("MEDIAN (exact rank-select", "no quantile in reference",
-             "tunnel-bound (10 bisection passes x dispatch RPC; "
+             "verified (ONE dispatch: on-device while_loop bisection; "
              "== np.quantile, verified on chip)"),
+            ("DISTINCT COUNT", "no DISTINCT in reference",
+             "verified (exact; one-dispatch 2-key sort)"),
+            ("WINDOW tumbling 1M SUM", "no windows in reference",
+             "verified (exact per-window fsum)"),
+            ("WINDOW sliding 1M/256K SUM", "no windows in reference",
+             "verified (hop cells + exact combine)"),
             ("COLD first SUM", "—",
              "tunnel-bound (restore runs AT the raw-transfer bound; "
              "the tunnel wire is ~36 MB/s — the bench prints the "
@@ -190,6 +200,19 @@ def main():
                         for r2 in comp if "1 thr" in r2["parallelism"])
             + " | reference: 16-59x over competitors | verified "
             "(thread sweep saturates the 4-core host) |")
+    cenc = [r2 for r2 in eq
+            if r2["query"] == "COMPRESSION" and r2["alp_speedup"]
+            and "thr" in r2["parallelism"]]
+    if cenc:
+        lines.append(
+            "| competitor ENCODES (table-6 COMP column) | "
+            "ALP-relative ratios "
+            + ", ".join(f"{r2['scheme'].split(' ')[0]}:"
+                        f"{r2['alp_speedup']}x"
+                        for r2 in cenc if "1 thr" in r2["parallelism"])
+            + " | reference COMP1: Patas 3.54x, Zstd 9.60x, PDE 129x "
+            "slower than ALP | verified (native chunked encoders, "
+            "OpenMP 1/8/16 threads) |")
     lines += [
         "",
         "## Compression ratio",
