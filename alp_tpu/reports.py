@@ -63,9 +63,11 @@ def speed_report(results, out_path, header=None) -> None:
     (used by the e2e query table, table_6-style)."""
     with open(out_path, "w") as f:
         if header is not None:
-            f.write(",".join(header) + "\n")
+            import csv as _csv
+            w = _csv.writer(f, lineterminator="\n")
+            w.writerow(header)
             for row in results:
-                f.write(",".join(str(x) for x in row) + "\n")
+                w.writerow([str(x) for x in row])
         else:
             f.write("benchmark_number,name,iterations,throughput,unit\n")
             for i, (name, iters, value, unit) in enumerate(results, 1):

@@ -372,7 +372,7 @@ def main():
     import multiprocessing
     engine.query_compression(data)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         _, stats = engine.query_compression(data)
         best = min(best, stats["seconds"])
     alp_host_comp = data.nbytes / best / 1e9
@@ -382,9 +382,9 @@ def main():
     print(rows[-1], flush=True)
     from alp_tpu import container as _ct
     cch = _ct.compress(data)
-    _ct.decompress(cch)
+    _ct.decompress(cch)                    # page-warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         outh = _ct.decompress(cch)
         best = min(best, time.perf_counter() - t0)
