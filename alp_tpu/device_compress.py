@@ -700,6 +700,7 @@ def make_device_compress_step(n_vec: int, k_max: int = 5):
         return jnp.repeat(per_vec_u32.reshape(G, 8), 16, axis=1,
                           total_repeat_length=128)
 
+
     def step(carry, vhi, vlo):
         vlo = vlo ^ carry          # data dependence; cost-independent
         shi_all = _stride_samples_u32(vhi)
