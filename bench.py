@@ -83,6 +83,12 @@ def bench_dataset(path):
         # buckets route to the const/small/mid/mid64/midc96 fast kernels
         # when the plan's FFOR bounds proved the domain, generic
         # softfloat otherwise.
+        # The checksum chains with ADDITION, not XOR: for the bw-0
+        # const bucket the decode is ``plane ^ carry`` itself, so an
+        # XOR chain cancels carry algebraically (acc = h0 ^ l0, loop-
+        # invariant) and XLA hoists the whole body out of the timing
+        # loop — the old gov26 readings (638-1902 GB/s) exceeded HBM
+        # write bandwidth and were this artifact.
         acc = carry
         i = 0
         for g, n in zip(groups, counts):
@@ -90,7 +96,7 @@ def bench_dataset(path):
             i += n
             args[1] = args[1] ^ carry
             hi, lo = kdecode.group_decode(g, np.float64)(*args)
-            acc = acc ^ hi[0, 0, 0] ^ lo[0, 0, 0]
+            acc = acc + hi[0, 0, 0] + lo[0, 0, 0]
         return acc
 
     metas = [a for t in arg_tuples for a in t]

@@ -158,7 +158,10 @@ def main():
 
     def step_const(carry, hi_p, lo_p):
         hi, lo = kf.falp_decode_f64_const(hi_p ^ carry, lo_p)
-        return hi[0, 0, 0] ^ lo[0, 0, 0]
+        # ADD, don't XOR: the const decode is affine in carry, so an
+        # XOR checksum gives a period-2 loop state XLA can hoist (the
+        # old 656 GB/s reading exceeded HBM write bandwidth)
+        return carry + hi[0, 0, 0] + lo[0, 0, 0]
 
     dt = loop_bench(step_const, (hi_c, lo_c), ITERS)
     results.append(("falp_f64_const_bw0", ITERS, out_gb / dt, "GB/s"))
